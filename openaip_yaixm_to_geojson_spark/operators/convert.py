@@ -1,0 +1,267 @@
+"""Airspace conversion pipeline: YAIXM rows -> GeoJSON feature rows.
+
+Spark-first re-expression of the reference's single-threaded converter
+(reference: src/airspace-converter.ts:171-307):
+
+* block -> sequence unnest is `posexplode` (reference loops :205-212,:249);
+* name/coalesce/ceiling/NOTAM/mapping are built-in column expressions
+  (whole-stage codegen, functions/columns.py + functions/classmap.py);
+* the boundary fold + densification + validation/fix runs in ONE
+  Arrow-batched pandas UDF over the NumPy kernels (functions/geodesy.py,
+  functions/polyfix.py) — vectorized transport, no per-row Python UDFs;
+* the ground-service lookup is an unnest + first-match dedupe on the tiny
+  dimension side + broadcast left equi-join — the fact side never shuffles
+  (reference nested loop :315-342).
+
+Rows that the reference would throw on surface a non-null `error` column
+instead (quarantine channel); `strict` collection raises like the
+reference.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import geodesy, polyfix
+from ..functions.classmap import map_class_and_type
+from ..functions.columns import (
+    airspace_name,
+    ceiling_struct,
+    frequency_formatted,
+    notam_flag,
+    remarks_text,
+)
+
+GEOMETRY_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("ring", T.ArrayType(T.ArrayType(T.DoubleType())), True),
+        T.StructField("valid", T.BooleanType(), True),
+        T.StructField("fixed", T.BooleanType(), True),
+        T.StructField("geom_error", T.StringType(), True),
+    ]
+)
+
+
+def make_geometry_udf(geometry_detail: int = 100, fix_geometries: bool = False, validate_geometries: bool = True):
+    """Arrow-batched pandas UDF folding one boundary per row into a closed
+    CCW ring; config knobs mirror the reference defaults
+    (src/default-config.ts:1-10)."""
+
+    @F.pandas_udf(GEOMETRY_RESULT_TYPE)
+    def geometry_udf(boundaries: pd.Series) -> pd.DataFrame:
+        rings, valids, fixeds, errors = [], [], [], []
+        for boundary in boundaries:
+            try:
+                segments = [
+                    {
+                        "line": list(seg["line"]) if seg["line"] is not None else None,
+                        "arc": seg["arc"],
+                        "circle": seg["circle"],
+                    }
+                    for seg in boundary
+                ]
+                ring = geodesy.build_ring(segments, steps=geometry_detail)
+                fixed = False
+                if fix_geometries:
+                    new_ring = polyfix.fix_ring(ring)
+                    fixed = new_ring is not ring
+                    ring = new_ring
+                valid = polyfix.ring_is_valid(ring) if validate_geometries else True
+                rings.append(ring.tolist())
+                valids.append(valid)
+                fixeds.append(fixed)
+                errors.append(None)
+            except Exception as exc:  # quarantine channel, not a crash
+                rings.append(None)
+                valids.append(False)
+                fixeds.append(False)
+                errors.append(str(exc))
+        return pd.DataFrame({"ring": rings, "valid": valids, "fixed": fixeds, "geom_error": errors})
+
+    return geometry_udf
+
+
+def explode_sequences(airspaces: DataFrame) -> DataFrame:
+    """One row per geometry sequence — the engine's unit of work
+    (1 sequence = 1 output polygon feature)."""
+    seq = F.posexplode("geometry")
+    return airspaces.select(
+        "doc_id",
+        "block_idx",
+        F.col("name").alias("base_name"),
+        F.col("id").alias("airspace_id"),
+        F.col("type").alias("base_type"),
+        F.col("localtype"),
+        F.col("class").alias("base_class"),
+        F.col("rules").alias("base_rules"),
+        seq.alias("seq_idx", "sequence"),
+    )
+
+
+def prepare_services(services: DataFrame) -> DataFrame:
+    """Unnest `controls` to an equi-join key and pre-format the frequency
+    (reference formats at parse time, src/airspace-converter.ts:193-202)."""
+    exploded = services.select(
+        F.col("service_idx"),
+        F.col("callsign"),
+        frequency_formatted(F.col("frequency")).alias("frequency"),
+        F.explode("controls").alias("airspace_id"),
+    )
+    # First-match dedupe happens HERE, on the tiny dimension side, before the
+    # broadcast — the fact table never shuffles for this join. min(struct)
+    # orders by service_idx first, so it is exactly "first service in file
+    # order" like the reference's loop.
+    first = F.min(F.struct("service_idx", "callsign", "frequency")).alias("_first")
+    return exploded.groupBy("airspace_id").agg(first).select(
+        "airspace_id",
+        F.col("_first.callsign").alias("callsign"),
+        F.col("_first.frequency").alias("frequency"),
+    )
+
+
+def convert_airspaces(
+    airspaces: DataFrame,
+    services: DataFrame | None = None,
+    geometry_detail: int = 100,
+    fix_geometries: bool = False,
+    validate_geometries: bool = True,
+) -> DataFrame:
+    """Full conversion: airspace rows -> GeoJSON feature rows.
+
+    Returns columns: doc_id, block_idx, seq_idx, name, type, class,
+    upperCeiling, lowerCeiling, activatedByNotam, activity, remarks,
+    groundService(struct callsign,frequency), ring, valid, fixed, error.
+    """
+    rows = explode_sequences(airspaces)
+
+    seq_class = F.coalesce(F.col("sequence.class"), F.col("base_class"))
+    seq_rules = F.coalesce(F.col("sequence.rules"), F.col("base_rules"))
+    mapped = map_class_and_type(F.col("base_type"), F.col("localtype"), seq_class, seq_rules)
+
+    geometry_udf = make_geometry_udf(geometry_detail, fix_geometries, validate_geometries)
+
+    feats = rows.select(
+        "doc_id",
+        "block_idx",
+        "seq_idx",
+        "airspace_id",
+        airspace_name(F.col("base_name"), F.col("sequence.seq")).alias("name"),
+        mapped.alias("_mapped"),
+        ceiling_struct(F.col("sequence.upper")).alias("_upper"),
+        ceiling_struct(F.col("sequence.lower")).alias("_lower"),
+        notam_flag(seq_rules).alias("activatedByNotam"),
+        remarks_text(seq_rules).alias("remarks"),
+        geometry_udf(F.col("sequence.boundary")).alias("_geom"),
+    )
+
+    feats = feats.select(
+        "doc_id",
+        "block_idx",
+        "seq_idx",
+        "airspace_id",
+        "name",
+        F.col("_mapped.mapped_type").alias("type"),
+        F.col("_mapped.mapped_class").alias("class"),
+        F.struct(
+            F.col("_upper.value").alias("value"),
+            F.col("_upper.unit").alias("unit"),
+            F.col("_upper.referenceDatum").alias("referenceDatum"),
+        ).alias("upperCeiling"),
+        F.struct(
+            F.col("_lower.value").alias("value"),
+            F.col("_lower.unit").alias("unit"),
+            F.col("_lower.referenceDatum").alias("referenceDatum"),
+        ).alias("lowerCeiling"),
+        "activatedByNotam",
+        # default NONE, overridden by mapping metaProps (reference :283-287)
+        F.coalesce(F.col("_mapped.activity"), F.lit("NONE")).alias("activity"),
+        "remarks",
+        F.col("_geom.ring").alias("ring"),
+        F.col("_geom.valid").alias("valid"),
+        F.col("_geom.fixed").alias("fixed"),
+        F.coalesce(F.col("_mapped.map_error"), F.col("_upper.error"), F.col("_lower.error"), F.col("_geom.geom_error")).alias(
+            "error"
+        ),
+    )
+
+    if services is not None:
+        svc = prepare_services(services)
+        feats = (
+            feats.join(F.broadcast(svc), on="airspace_id", how="left")
+            .withColumn(
+                "groundService",
+                F.when(
+                    F.col("callsign").isNotNull() & F.col("airspace_id").isNotNull(),
+                    F.struct(F.col("callsign"), F.col("frequency")),
+                ),
+            )
+            .drop("callsign", "frequency")
+        )
+    else:
+        feats = feats.withColumn(
+            "groundService",
+            F.lit(None).cast(
+                T.StructType(
+                    [
+                        T.StructField("callsign", T.StringType()),
+                        T.StructField("frequency", T.StringType()),
+                    ]
+                )
+            ),
+        )
+
+    return feats
+
+
+def _clean_number(x: float):
+    """JSON-friendly numbers: integral floats render as ints (the golden
+    fixtures carry `2500`, not `2500.0`)."""
+    if x is None:
+        return None
+    return int(x) if float(x).is_integer() else float(x)
+
+
+def features_to_geojson(features: DataFrame, strict: bool = False) -> dict:
+    """Collect feature rows into a GeoJSON FeatureCollection dict with the
+    reference's cleanObject semantics (null/empty fields omitted,
+    src/clean-object.ts:19-88). Input order (doc, block, sequence) is
+    preserved like the reference's sequential loop output."""
+    rows = features.orderBy("doc_id", "block_idx", "seq_idx").collect()
+    out = []
+    for row in rows:
+        if row["error"] is not None and strict:
+            raise ValueError(f"conversion error for '{row['name']}': {row['error']}")
+        props: dict = {}
+        props["name"] = row["name"]
+        props["type"] = row["type"]
+        props["class"] = row["class"]
+        props["upperCeiling"] = {
+            "value": _clean_number(row["upperCeiling"]["value"]),
+            "unit": row["upperCeiling"]["unit"],
+            "referenceDatum": row["upperCeiling"]["referenceDatum"],
+        }
+        props["lowerCeiling"] = {
+            "value": _clean_number(row["lowerCeiling"]["value"]),
+            "unit": row["lowerCeiling"]["unit"],
+            "referenceDatum": row["lowerCeiling"]["referenceDatum"],
+        }
+        props["activatedByNotam"] = row["activatedByNotam"]
+        props["activity"] = row["activity"]
+        if row["remarks"] is not None:
+            props["remarks"] = row["remarks"]
+        if row["groundService"] is not None and row["groundService"]["callsign"] is not None:
+            props["groundService"] = {
+                "callsign": row["groundService"]["callsign"],
+                "frequency": row["groundService"]["frequency"],
+            }
+        props = {k: v for k, v in props.items() if v is not None}
+        feature = {
+            "type": "Feature",
+            "properties": props,
+            "geometry": {"type": "Polygon", "coordinates": [row["ring"]]},
+        }
+        out.append(feature)
+    return {"type": "FeatureCollection", "features": out}

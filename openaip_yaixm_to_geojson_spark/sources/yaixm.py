@@ -1,0 +1,219 @@
+"""YAIXM sources: YAML documents -> typed airspace / service DataFrames.
+
+The reference reads ONE file on one node (src/yaixm-converter.ts:87-126).
+The engine treats YAIXM input as a *table of documents* — each row one YAML
+document — and parses them distributed inside `mapInPandas` (PyYAML over
+Arrow batches), so a directory of thousands of YAIXM files scales out.
+Schemas are explicit StructTypes, never inferred (the reference validates
+with Zod/Ajv rather than inferring, src/validate-schema.ts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# boundary segment: tagged union encoded as nullable branches
+# (Spark has no sum types — reference src/airspace-converter.ts:76-97)
+SEGMENT_TYPE = T.StructType(
+    [
+        T.StructField("line", T.ArrayType(T.StringType()), True),
+        T.StructField(
+            "arc",
+            T.StructType(
+                [
+                    T.StructField("dir", T.StringType(), True),
+                    T.StructField("radius", T.StringType(), True),
+                    T.StructField("centre", T.StringType(), True),
+                    T.StructField("to", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField(
+            "circle",
+            T.StructType(
+                [
+                    T.StructField("radius", T.StringType(), True),
+                    T.StructField("centre", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+SEQUENCE_TYPE = T.StructType(
+    [
+        T.StructField("seq", T.IntegerType(), True),
+        T.StructField("upper", T.StringType(), True),
+        T.StructField("lower", T.StringType(), True),
+        T.StructField("class", T.StringType(), True),
+        T.StructField("rules", T.ArrayType(T.StringType()), True),
+        T.StructField("boundary", T.ArrayType(SEGMENT_TYPE), True),
+    ]
+)
+
+AIRSPACE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("block_idx", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("id", T.StringType(), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("localtype", T.StringType(), True),
+        T.StructField("class", T.StringType(), True),
+        T.StructField("rules", T.ArrayType(T.StringType()), True),
+        T.StructField("geometry", T.ArrayType(SEQUENCE_TYPE), True),
+    ]
+)
+
+SERVICE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("service_idx", T.IntegerType(), False),
+        T.StructField("callsign", T.StringType(), True),
+        T.StructField("controls", T.ArrayType(T.StringType()), True),
+        T.StructField("frequency", T.DoubleType(), True),
+    ]
+)
+
+
+def _airspace_rows(doc_id: str, parsed: dict[str, Any]) -> list[dict[str, Any]]:
+    rows = []
+    for block_idx, block in enumerate(parsed.get("airspace") or []):
+        geometry = []
+        for seq_def in block.get("geometry") or []:
+            boundary = []
+            for seg in seq_def.get("boundary") or []:
+                line = seg.get("line")
+                boundary.append(
+                    {
+                        "line": [str(c) for c in line] if line is not None else None,
+                        "arc": (
+                            {k: str(v) for k, v in seg["arc"].items()}
+                            if seg.get("arc") is not None
+                            else None
+                        ),
+                        "circle": (
+                            {k: str(v) for k, v in seg["circle"].items()}
+                            if seg.get("circle") is not None
+                            else None
+                        ),
+                    }
+                )
+            geometry.append(
+                {
+                    "seq": seq_def.get("seq"),
+                    "upper": seq_def.get("upper"),
+                    "lower": seq_def.get("lower"),
+                    "class": seq_def.get("class"),
+                    "rules": seq_def.get("rules"),
+                    "boundary": boundary,
+                }
+            )
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "block_idx": block_idx,
+                "name": block.get("name"),
+                "id": block.get("id"),
+                "type": block.get("type"),
+                "localtype": block.get("localtype"),
+                "class": block.get("class"),
+                "rules": block.get("rules"),
+                "geometry": geometry,
+            }
+        )
+    return rows
+
+
+def airspaces_from_yaml_docs(docs: DataFrame) -> DataFrame:
+    """``docs(doc_id string, yaml string)`` -> airspace rows (AIRSPACE_SCHEMA).
+
+    Distributed PyYAML parse over Arrow batches (vectorized transport; the
+    YAML grammar itself has no columnar kernel).
+    """
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import yaml
+
+        for pdf in batches:
+            out: list[dict[str, Any]] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["yaml"]):
+                out.extend(_airspace_rows(doc_id, yaml.safe_load(text) or {}))
+            yield pd.DataFrame(out, columns=[f.name for f in AIRSPACE_SCHEMA.fields])
+
+    return docs.mapInPandas(parse, schema=AIRSPACE_SCHEMA)
+
+
+def services_from_yaml_docs(docs: DataFrame) -> DataFrame:
+    """``docs(doc_id string, yaml string)`` -> service rows (SERVICE_SCHEMA).
+    ``service_idx`` preserves file order — the reference's join keeps the
+    FIRST matching service (src/airspace-converter.ts:321-330)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import yaml
+
+        for pdf in batches:
+            out: list[dict[str, Any]] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["yaml"]):
+                parsed = yaml.safe_load(text) or {}
+                for idx, svc in enumerate(parsed.get("service") or []):
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "service_idx": idx,
+                            "callsign": svc.get("callsign"),
+                            "controls": [str(c) for c in (svc.get("controls") or [])],
+                            "frequency": float(svc["frequency"]) if svc.get("frequency") is not None else None,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in SERVICE_SCHEMA.fields])
+
+    return docs.mapInPandas(parse, schema=SERVICE_SCHEMA)
+
+
+def airspaces_from_records(spark: SparkSession, records: list[dict[str, Any]], doc_id: str = "inline") -> DataFrame:
+    """Pre-parsed YAIXM blocks (e.g. embedded fixtures) -> airspace rows."""
+    rows = _airspace_rows(doc_id, {"airspace": records})
+    return spark.createDataFrame(rows, schema=AIRSPACE_SCHEMA)
+
+
+def services_from_records(spark: SparkSession, records: list[dict[str, Any]], doc_id: str = "inline") -> DataFrame:
+    rows = [
+        {
+            "doc_id": doc_id,
+            "service_idx": idx,
+            "callsign": svc.get("callsign"),
+            "controls": [str(c) for c in (svc.get("controls") or [])],
+            "frequency": float(svc["frequency"]) if svc.get("frequency") is not None else None,
+        }
+        for idx, svc in enumerate(records)
+    ]
+    return spark.createDataFrame(rows, schema=SERVICE_SCHEMA)
+
+
+def airspaces_from_file(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file read -> one document row -> distributed parse. Mirrors the
+    reference CLI entry (src/yaixm-converter.ts:87-113) as a 1-row table."""
+    docs = (
+        spark.read.text(path, wholetext=True)
+        .withColumnRenamed("value", "yaml")
+        .withColumn("doc_id", F.lit(path))
+    )
+    return airspaces_from_yaml_docs(docs)
+
+
+def services_from_file(spark: SparkSession, path: str) -> DataFrame:
+    docs = (
+        spark.read.text(path, wholetext=True)
+        .withColumnRenamed("value", "yaml")
+        .withColumn("doc_id", F.lit(path))
+    )
+    return services_from_yaml_docs(docs)

@@ -1,0 +1,80 @@
+"""End-to-end golden parity: Spark conversion pipeline vs the reference's
+expected GeoJSON for all seven fixture cases (the reference's own test
+matrix, tests/convertAirspaces.test.ts)."""
+
+import json
+import os
+
+import pytest
+
+from compare import geojson_matches
+from fixtures_data import FIXTURES
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+# fixGeometries per reference test (tests/convertAirspaces.test.ts configs)
+CASES = {
+    "with-service": {"fix": True, "services": True},
+    "single-arc-clockwise": {"fix": True, "services": False},
+    "single-arc-counterclockwise": {"fix": True, "services": False},
+    "circle": {"fix": True, "services": False},
+    "single-line": {"fix": False, "services": False},
+    "multi-sequence": {"fix": False, "services": False},
+    "pill-shaped": {"fix": False, "services": False},
+}
+
+
+@pytest.mark.parametrize("case", list(CASES))
+def test_golden_parity(spark, case):
+    from openaip_yaixm_to_geojson_spark.operators.convert import (
+        convert_airspaces,
+        features_to_geojson,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.yaixm import (
+        airspaces_from_records,
+        services_from_records,
+    )
+
+    cfg = CASES[case]
+    airspaces = airspaces_from_records(spark, FIXTURES[case]["airspace"])
+    services = (
+        services_from_records(spark, FIXTURES["service"]["service"])
+        if cfg["services"]
+        else None
+    )
+    features = convert_airspaces(
+        airspaces, services=services, fix_geometries=cfg["fix"]
+    )
+    actual = features_to_geojson(features, strict=True)
+    with open(os.path.join(GOLDEN_DIR, f"{case}.json")) as fh:
+        expected = json.load(fh)
+    mismatches = geojson_matches(actual, expected)
+    assert not mismatches, f"{case}: {mismatches[:10]}"
+
+
+def test_yaml_doc_source_roundtrip(spark):
+    """The distributed YAML source parses documents identically to the
+    pre-parsed record path."""
+    import yaml as pyyaml
+
+    from openaip_yaixm_to_geojson_spark.operators.convert import (
+        convert_airspaces,
+        features_to_geojson,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.yaixm import (
+        airspaces_from_records,
+        airspaces_from_yaml_docs,
+    )
+
+    text = pyyaml.safe_dump({"airspace": FIXTURES["multi-sequence"]["airspace"]})
+    docs = spark.createDataFrame([("inline", text)], "doc_id string, yaml string")
+    via_yaml = features_to_geojson(
+        convert_airspaces(airspaces_from_yaml_docs(docs)), strict=True
+    )
+    via_records = features_to_geojson(
+        convert_airspaces(
+            airspaces_from_records(spark, FIXTURES["multi-sequence"]["airspace"])
+        ),
+        strict=True,
+    )
+    assert not geojson_matches(via_yaml, via_records)
