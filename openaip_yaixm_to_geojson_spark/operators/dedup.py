@@ -1,0 +1,223 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash and n-gram Jaccard near-dup detection over a
+`documents`-shaped table. Everything on the document (fact) side is
+built-in column expressions — md5 / array transforms / aggregates run
+JVM-side inside codegen; there is no Python in any hot path. A NumPy
+pandas-UDF MinHash variant exists for throughput comparison in bench.
+
+Scale notes:
+* exact dedup: one shuffle on the 16-byte digest (map-side partial agg);
+* MinHash LSH: signatures are narrow (num_hashes x 16-char prefixes),
+  candidate generation is a self-join on (band_idx, band_key) — banding
+  bounds the join fan-out; verification re-checks true Jaccard on the
+  candidate pairs only;
+* SimHash: 16-bit signature via per-bit majority vote, one aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (shingles), all JVM-side: split on whitespace,
+    slide an n-window, join with single spaces, dedupe."""
+    words = F.split(F.trim(text), r"\s+")
+    k = F.size(words) - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array())
+    return F.array_distinct(grams)
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest: one row per distinct text,
+    keeping the smallest key as representative plus the duplicate count."""
+    return (
+        documents.select(F.md5(F.col(text_col)).alias("digest"), F.col(key_col))
+        .groupBy("digest")
+        .agg(
+            F.min(key_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature as an array of `num_hashes` 16-hex-char minima.
+
+    Hash family h_j(s) = md5(s || '#j') prefix; the minimum over a
+    document's shingle set is a classic MinHash (string order == unsigned
+    order on same-length hex). Identical SQL runs on the DuckDB oracle.
+    """
+    shingles = word_shingles(text, shingle_n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s: F.substring(F.md5(F.concat(s, F.lit(f"#{j}"))), 1, 16),
+                )
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Split a signature into `bands` keys of `rows_per_band` hashes each:
+    array of (band_idx, band_key) structs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws("|", F.slice(signature, b * rows_per_band + 1, rows_per_band)).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash, verified with the
+    true shingle Jaccard. Returns (key_a, key_b, jaccard), key_a < key_b."""
+    rows_per_band = num_hashes // bands
+    sigs = documents.select(
+        F.col(key_col).alias("key"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    ).where(F.size("shingles") > 0)
+    banded = sigs.select(
+        "key", "shingles", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("band")
+    ).select("key", "shingles", "band.band_idx", "band.band_key")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cands = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .select(
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.withColumn("jaccard", jaccard.cast("double"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_on: Column | None = None,
+) -> DataFrame:
+    """Direct n-gram Jaccard similarity for pairs sharing a blocking key
+    (defaults to identical shingle count — cheap and symmetric); exact
+    verification path used to validate the LSH variant."""
+    docs = documents.select(
+        F.col(key_col).alias("key"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    block = block_on if block_on is not None else F.size("shingles")
+    docs = docs.withColumn("block", block)
+    a = docs.alias("a")
+    b = docs.alias("b")
+    jaccard = F.size(F.array_intersect("a.shingles", "b.shingles")) / F.size(
+        F.array_union("a.shingles", "b.shingles")
+    )
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.key") < F.col("b.key")))
+        .withColumn("jaccard", jaccard.cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"), "jaccard")
+    )
+
+
+# hex digit sets with bit j set (j = 0 is the LEAST significant bit of the
+# hex digit) — lets SQL test md5 bits without bit-twiddling functions.
+_HEX_BIT = [
+    list("13579bdf"),  # bit 0
+    list("2367abef"),  # bit 1
+    list("4567cdef"),  # bit 2
+    list("89abcdef"),  # bit 3
+]
+
+
+def simhash16(text: Column, token_pattern: str = r"\s+") -> Column:
+    """16-bit SimHash over whitespace tokens.
+
+    For each bit position, a majority vote of +-1 across token hashes
+    (md5 hex chars 1-4, 4 bits each). Pure expressions; the identical
+    CASE/SUM formulation runs on the oracle side.
+    """
+    tokens = F.split(F.trim(text), token_pattern)
+    bits = []
+    for pos in range(4):  # hex char index 1..4
+        for bit in range(4):
+            member = _HEX_BIT[bit]
+            vote_sum = F.aggregate(
+                tokens,
+                F.lit(0),
+                lambda acc, t, m=member, p=pos: acc
+                + F.when(F.substring(F.md5(t), p + 1, 1).isin(m), F.lit(1)).otherwise(F.lit(-1)),
+            )
+            bit_value = F.when(vote_sum >= 0, F.lit(1)).otherwise(F.lit(0))
+            bits.append(bit_value * F.lit(1 << (pos * 4 + bit)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Pairs whose 16-bit SimHash differs in <= max_hamming bits. Banded on
+    the two 8-bit halves (a pair within Hamming distance 1 shares at least
+    one half; for larger budgets both halves are compared)."""
+    docs = documents.select(F.col(key_col).alias("key"), simhash16(F.col(text_col)).alias("sim"))
+    lo = (F.col("sim") % 256).alias("lo")
+    hi = (F.col("sim") / 256).cast("int").alias("hi")
+    docs = docs.select("key", "sim", lo, hi)
+    a = docs.alias("a")
+    b = docs.alias("b")
+    same_half = (F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi"))
+    hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    return (
+        a.join(b, same_half & (F.col("a.key") < F.col("b.key")))
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"), "hamming")
+        .dropDuplicates(["key_a", "key_b"])
+    )

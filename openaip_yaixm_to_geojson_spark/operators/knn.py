@@ -1,0 +1,173 @@
+"""kNN: nearest airspace per page via cell-ring expansion.
+
+Engine-only operator (no reference counterpart; mandated by the north
+rule). Distance metric: squared planar degree distance from the page point
+to the nearest polygon RING VERTEX — plain arithmetic so the DuckDB oracle
+reproduces it bit-for-bit (trig-free; the densified rings make vertex
+distance a tight proxy for boundary distance).
+
+Two implementations:
+
+* `knn_ring_expansion` — the scale path. Polygon vertices are indexed by
+  grid cell; each round k joins still-unmatched pages against the vertex
+  index expanded to Chebyshev disk k. A match at ring k only proves an
+  upper bound d; the loop keeps expanding until (k-1) * cell_size >
+  sqrt(d) for every pending page (a cell at ring k cannot hold anything
+  closer than (k-1) * cell_size), then takes min_by. Each round is one
+  broadcast join + one aggregation on the shrinking unmatched set.
+
+* `knn_bruteforce` — vectorized NumPy baseline (points x vertices per
+  Arrow batch). Used as the oracle cross-check and for tiny polygon sets.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import cellgrid
+
+KNN_RES = 9  # ~0.7 deg cells for the vertex index
+
+
+def _vertex_arrays(polygons: list[dict[str, Any]]):
+    pids, vx, vy = [], [], []
+    for poly in polygons:
+        ring = np.asarray(poly["ring"], dtype=np.float64)[:-1]  # closing dup excluded
+        pids.append(np.full(len(ring), int(poly["poly_id"]), dtype=np.int64))
+        vx.append(ring[:, 0])
+        vy.append(ring[:, 1])
+    return np.concatenate(pids), np.concatenate(vx), np.concatenate(vy)
+
+
+def knn_bruteforce(pages: DataFrame, polygons: list[dict[str, Any]]) -> DataFrame:
+    """(url, nearest poly_id, dist_sq) by exact scan over all vertices —
+    vectorized per Arrow batch; ties break to the smaller poly_id."""
+    pids, vx, vy = _vertex_arrays(polygons)
+    order = np.lexsort((pids,))  # stable: ties resolved to smallest poly_id
+    pids, vx, vy = pids[order], vx[order], vy[order]
+
+    result_type = T.StructType(
+        [
+            T.StructField("poly_id", T.IntegerType()),
+            T.StructField("dist_sq", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(result_type)
+    def nearest(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lon_np = lon.to_numpy(dtype=np.float64)[:, None]
+        lat_np = lat.to_numpy(dtype=np.float64)[:, None]
+        dx = lon_np - vx[None, :]
+        dy = lat_np - vy[None, :]
+        d2 = dx * dx + dy * dy
+        # nearest vertex per polygon, then argmin over polygons with
+        # smallest-poly_id tie-break (matches the SQL oracle's row_number
+        # ordered by dist_sq, poly_id)
+        best = np.full(len(lon_np), np.inf)
+        best_pid = np.full(len(lon_np), -1, dtype=np.int64)
+        for pid in np.unique(pids):
+            m = pids == pid
+            dmin = d2[:, m].min(axis=1)
+            take = dmin < best
+            best[take] = dmin[take]
+            best_pid[take] = pid
+        return pd.DataFrame({"poly_id": best_pid.astype("int32"), "dist_sq": best})
+
+    return pages.select(
+        "url", "lat", "lon", nearest(F.col("lon"), F.col("lat")).alias("_nn")
+    ).select("url", "lat", "lon", F.col("_nn.poly_id").alias("poly_id"), F.col("_nn.dist_sq").alias("dist_sq"))
+
+
+def vertex_index_df(spark: SparkSession, polygons: list[dict[str, Any]], res: int = KNN_RES) -> DataFrame:
+    """Polygon vertices indexed by grid cell (the small broadcast side)."""
+    pids, vx, vy = _vertex_arrays(polygons)
+    cells = cellgrid.encode_np(vx, vy, res)
+    pdf = pd.DataFrame({"vcell": cells, "poly_id": pids.astype("int32"), "vlon": vx, "vlat": vy})
+    return spark.createDataFrame(pdf)
+
+
+def knn_ring_expansion(
+    pages: DataFrame,
+    polygons: list[dict[str, Any]],
+    res: int = KNN_RES,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """(url, poly_id, dist_sq) via iterative cell-ring expansion.
+
+    Round k: unmatched pages join the vertex index on `disk k` candidate
+    cells (page side explodes its cell neighborhood — the index side stays
+    a clean equi-join key). Matched pages finalize once the ring guarantee
+    (k-1)*size > sqrt(best d2) holds; the rest carry to round k+1.
+    """
+    spark = pages.sparkSession
+    vindex = vertex_index_df(spark, polygons, res)
+    size = cellgrid.cell_size_deg(res)
+
+    pending = (
+        pages.select("url", "lat", "lon")
+        .withColumn("cell", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), res))
+        .withColumn("poly_id", F.lit(None).cast("int"))
+        .withColumn("dist_sq", F.lit(None).cast("double"))
+    )
+    finalized: list[DataFrame] = []
+
+    for k in range(max_rounds):
+        offsets = [
+            (dx, dy)
+            for dx in range(-k, k + 1)
+            for dy in range(-k, k + 1)
+            if max(abs(dx), abs(dy)) == k
+        ]
+        neighbor_cells = F.array(
+            *[F.col("cell") + F.lit(dy * cellgrid._SHIFT + dx) for dx, dy in offsets]
+        )
+        cand = (
+            pending.select("url", "lat", "lon", "cell")
+            .withColumn("vcell", F.explode(neighbor_cells))
+            .join(F.broadcast(vindex), "vcell")
+            .withColumn(
+                "d2",
+                (F.col("lon") - F.col("vlon")) * (F.col("lon") - F.col("vlon"))
+                + (F.col("lat") - F.col("vlat")) * (F.col("lat") - F.col("vlat")),
+            )
+            .groupBy("url")
+            .agg(F.min(F.struct(F.col("d2"), F.col("poly_id"))).alias("_b"))
+            .select("url", F.col("_b.poly_id").alias("c_pid"), F.col("_b.d2").alias("c_d2"))
+        )
+        cand_better = F.col("c_d2").isNotNull() & (
+            F.col("dist_sq").isNull()
+            | (F.col("c_d2") < F.col("dist_sq"))
+            | ((F.col("c_d2") == F.col("dist_sq")) & (F.col("c_pid") < F.col("poly_id")))
+        )
+        merged = pending.join(cand, "url", "left").select(
+            "url",
+            "lat",
+            "lon",
+            "cell",
+            F.when(cand_better, F.col("c_pid")).otherwise(F.col("poly_id")).alias("poly_id"),
+            F.when(cand_better, F.col("c_d2")).otherwise(F.col("dist_sq")).alias("dist_sq"),
+        )
+        # finalize once nothing in an unseen ring (>= k+1) can be closer:
+        # any point there is at least k*size away in Chebyshev terms.
+        bound = float((k * size) * (k * size))
+        guarantee = F.col("dist_sq").isNotNull() & (F.col("dist_sq") <= F.lit(bound))
+        finalized.append(merged.where(guarantee))
+        pending = merged.where(~guarantee | F.col("dist_sq").isNull()).localCheckpoint()
+        if pending.isEmpty():
+            pending = None
+            break
+
+    if pending is not None and not pending.isEmpty():
+        # pages with nothing within max_rounds rings: exact fallback scan
+        finalized.append(knn_bruteforce(pending.select("url", "lat", "lon"), polygons))
+
+    out = finalized[0]
+    for df in finalized[1:]:
+        out = out.unionByName(df.select(*out.columns))
+    return out.select("url", "lat", "lon", "poly_id", "dist_sq")

@@ -1,0 +1,150 @@
+"""Distributed spatial join: pages x airspace polygons.
+
+Strategy (SURVEY.md §2 engine-only operators; no reference counterpart —
+the reference is single-node, this is the north_rule's core operator):
+
+1. **Cell encode** the point side with a pure column expression (codegen,
+   no UDF on the fact table) at a configurable resolution.
+2. **Cell cover** each polygon driver-side (polygons are the small side —
+   thousands at most; the cover is exact rectangle/polygon intersection,
+   so it is sound and tight).
+3. **Equi-join** page cells against cover cells — broadcast when the cover
+   is small (the common case), or a shuffle join with explicit salting of
+   hot cells when the polygon side is too big to broadcast.
+4. **Refine** candidates with a vectorized winding-number point-in-polygon
+   pandas UDF (NumPy over Arrow batches, grouped by polygon id inside each
+   batch).
+
+At 10^12 rows the fact table sees: one projection, one codegen'd cell id,
+one broadcast hash join (no shuffle), one Arrow hop for candidates only
+(cover cells bound candidate count), then the aggregation of the caller's
+choice. The only shuffle in the whole plan is whatever the caller
+aggregates afterwards.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import cellgrid
+from ..functions.geodesy import points_in_ring_winding
+
+DEFAULT_JOIN_RES = 11  # ~0.176 deg cells: a few cells per fixture polygon
+
+
+def polygon_cover_df(
+    spark: SparkSession, polygons: list[dict[str, Any]], res: int = DEFAULT_JOIN_RES
+) -> DataFrame:
+    """Small-side table: one row per (cover cell, polygon)."""
+    rows = []
+    for poly in polygons:
+        for cell in cellgrid.cover(np.asarray(poly["ring"]), res):
+            rows.append(
+                {
+                    "cell": cell,
+                    "poly_id": int(poly["poly_id"]),
+                    "airspace_name": poly["name"],
+                    "airspace_type": poly["type"],
+                    "airspace_class": poly["class"],
+                }
+            )
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType(), False),
+            T.StructField("poly_id", T.IntegerType(), False),
+            T.StructField("airspace_name", T.StringType(), False),
+            T.StructField("airspace_type", T.StringType(), False),
+            T.StructField("airspace_class", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def make_pip_udf(polygons: list[dict[str, Any]]):
+    """Vectorized winding-number refine: (lon, lat, poly_id) -> bool.
+
+    Rings ride along in the UDF closure (they are broadcast to executors
+    once per task set by Spark's task serialization; for very large polygon
+    sets switch to SparkContext.broadcast).
+    """
+    rings = {int(p["poly_id"]): np.asarray(p["ring"], dtype=np.float64) for p in polygons}
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
+        lon_np = lon.to_numpy(dtype=np.float64)
+        lat_np = lat.to_numpy(dtype=np.float64)
+        pid_np = poly_id.to_numpy()
+        out = np.zeros(len(lon_np), dtype=bool)
+        # group the batch by polygon: one vectorized PIP call per polygon
+        for pid in np.unique(pid_np):
+            mask = pid_np == pid
+            ring = rings.get(int(pid))
+            if ring is None:
+                continue
+            out[mask] = points_in_ring_winding(lon_np[mask], lat_np[mask], ring)
+        return pd.Series(out)
+
+    return pip
+
+
+def spatial_join(
+    pages: DataFrame,
+    polygons: list[dict[str, Any]],
+    res: int = DEFAULT_JOIN_RES,
+    broadcast: bool = True,
+    salt: int | None = None,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Pages inside polygons. Returns (url, lat, lon, poly_id,
+    airspace_name, airspace_type, airspace_class, *keep_cols).
+
+    broadcast=True: map-side hash join, zero shuffle of the page side.
+    broadcast=False: shuffle hash join on the cell key; `salt` explicitly
+    splinters hot cells — the page side gets a deterministic salt from
+    xxhash64(url) and the cover side is exploded x salt, so skewed cells
+    spread over `salt` reducers (AQE skew-join stays on as backstop).
+    """
+    spark = pages.sparkSession
+    cover = polygon_cover_df(spark, polygons, res)
+    cells = pages.withColumn("cell", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), res))
+
+    if broadcast:
+        candidates = cells.join(F.broadcast(cover), "cell")
+    elif salt and salt > 1:
+        cells = cells.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt)).cast("int"))
+        cover_salted = cover.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        candidates = cells.repartition(F.col("cell"), F.col("_salt")).join(
+            cover_salted, ["cell", "_salt"]
+        ).drop("_salt")
+    else:
+        candidates = cells.join(cover, "cell")
+
+    pip = make_pip_udf(polygons)
+    out_cols = ["url", "lat", "lon", "poly_id", "airspace_name", "airspace_type", "airspace_class"]
+    out_cols += [c for c in keep_cols if c not in out_cols]
+    return candidates.where(pip(F.col("lon"), F.col("lat"), F.col("poly_id"))).select(*out_cols)
+
+
+def cell_histogram(pages: DataFrame, res: int = DEFAULT_JOIN_RES) -> DataFrame:
+    """Per-cell page counts — the deterministic input for choosing a salt
+    factor (hot cells = skew)."""
+    return (
+        pages.withColumn("cell", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), res))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def choose_salt(pages: DataFrame, res: int = DEFAULT_JOIN_RES, rows_per_task: int = 2_000_000) -> int:
+    """Deterministic salt factor: hottest cell count / target rows per task,
+    clamped to [1, 64]. Same data -> same plan at any parallelism."""
+    hottest = cell_histogram(pages, res).agg(F.max("n_pages")).first()[0] or 0
+    return int(max(1, min(64, -(-hottest // rows_per_task))))

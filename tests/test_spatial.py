@@ -1,0 +1,132 @@
+"""Spatial join / kNN / tiles: engine results vs independent brute-force
+NumPy oracles on the deterministic pages table (FIXTURES.md §5)."""
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def polygons():
+    from openaip_yaixm_to_geojson_spark.functions.convert_local import fixture_polygons
+
+    return fixture_polygons()
+
+
+@pytest.fixture(scope="module")
+def pages_pdf(spark):
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    return pages_from_documents(spark, SF_DIR).select("url", "lat", "lon").toPandas()
+
+
+def brute_force_join(pages_pdf, polygons):
+    from openaip_yaixm_to_geojson_spark.functions.geodesy import points_in_ring_winding
+
+    lon = pages_pdf["lon"].to_numpy()
+    lat = pages_pdf["lat"].to_numpy()
+    expected = set()
+    for poly in polygons:
+        inside = points_in_ring_winding(lon, lat, np.asarray(poly["ring"]))
+        for url in pages_pdf["url"].to_numpy()[inside]:
+            expected.add((url, poly["poly_id"]))
+    return expected
+
+
+def test_spatial_join_broadcast_matches_bruteforce(spark, polygons, pages_pdf):
+    from openaip_yaixm_to_geojson_spark.operators.spatial import spatial_join
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    got = {
+        (r["url"], r["poly_id"])
+        for r in spatial_join(pages, polygons, broadcast=True).collect()
+    }
+    expected = brute_force_join(pages_pdf, polygons)
+    assert got == expected
+    assert len(expected) > 0, "join must be non-trivially populated"
+
+
+def test_spatial_join_salted_shuffle_same_result(spark, polygons, pages_pdf):
+    from openaip_yaixm_to_geojson_spark.operators.spatial import spatial_join
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    got = {
+        (r["url"], r["poly_id"])
+        for r in spatial_join(pages, polygons, broadcast=False, salt=4).collect()
+    }
+    assert got == brute_force_join(pages_pdf, polygons)
+
+
+def test_text_byte_identical_through_join(spark, polygons):
+    """Per-row invariant (BASELINE.json input_hint): extracted text stays
+    byte-identical per url through the pipeline."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import spatial_join
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    joined = spatial_join(pages, polygons, keep_cols=("text",))
+    source = {r["url"]: r["text"] for r in pages.select("url", "text").collect()}
+    for row in joined.collect():
+        assert row["text"] == source[row["url"]]
+        assert row["text"].encode("utf-8") == source[row["url"]].encode("utf-8")
+
+
+def test_knn_ring_expansion_matches_bruteforce(spark, polygons):
+    from openaip_yaixm_to_geojson_spark.operators.knn import (
+        knn_bruteforce,
+        knn_ring_expansion,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    ring = {r["url"]: (r["poly_id"], r["dist_sq"]) for r in knn_ring_expansion(pages, polygons).collect()}
+    brute = {r["url"]: (r["poly_id"], r["dist_sq"]) for r in knn_bruteforce(pages, polygons).collect()}
+    assert set(ring) == set(brute)
+    mismatches = {u: (ring[u], brute[u]) for u in brute if ring[u] != brute[u]}
+    assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_tile_rollup_counts(spark, polygons):
+    from openaip_yaixm_to_geojson_spark.operators.spatial import spatial_join
+    from openaip_yaixm_to_geojson_spark.operators.tiles import tile_class_rollup
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    join_out = spatial_join(pages, polygons)
+    rollup = tile_class_rollup(join_out).collect()
+    total_rows = join_out.count()
+    grand = [r for r in rollup if r["tile_id"] is None and r["airspace_class"] is None]
+    assert len(grand) == 1 and grand[0]["doc_count"] == total_rows
+    # tile subtotals equal the sum of their class rows
+    by_tile = {}
+    for r in rollup:
+        if r["tile_id"] is not None and r["airspace_class"] is not None:
+            by_tile[r["tile_id"]] = by_tile.get(r["tile_id"], 0) + r["doc_count"]
+    for r in rollup:
+        if r["tile_id"] is not None and r["airspace_class"] is None:
+            assert by_tile[r["tile_id"]] == r["doc_count"]
+
+
+def test_cellgrid_roundtrip_and_cover_soundness(polygons):
+    from openaip_yaixm_to_geojson_spark.functions import cellgrid
+    from openaip_yaixm_to_geojson_spark.functions.geodesy import points_in_ring_winding
+
+    rng = np.random.default_rng(42)
+    lons = rng.uniform(-6.5, 1.3, 500)
+    lats = rng.uniform(49.5, 57.7, 500)
+    for res in (7, 9, 11):
+        cells = cellgrid.encode_np(lons, lats, res)
+        for lon, lat, cell in zip(lons[:50], lats[:50], cells[:50]):
+            min_lon, min_lat, max_lon, max_lat = cellgrid.cell_bounds(int(cell))
+            assert min_lon <= lon < max_lon and min_lat <= lat < max_lat
+            assert cellgrid.parent(int(cell)) == cellgrid.encode(lon, lat, res - 1)
+    # cover soundness: every point inside a polygon lies in a cover cell
+    for poly in polygons:
+        ring = np.asarray(poly["ring"])
+        cover = set(cellgrid.cover(ring, 11))
+        inside = points_in_ring_winding(lons, lats, ring)
+        for lon, lat in zip(lons[inside], lats[inside]):
+            assert cellgrid.encode(lon, lat, 11) in cover
