@@ -1,38 +1,332 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship pipeline (pages -> cell encode -> broadcast
+spatial join -> PIP refine -> tile/class rollup) at sf0.001.
+
+`queries()` — one entry per implemented operator from SURVEY.md §2 plus the
+engine-side training-data operators; each callable takes (spark, sf_dir).
+
+`oracle_sql()` — DuckDB SQL recomputing each query independently (generated
+in openaip_yaixm_to_geojson_spark/oracle.py). Column names/aliases match
+the Spark side exactly; all hash-compared floats follow the shared
+determinism rules (md5+integer arithmetic, all-DOUBLE casts, decimal-exact
+sums).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openaip_yaixm_to_geojson_spark import oracle
+from openaip_yaixm_to_geojson_spark.data.fixtures_data import FIXTURES
+from openaip_yaixm_to_geojson_spark.functions import cellgrid
+from openaip_yaixm_to_geojson_spark.functions.classmap import map_class_and_type
+from openaip_yaixm_to_geojson_spark.functions.columns import ceiling_struct
+from openaip_yaixm_to_geojson_spark.functions.convert_local import fixture_polygons
+from openaip_yaixm_to_geojson_spark.operators.convert import convert_airspaces, prepare_services
+from openaip_yaixm_to_geojson_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash16,
+)
+from openaip_yaixm_to_geojson_spark.operators.knn import knn_ring_expansion
+from openaip_yaixm_to_geojson_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+    queries_from_embeddings,
+)
+from openaip_yaixm_to_geojson_spark.operators.spatial import DEFAULT_JOIN_RES, spatial_join
+from openaip_yaixm_to_geojson_spark.operators.text import (
+    fingerprint_col,
+    langid_col,
+    quality_struct,
+    token_count_cols,
+)
+from openaip_yaixm_to_geojson_spark.operators.tiles import (
+    DEFAULT_TILE_RES,
+    tile_class_rollup,
+    tile_doc_counts,
+)
+from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+from openaip_yaixm_to_geojson_spark.sources.yaixm import (
+    airspaces_from_records,
+    services_from_records,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial join + per-tile airspace-class rollup at sf0.001."""
+    pages = pages_from_documents(spark, SF_SMOKE)
+    join_out = spatial_join(pages, fixture_polygons())
+    return tile_class_rollup(join_out)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_page_cells(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    return pages.select(
+        "url", "lat", "lon", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), DEFAULT_JOIN_RES).alias("cell")
+    )
+
+
+def q_spatial_join(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    return spatial_join(pages, fixture_polygons()).select(
+        "url", "poly_id", "airspace_name", "airspace_type", "airspace_class"
+    )
+
+
+def q_spatial_join_partitioned(spark, sf_dir):
+    """Shuffle-join path with explicit salting — same rows as broadcast."""
+    pages = pages_from_documents(spark, sf_dir)
+    return spatial_join(pages, fixture_polygons(), broadcast=False, salt=4).select(
+        "url", "poly_id", "airspace_name", "airspace_type", "airspace_class"
+    )
+
+
+def q_join_count_by_airspace(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        spatial_join(pages, fixture_polygons())
+        .groupBy("poly_id", "airspace_name", "airspace_class")
+        .agg(F.count(F.lit(1)).alias("doc_count"), F.count_distinct("url").alias("n_docs"))
+    )
+
+
+def q_knn(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    return knn_ring_expansion(pages, fixture_polygons()).select("url", "poly_id", "dist_sq")
+
+
+def q_tile_doc_counts(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    return tile_doc_counts(pages, DEFAULT_TILE_RES)
+
+
+def q_tile_class_rollup(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    return tile_class_rollup(spatial_join(pages, fixture_polygons()), DEFAULT_TILE_RES)
+
+
+def q_text_passthrough(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    joined = spatial_join(pages, fixture_polygons(), keep_cols=("text",))
+    return joined.groupBy("url").agg(
+        F.min("text").alias("text"), F.min(F.md5("text")).alias("text_digest")
+    )
+
+
+def q_ceiling_parse(spark, sf_dir):
+    df = spark.createDataFrame([(s,) for s in oracle.CEILING_SAMPLES], "ceiling string")
+    c = ceiling_struct(F.col("ceiling"))
+    return df.select(
+        "ceiling",
+        c["value"].alias("value"),
+        c["unit"].alias("unit"),
+        c["referenceDatum"].alias("referenceDatum"),
+    )
+
+
+def q_class_type_mapping(spark, sf_dir):
+    rows = [(i, t, lt, c, r) for i, (t, lt, c, r) in enumerate(oracle.MAPPING_SAMPLES)]
+    df = spark.createDataFrame(
+        rows, "row_id int, type string, localtype string, class string, rules array<string>"
+    )
+    mapped = map_class_and_type(F.col("type"), F.col("localtype"), F.col("class"), F.col("rules"))
+    return df.select(
+        "row_id",
+        mapped["mapped_type"].alias("mapped_type"),
+        mapped["mapped_class"].alias("mapped_class"),
+        F.coalesce(mapped["activity"], F.lit("NONE")).alias("activity"),
+    )
+
+
+def q_airspace_features(spark, sf_dir):
+    """Full conversion pipeline over every fixture block (relational
+    output; ring pinned by vertex count, coordinates pinned in pytest)."""
+    blocks = []
+    for case in [
+        "with-service",
+        "single-arc-clockwise",
+        "single-arc-counterclockwise",
+        "circle",
+        "single-line",
+        "pill-shaped",
+    ]:
+        blocks.extend(FIXTURES[case]["airspace"])
+    airspaces = airspaces_from_records(spark, blocks)
+    services = services_from_records(spark, FIXTURES["service"]["service"])
+    feats = convert_airspaces(airspaces, services=services, fix_geometries=True)
+    return feats.select(
+        "name",
+        "type",
+        "class",
+        F.col("upperCeiling.value").alias("upper_value"),
+        F.col("upperCeiling.unit").alias("upper_unit"),
+        F.col("upperCeiling.referenceDatum").alias("upper_datum"),
+        F.col("lowerCeiling.value").alias("lower_value"),
+        F.col("lowerCeiling.unit").alias("lower_unit"),
+        F.col("lowerCeiling.referenceDatum").alias("lower_datum"),
+        "activatedByNotam",
+        "activity",
+        "remarks",
+        F.col("groundService.callsign").alias("gs_callsign"),
+        F.col("groundService.frequency").alias("gs_frequency"),
+        F.size("ring").alias("n_ring_pts"),
+    )
+
+
+def q_service_join(spark, sf_dir):
+    services = services_from_records(spark, FIXTURES["service"]["service"])
+    return prepare_services(services)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from openaip_yaixm_to_geojson_spark.operators.dedup import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            word_shingles(F.col("text")).alias("sh"),
+            F.concat_ws("|", minhash_signature(F.col("text"))).alias("signature"),
+        )
+        .where(F.size("sh") > 0)
+        .select("doc_id", "signature")
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb, queries_from_embeddings(emb, n=5), k=3)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate ANN (bucketed) — rows-only check: recall vs exact is
+    measured in tests/test_pipeline_ops.py, not equality."""
+    emb = _emb(spark, sf_dir)
+    return lsh_ann_topk(emb, queries_from_embeddings(emb, n=5), k=3, n_planes=2)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return embedding_neardup_pairs(_emb(spark, sf_dir), cosine_threshold=0.4, exact_all_pairs=True)
+
+
+def q_langid(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", "lang", langid_col(F.col("text")).alias("lang_pred"))
+
+
+def q_quality(spark, sf_dir):
+    q = quality_struct(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_words"].alias("n_words"),
+        q["mean_word_len"].alias("mean_word_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+        q["quality_score"].alias("quality_score"),
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    ws, bpe = token_count_cols(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", ws.alias("n_tokens_ws"), bpe.alias("n_tokens_bpe")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "page_cells": q_page_cells,
+        "spatial_join": q_spatial_join,
+        "spatial_join_partitioned": q_spatial_join_partitioned,
+        "join_count_by_airspace": q_join_count_by_airspace,
+        "knn": q_knn,
+        "tile_doc_counts": q_tile_doc_counts,
+        "tile_class_rollup": q_tile_class_rollup,
+        "text_passthrough": q_text_passthrough,
+        "ceiling_parse": q_ceiling_parse,
+        "class_type_mapping": q_class_type_mapping,
+        "airspace_features": q_airspace_features,
+        "service_join": q_service_join,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "langid": q_langid,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "page_cells": oracle.sql_page_cells(),
+        "spatial_join": oracle.sql_spatial_join(),
+        "spatial_join_partitioned": oracle.sql_spatial_join(),
+        "join_count_by_airspace": oracle.sql_join_count_by_airspace(),
+        "knn": oracle.sql_knn(),
+        "tile_doc_counts": oracle.sql_tile_doc_counts(),
+        "tile_class_rollup": oracle.sql_tile_class_rollup(),
+        "text_passthrough": oracle.sql_text_passthrough(),
+        "ceiling_parse": oracle.sql_ceiling_parse(),
+        "class_type_mapping": oracle.sql_class_type_mapping(),
+        "airspace_features": oracle.sql_airspace_features(),
+        "service_join": oracle.sql_service_join(),
+        "dedup_exact": oracle.sql_dedup_exact(),
+        "minhash_signatures": oracle.sql_minhash_signatures(),
+        "minhash_lsh_pairs": oracle.sql_minhash_lsh_pairs(),
+        "simhash": oracle.sql_simhash(),
+        "ann_topk": oracle.sql_ann_topk(),
+        # ann_lsh: intentionally no oracle — approximate operator; recall
+        # vs the exact ann_topk is asserted in tests instead.
+        "embedding_neardup": oracle.sql_embedding_neardup(threshold=0.4),
+        "langid": oracle.sql_langid(),
+        "quality": oracle.sql_quality(),
+        "token_counts": oracle.sql_token_counts(),
+        "fingerprint": oracle.sql_fingerprint(),
+    }

@@ -1,0 +1,125 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: spatial-join + tile-assignment throughput over a
+deterministic synthetic pages table (SPARK_GRAFT_BENCH_DOCS, default 2M
+rows — the sf-dir documents table is too small to exercise the join at
+scale). Per-query wall times for the rest of the operator suite run over
+the sf-dir tables.
+
+Scaling-efficiency evidence (N vs 4N cores) lives in tools/scaling_bench.py
+-> BENCH.md, per the driver instruction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+
+
+def main() -> None:
+    from openaip_yaixm_to_geojson_spark.functions.convert_local import fixture_polygons
+    from openaip_yaixm_to_geojson_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash16,
+    )
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_ring_expansion
+    from openaip_yaixm_to_geojson_spark.operators.similarity import (
+        cosine_topk,
+        queries_from_embeddings,
+    )
+    from openaip_yaixm_to_geojson_spark.operators.spatial import spatial_join
+    from openaip_yaixm_to_geojson_spark.operators.text import analyze_documents
+    from openaip_yaixm_to_geojson_spark.operators.tiles import tile_class_rollup
+    from openaip_yaixm_to_geojson_spark.plans.session import build_session
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents, synth_pages
+
+    spark = build_session(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    polys = fixture_polygons()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        start = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    # warm the JVM/Python workers so the headline isn't startup-bound
+    synth_pages(spark, 10_000, with_payload=False).count()
+
+    # headline: synthetic pages -> cell encode -> broadcast join -> PIP ->
+    # per-tile class rollup (forced with a count)
+    pages_big = synth_pages(spark, BENCH_DOCS, with_payload=False)
+    start = time.perf_counter()
+    join_out = spatial_join(pages_big, polys)
+    n_rollup = tile_class_rollup(join_out).count()
+    headline_sec = time.perf_counter() - start
+    timings["spatial_join_tiles_synth"] = round(headline_sec, 3)
+    docs_per_sec = BENCH_DOCS / headline_sec
+
+    if os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
+        print(
+            json.dumps(
+                {
+                    "metric": "spatial_join_tile_rollup_wall",
+                    "value": round(headline_sec, 3),
+                    "unit": "sec",
+                    "docs_per_sec": round(docs_per_sec),
+                    "bench_docs": BENCH_DOCS,
+                    "rollup_rows": n_rollup,
+                    "cpus": CPUS,
+                    "queries": {"spatial_join_tiles_synth": timings["spatial_join_tiles_synth"]},
+                    "sf": "synthetic",
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pages = pages_from_documents(spark, SF_DIR)
+
+    timed("spatial_join_sf", lambda: spatial_join(pages, polys).count())
+    timed("knn_sf", lambda: knn_ring_expansion(pages, polys).count())
+    timed("dedup_exact", lambda: exact_dedup(docs).count())
+    timed("minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs).count())
+    timed("simhash", lambda: docs.select(simhash16(F.col("text"))).count())
+    timed("text_analyze", lambda: analyze_documents(docs).select(F.max("n_tokens_bpe")).count())
+    timed(
+        "ann_topk",
+        lambda: cosine_topk(emb, queries_from_embeddings(emb, n=5), k=3).count(),
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tile_rollup_wall",
+                "value": round(headline_sec, 3),
+                "unit": "sec",
+                "docs_per_sec": round(docs_per_sec),
+                "bench_docs": BENCH_DOCS,
+                "rollup_rows": n_rollup,
+                "cpus": CPUS,
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

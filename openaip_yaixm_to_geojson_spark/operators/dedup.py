@@ -179,16 +179,17 @@ def simhash16(text: Column, token_pattern: str = r"\s+") -> Column:
     CASE/SUM formulation runs on the oracle side.
     """
     tokens = F.split(F.trim(text), token_pattern)
+
+    def vote(pos: int, member: list[str]):
+        # factory keeps the higher-order lambda arity at exactly 2
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), pos + 1, 1).isin(member), F.lit(1)
+        ).otherwise(F.lit(-1))
+
     bits = []
     for pos in range(4):  # hex char index 1..4
         for bit in range(4):
-            member = _HEX_BIT[bit]
-            vote_sum = F.aggregate(
-                tokens,
-                F.lit(0),
-                lambda acc, t, m=member, p=pos: acc
-                + F.when(F.substring(F.md5(t), p + 1, 1).isin(m), F.lit(1)).otherwise(F.lit(-1)),
-            )
+            vote_sum = F.aggregate(tokens, F.lit(0), vote(pos, _HEX_BIT[bit]))
             bit_value = F.when(vote_sum >= 0, F.lit(1)).otherwise(F.lit(0))
             bits.append(bit_value * F.lit(1 << (pos * 4 + bit)))
     out = bits[0]

@@ -21,13 +21,20 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-DOT_DECIMAL = "decimal(38,15)"
+# scale 14 so decimal ADDITION keeps the scale intact (Spark's decimal add
+# grows precision; at scale 15 it would clamp to (38,14) and silently round)
+DOT_DECIMAL = "decimal(30,14)"
 
 
 def dot_decimal(a: Column, b: Column) -> Column:
-    """Exact decimal dot product of two float arrays (order-independent)."""
+    """Exact decimal dot product of two float arrays (order-independent;
+    each double product rounds once to 14 dp, the sum is exact)."""
     products = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DOT_DECIMAL))
-    return F.aggregate(products, F.lit(0).cast(DOT_DECIMAL), lambda acc, p: acc + p)
+    return F.aggregate(
+        products,
+        F.lit(0).cast(DOT_DECIMAL),
+        lambda acc, p: (acc + p).cast(DOT_DECIMAL),
+    )
 
 
 def norm_double(a: Column) -> Column:
@@ -111,6 +118,7 @@ def lsh_ann_topk(
     queries: DataFrame,
     k: int = 3,
     n_planes: int = 8,
+    multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -119,7 +127,9 @@ def lsh_ann_topk(
 
     One bucket assignment pass over the corpus (expressions only), then a
     bucket-equi-join instead of the full cross join — the candidate set per
-    query shrinks by ~2^n_planes.
+    query shrinks by ~2^n_planes / (n_planes + 1). `multiprobe` also probes
+    every Hamming-1 neighbour bucket of the query (near-misses on one
+    hyperplane are the dominant recall loss).
     """
     from pyspark.sql import Window
 
@@ -127,6 +137,11 @@ def lsh_ann_topk(
     planes = hyperplanes(dim, n_planes)
     corpus = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
     probes = queries.withColumn("bucket", lsh_bucket_col(F.col("qvec"), planes))
+    if multiprobe:
+        neighbours = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        )
+        probes = probes.withColumn("bucket", F.explode(neighbours))
     scored = (
         corpus.alias("e")
         .join(F.broadcast(probes.alias("q")), "bucket")
@@ -149,27 +164,37 @@ def embedding_neardup_pairs(
     embeddings: DataFrame,
     cosine_threshold: float = 0.95,
     n_planes: int = 8,
+    exact_all_pairs: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate vectors: same LSH bucket AND exact cosine >= threshold.
+    """Near-duplicate vectors: exact cosine >= threshold among candidate
+    pairs. Candidates = same LSH bucket (the scale path); with
+    `exact_all_pairs=True` every a<b pair is checked — exhaustive and
+    oracle-reproducible (use for correctness gates and small corpora).
     Returns (key_a, key_b, cosine), key_a < key_b."""
-    dim = len(embeddings.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes)
-    bucketed = embeddings.select(
+    cols = [
         F.col(id_col).alias("key"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
-        norm_double(F.col(vec_col)).alias("norm"),
-    )
+        # decimal-exact squared norm: order-independent, oracle-reproducible
+        dot_decimal(F.col(vec_col), F.col(vec_col)).cast("double").alias("norm_sq"),
+    ]
+    if not exact_all_pairs:
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes = hyperplanes(dim, n_planes)
+        cols.append(lsh_bucket_col(F.col(vec_col), planes).alias("bucket"))
+    bucketed = embeddings.select(*cols)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
+    cond = F.col("a.key") < F.col("b.key")
+    if not exact_all_pairs:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
     cosine = (
         dot_decimal(F.col("a.vec"), F.col("b.vec")).cast("double")
-        / (F.col("a.norm") * F.col("b.norm"))
+        / F.sqrt(F.col("a.norm_sq") * F.col("b.norm_sq"))
     )
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.key") < F.col("b.key")))
+        a.join(b, cond)
         .withColumn("cosine", cosine)
         .where(F.col("cosine") >= cosine_threshold)
         .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"), "cosine")

@@ -1,0 +1,532 @@
+"""DuckDB oracle SQL generators.
+
+Every `queries()` entry in `__spark_entry__.py` pairs with an ANSI-SQL
+string from here that DuckDB executes over the same parquet tables. The
+SQL recomputes the operator's semantics independently (regexp parsing,
+CASE decision tables, even-odd point-in-polygon over embedded polygon
+edges, MinHash via list lambdas, decimal-exact dot products) — it is not a
+dump of expected outputs, except for `airspace_features`, whose VALUES are
+produced by the driver-side converter twin that pytest pins to the
+reference goldens.
+
+Float-parity ground rules (shared with the Spark side):
+* md5/ascii/integer arithmetic only for synthetic derivations;
+* every fractional literal is CAST(... AS DOUBLE) — bare decimals parse as
+  DECIMAL in both engines and decimal arithmetic is not bit-compatible;
+* sums that feed compare-hashed outputs are exact DECIMAL accumulations;
+* `repr(float)` literals round-trip to the identical IEEE double.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from .functions.cellgrid import cell_id_sql
+from .functions.classmap import COMBO_TABLE, RULE_TYPES, TYPE_ONLY, TYPE_RENAME
+from .functions.convert_local import fixture_polygons
+from .operators.spatial import DEFAULT_JOIN_RES
+from .operators.tiles import DEFAULT_TILE_RES
+from .sources.pages import lat_sql, lon_sql, pages_cte
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+
+def pages_with(dialect: str = "duckdb") -> str:
+    return f"pages AS ({pages_cte(dialect)})"
+
+
+@lru_cache(maxsize=4)
+def _polys():
+    return fixture_polygons()
+
+
+def _dbl(x: float) -> str:
+    """Exact IEEE double literal: bare decimal literals parse as DECIMAL and
+    DuckDB's decimal->double conversion is not always correctly rounded;
+    a VARCHAR->DOUBLE cast goes through strtod, which is."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def edges_values() -> str:
+    rows = []
+    for poly in _polys():
+        ring = np.asarray(poly["ring"])
+        name = poly["name"].replace("'", "''")
+        for i in range(len(ring) - 1):
+            rows.append(
+                f"({poly['poly_id']},'{name}','{poly['type']}','{poly['class']}',"
+                f"{_dbl(ring[i, 0])},{_dbl(ring[i, 1])},{_dbl(ring[i + 1, 0])},{_dbl(ring[i + 1, 1])})"
+            )
+    return (
+        "(VALUES "
+        + ",".join(rows)
+        + ") AS e(poly_id, airspace_name, airspace_type, airspace_class, x1, y1, x2, y2)"
+    )
+
+
+def vertices_values() -> str:
+    rows = []
+    for poly in _polys():
+        ring = np.asarray(poly["ring"])[:-1]
+        for i in range(len(ring)):
+            rows.append(f"({poly['poly_id']},{_dbl(ring[i, 0])},{_dbl(ring[i, 1])})")
+    return "(VALUES " + ",".join(rows) + ") AS v(poly_id, vlon, vlat)"
+
+
+def pip_hits_cte() -> str:
+    """Even-odd (ray crossing) PIP over the embedded edges: equivalent to
+    the engine's winding number on these simple rings."""
+    return f"""hits AS (
+  SELECT p.url, p.lat, p.lon, e.poly_id,
+         MIN(e.airspace_name) AS airspace_name,
+         MIN(e.airspace_type) AS airspace_type,
+         MIN(e.airspace_class) AS airspace_class
+  FROM pages p JOIN {edges_values()} ON TRUE
+  GROUP BY p.url, p.lat, p.lon, e.poly_id
+  HAVING SUM(CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+              THEN (CASE WHEN p.lon < e.x1 + (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1)
+                    THEN 1 ELSE 0 END)
+              ELSE 0 END) % 2 = 1
+)"""
+
+
+# ---------------------------------------------------------------------------
+# spatial oracles
+# ---------------------------------------------------------------------------
+
+
+def sql_page_cells(res: int = DEFAULT_JOIN_RES) -> str:
+    return (
+        f"WITH {pages_with()} "
+        f"SELECT url, lat, lon, {cell_id_sql('lon', 'lat', res)} AS cell FROM pages"
+    )
+
+
+def sql_spatial_join() -> str:
+    return (
+        f"WITH {pages_with()}, {pip_hits_cte()} "
+        "SELECT url, poly_id, airspace_name, airspace_type, airspace_class FROM hits"
+    )
+
+
+def sql_join_count_by_airspace() -> str:
+    return (
+        f"WITH {pages_with()}, {pip_hits_cte()} "
+        "SELECT poly_id, airspace_name, airspace_class, "
+        "COUNT(*) AS doc_count, COUNT(DISTINCT url) AS n_docs "
+        "FROM hits GROUP BY poly_id, airspace_name, airspace_class"
+    )
+
+
+def sql_knn() -> str:
+    return f"""WITH {pages_with()},
+d AS (
+  SELECT p.url, v.poly_id,
+         MIN((p.lon - v.vlon) * (p.lon - v.vlon) + (p.lat - v.vlat) * (p.lat - v.vlat)) AS dist_sq
+  FROM pages p JOIN {vertices_values()} ON TRUE
+  GROUP BY p.url, v.poly_id
+)
+SELECT url, poly_id, dist_sq
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist_sq, poly_id) AS rn FROM d)
+WHERE rn = 1"""
+
+
+def sql_tile_doc_counts(res: int = DEFAULT_TILE_RES) -> str:
+    return (
+        f"WITH {pages_with()} "
+        f"SELECT {cell_id_sql('lon', 'lat', res)} AS tile_id, "
+        "COUNT(*) AS doc_count, COUNT(DISTINCT lang) AS n_langs, "
+        "SUM(LENGTH(text)) AS total_chars "
+        "FROM pages GROUP BY 1"
+    )
+
+
+def sql_tile_class_rollup(res: int = DEFAULT_TILE_RES) -> str:
+    return (
+        f"WITH {pages_with()}, {pip_hits_cte()} "
+        f"SELECT {cell_id_sql('lon', 'lat', res)} AS tile_id, airspace_class, "
+        "COUNT(*) AS doc_count, COUNT(DISTINCT url) AS n_docs "
+        "FROM hits GROUP BY ROLLUP(1, airspace_class)"
+    )
+
+
+def sql_text_passthrough() -> str:
+    return (
+        f"WITH {pages_with()}, {pip_hits_cte()} "
+        "SELECT h.url, MIN(p.text) AS text, MIN(md5(p.text)) AS text_digest "
+        "FROM hits h JOIN pages p ON h.url = p.url GROUP BY h.url"
+    )
+
+
+# ---------------------------------------------------------------------------
+# converter oracles
+# ---------------------------------------------------------------------------
+
+CEILING_SAMPLES = [
+    "SFC",
+    "2367 ft",
+    "13000 ft",
+    "1500 ft SFC",
+    "2500 ft",
+    "5000 ft",
+    "FL65",
+    "FL105",
+    "FL115",
+    "FL 245",
+    "600 FT",
+    "3.5 ft",
+]
+
+
+def sql_ceiling_parse() -> str:
+    feet = r"^(\d+(\.\d+)?)\s*(ft|FT)?\s*(SFC)?$"
+    fl = r"^FL\s*(\d{2,})?$"
+    values = ",".join(f"('{s}')" for s in CEILING_SAMPLES)
+    return f"""
+SELECT ceiling,
+  CASE WHEN ceiling = 'SFC' THEN CAST(0 AS DOUBLE)
+       WHEN regexp_matches(ceiling, '{feet}') THEN CAST(regexp_extract(ceiling, '{feet}', 1) AS DOUBLE)
+       WHEN regexp_matches(ceiling, '{fl}') THEN CAST(regexp_extract(ceiling, '{fl}', 1) AS DOUBLE)
+  END AS value,
+  CASE WHEN ceiling = 'SFC' THEN 'FT'
+       WHEN regexp_matches(ceiling, '{feet}') THEN
+            (CASE WHEN regexp_extract(ceiling, '{feet}', 3) = '' THEN NULL
+                  ELSE upper(regexp_extract(ceiling, '{feet}', 3)) END)
+       WHEN regexp_matches(ceiling, '{fl}') THEN 'FL'
+  END AS unit,
+  CASE WHEN ceiling = 'SFC' THEN 'GND'
+       WHEN regexp_matches(ceiling, '{feet}') THEN
+            (CASE WHEN regexp_extract(ceiling, '{feet}', 4) = 'SFC' THEN 'GND' ELSE 'MSL' END)
+       WHEN regexp_matches(ceiling, '{fl}') THEN 'STD'
+  END AS referenceDatum
+FROM (VALUES {values}) AS t(ceiling)"""
+
+
+# (type, localtype, class, rules) rows covering every mapping branch
+MAPPING_SAMPLES: list[tuple[str | None, str | None, str | None, list[str] | None]] = [
+    ("CTA", None, "D", None),
+    ("TMA", None, "A", ["NOTAM"]),
+    ("CTR", None, "D", None),
+    ("ATZ", None, "G", None),
+    ("D", None, "UNCLASSIFIED", ["NOTAM"]),
+    ("P", None, "A", None),
+    ("R", None, "B", None),
+    ("CTA", None, "E", ["TMZ"]),
+    ("CTA", None, "E", ["NOTAM", "TRA"]),
+    ("CTA", None, "E", ["RMZ", "TMZ"]),
+    ("OTHER", "MATZ", None, None),
+    ("D_OTHER", "GLIDER", None, None),
+    ("D_OTHER", "GVS", None, None),
+    ("D_OTHER", "HIRTA", None, None),
+    ("D_OTHER", "LASER", None, None),
+    ("OTHER", "ILS", None, None),
+    ("D_OTHER", "DZ", None, None),
+    ("OTHER", "GLIDER", None, None),
+    ("OTHER", "NOATZ", None, None),
+    ("OTHER", "UL", None, None),
+    ("OTHER", "RMZ", None, None),
+    ("OTHER", "TMZ", None, None),
+    ("ATZ", None, None, None),
+    ("D", None, None, None),
+    ("P", None, None, None),
+    ("R", None, None, None),
+]
+
+
+def _sql_str(x: str | None) -> str:
+    return "NULL" if x is None else f"'{x}'"
+
+
+def _sql_rules(rules: list[str] | None) -> str:
+    if rules is None:
+        return "CAST(NULL AS VARCHAR[])"
+    return "[" + ",".join(f"'{r}'" for r in rules) + "]"
+
+
+def sql_class_type_mapping() -> str:
+    values = ",".join(
+        f"({i},{_sql_str(t)},{_sql_str(lt)},{_sql_str(c)},{_sql_rules(r)})"
+        for i, (t, lt, c, r) in enumerate(MAPPING_SAMPLES)
+    )
+    rule_list = "[" + ",".join(f"'{r}'" for r in RULE_TYPES) + "]"
+    rename = " ".join(f"WHEN '{src}' THEN '{dst}'" for src, dst in TYPE_RENAME.items())
+    combo_t = " ".join(
+        f"WHEN eff = '{t}' AND localtype = '{lt}' THEN '{mt}'" for (t, lt), (mt, _, _) in COMBO_TABLE.items()
+    )
+    combo_c = " ".join(
+        f"WHEN eff = '{t}' AND localtype = '{lt}' THEN '{mc}'" for (t, lt), (_, mc, _) in COMBO_TABLE.items()
+    )
+    combo_a = " ".join(
+        f"WHEN eff = '{t}' AND localtype = '{lt}' THEN {_sql_str(act)}"
+        for (t, lt), (_, _, act) in COMBO_TABLE.items()
+    )
+    only_t = " ".join(f"WHEN '{t}' THEN '{mt}'" for t, (mt, _, _) in TYPE_ONLY.items())
+    only_c = " ".join(f"WHEN '{t}' THEN '{mc}'" for t, (mc2, _, _) in TYPE_ONLY.items() for mc in [TYPE_ONLY[t][1]])
+    return f"""
+WITH input AS (
+  SELECT row_id, type, localtype, class,
+         COALESCE(list_filter(rules, r -> list_contains({rule_list}, r))[1], type) AS eff
+  FROM (VALUES {values}) AS t(row_id, type, localtype, class, rules)
+)
+SELECT row_id,
+  CASE WHEN class IS NOT NULL THEN (CASE eff {rename} END)
+       WHEN localtype IS NOT NULL THEN (CASE {combo_t} END)
+       ELSE (CASE eff {only_t} END)
+  END AS mapped_type,
+  CASE WHEN class IS NOT NULL THEN class
+       WHEN localtype IS NOT NULL THEN (CASE {combo_c} END)
+       ELSE (CASE eff {only_c} END)
+  END AS mapped_class,
+  COALESCE(CASE WHEN class IS NULL AND localtype IS NOT NULL THEN (CASE {combo_a} END) END, 'NONE') AS activity
+FROM input"""
+
+
+def sql_airspace_features() -> str:
+    """Golden-twin VALUES: the driver-side converter (pinned to the
+    reference goldens by pytest) provides the expected relational output of
+    the full Spark conversion pipeline."""
+    rows = []
+    for f in _polys():
+        gs = f.get("groundService")
+        rows.append(
+            "("
+            + ",".join(
+                [
+                    _sql_str(f["name"]),
+                    _sql_str(f["type"]),
+                    _sql_str(f["class"]),
+                    f"CAST({float(f['upperCeiling']['value'])!r} AS DOUBLE)",
+                    _sql_str(f["upperCeiling"]["unit"]),
+                    _sql_str(f["upperCeiling"]["referenceDatum"]),
+                    f"CAST({float(f['lowerCeiling']['value'])!r} AS DOUBLE)",
+                    _sql_str(f["lowerCeiling"]["unit"]),
+                    _sql_str(f["lowerCeiling"]["referenceDatum"]),
+                    "TRUE" if f["activatedByNotam"] else "FALSE",
+                    _sql_str(f["activity"]),
+                    _sql_str(f.get("remarks")),
+                    _sql_str(gs["callsign"] if gs else None),
+                    _sql_str(gs["frequency"] if gs else None),
+                    str(len(f["ring"])),
+                ]
+            )
+            + ")"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(name, type, class, upper_value, upper_unit, upper_datum, "
+        "lower_value, lower_unit, lower_datum, activatedByNotam, activity, "
+        "remarks, gs_callsign, gs_frequency, n_ring_pts)"
+    )
+
+
+def _services_values() -> str:
+    from .data.fixtures_data import FIXTURES
+
+    rows = []
+    for idx, svc in enumerate(FIXTURES["service"]["service"]):
+        controls = "[" + ",".join(f"'{c}'" for c in svc["controls"]) + "]"
+        rows.append(f"({idx},'{svc['callsign']}',{controls},{float(svc['frequency'])!r})")
+    return "(VALUES " + ",".join(rows) + ") AS s(service_idx, callsign, controls, frequency)"
+
+
+def sql_service_join() -> str:
+    """Unnest controls -> first-match service per airspace id, frequency
+    zero-padded to 3 decimals."""
+    return f"""
+WITH exploded AS (
+  SELECT s.service_idx, s.callsign, printf('%.3f', s.frequency) AS frequency,
+         UNNEST(s.controls) AS airspace_id
+  FROM {_services_values()}
+)
+SELECT airspace_id,
+       arg_min(callsign, service_idx) AS callsign,
+       arg_min(frequency, service_idx) AS frequency
+FROM exploded GROUP BY airspace_id"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / similarity oracles (documents & embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def sql_dedup_exact() -> str:
+    return (
+        "SELECT md5(text) AS digest, MIN(doc_id) AS representative, "
+        "COUNT(*) AS n_copies FROM documents GROUP BY 1"
+    )
+
+
+_WORDS = "string_split_regex(trim(text), '\\s+')"
+
+SHINGLES_EXPR = (
+    f"list_distinct(CASE WHEN len({_WORDS}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_WORDS}) - 2), "
+    f"i -> concat({_WORDS}[i], ' ', {_WORDS}[i+1], ' ', {_WORDS}[i+2])) "
+    "ELSE [] END)"
+)
+
+
+def _minhash_exprs(num_hashes: int = 16) -> list[str]:
+    return [
+        (
+            "list_aggregate(list_transform(shingles, "
+            f"s -> substring(md5(concat(s, '#{j}')), 1, 16)), 'min')"
+        )
+        for j in range(num_hashes)
+    ]
+
+
+def sql_minhash_signatures(num_hashes: int = 16) -> str:
+    sig = ", ".join(f"{e} AS h{j}" for j, e in enumerate(_minhash_exprs(num_hashes)))
+    cols = ", ".join(f"h{j}" for j in range(num_hashes))
+    return f"""
+WITH sh AS (SELECT doc_id, {SHINGLES_EXPR} AS shingles FROM documents),
+sig AS (SELECT doc_id, {sig} FROM sh WHERE len(shingles) > 0)
+SELECT doc_id, concat_ws('|', {cols}) AS signature FROM sig"""
+
+
+def sql_minhash_lsh_pairs(
+    num_hashes: int = 16, bands: int = 8, jaccard_threshold: float = 0.5
+) -> str:
+    rows_per_band = num_hashes // bands
+    sig_exprs = ", ".join(f"{e} AS h{j}" for j, e in enumerate(_minhash_exprs(num_hashes)))
+    sig_list = "[" + ", ".join(f"h{j}" for j in range(num_hashes)) + "]"
+    return f"""
+WITH sh AS (SELECT doc_id AS key, {SHINGLES_EXPR} AS shingles FROM documents),
+sig AS (SELECT key, shingles, {sig_exprs} FROM sh WHERE len(shingles) > 0),
+banded AS (
+  SELECT key, shingles, b.band_idx,
+         array_to_string(({sig_list})[b.band_idx * {rows_per_band} + 1 : (b.band_idx + 1) * {rows_per_band}], '|') AS band_key
+  FROM sig, (SELECT UNNEST(generate_series(0, {bands - 1})) AS band_idx) b
+),
+cands AS (
+  SELECT DISTINCT a.key AS key_a, b.key AS key_b, a.shingles AS sh_a, b.shingles AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.key < b.key
+)
+SELECT key_a, key_b,
+       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) AS jaccard
+FROM cands
+WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= {jaccard_threshold!r}"""
+
+
+_HEX_BIT_SQL = [
+    "('1','3','5','7','9','b','d','f')",
+    "('2','3','6','7','a','b','e','f')",
+    "('4','5','6','7','c','d','e','f')",
+    "('8','9','a','b','c','d','e','f')",
+]
+
+
+def sql_simhash() -> str:
+    """16-bit SimHash: per-bit majority vote over token md5 hex chars 1-4,
+    same formulation as operators/dedup.simhash16."""
+    bit_terms = []
+    for pos in range(4):
+        for bit in range(4):
+            weight = 1 << (pos * 4 + bit)
+            vote = (
+                f"list_aggregate(list_transform({_WORDS}, "
+                f"t -> CASE WHEN substring(md5(t), {pos + 1}, 1) IN {_HEX_BIT_SQL[bit]} "
+                "THEN 1 ELSE -1 END), 'sum')"
+            )
+            bit_terms.append(f"(CASE WHEN {vote} >= 0 THEN {weight} ELSE 0 END)")
+    total = " + ".join(bit_terms)
+    return f"SELECT doc_id, CAST({total} AS INTEGER) AS simhash FROM documents"
+
+
+def _dot_expr(a: str, b: str, dim: int) -> str:
+    """Decimal-exact dot product of two list columns (same rounding contract
+    as operators/similarity.dot_decimal: each double product rounds once to
+    14 dp, the sum is exact)."""
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(30,14))), 'sum')"
+    )
+
+
+def sql_ann_topk(n_queries: int = 5, k: int = 3, dim: int = 64) -> str:
+    dot = _dot_expr("e.embedding", "q.embedding", dim)
+    return f"""
+WITH s AS (
+  SELECT q.vec_id AS query_id, e.vec_id, {dot} AS dsum
+  FROM embeddings e JOIN embeddings q ON q.vec_id < {n_queries} AND e.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, CAST(dsum AS DOUBLE) AS dot, rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dsum DESC, vec_id) AS INTEGER) AS rank FROM s)
+WHERE rank <= {k}"""
+
+
+def sql_embedding_neardup(threshold: float = 0.6, dim: int = 64) -> str:
+    dot = _dot_expr("a.embedding", "b.embedding", dim)
+    nsq_a = _dot_expr("a.embedding", "a.embedding", dim)
+    nsq_b = _dot_expr("b.embedding", "b.embedding", dim)
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+         CAST({dot} AS DOUBLE) / sqrt(CAST({nsq_a} AS DOUBLE) * CAST({nsq_b} AS DOUBLE)) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT key_a, key_b, cosine FROM pairs WHERE cosine >= {threshold!r}"""
+
+
+def _stopword_hits_sql(lang_words: list[str]) -> str:
+    pattern = "\\b(" + "|".join(lang_words) + ")\\b"
+    return f"len(regexp_extract_all(lower(text), '{pattern}'))"
+
+
+def sql_langid() -> str:
+    from .operators.text import LANG_STOPWORDS
+
+    hits = {lang: _stopword_hits_sql(words) for lang, words in LANG_STOPWORDS.items()}
+    gmax = "GREATEST(" + ", ".join(f"h_{lang}" for lang in LANG_STOPWORDS) + ")"
+    # ties resolve to the lexicographically LARGEST language code, matching
+    # greatest(struct(hits, lang)) on the Spark side
+    case = " ".join(
+        f"WHEN h_{lang} = gmax THEN '{lang}'" for lang in sorted(LANG_STOPWORDS, reverse=True)
+    )
+    cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return f"""
+WITH h AS (SELECT doc_id, lang, {cols} FROM documents),
+g AS (SELECT *, {gmax} AS gmax FROM h)
+SELECT doc_id, lang, (CASE {case} END) AS lang_pred FROM g"""
+
+
+def sql_quality() -> str:
+    n_chars = "CAST(length(text) AS DOUBLE)"
+    n_words = f"CAST(len({_WORDS}) AS DOUBLE)"
+    mean_wl = f"(CASE WHEN {n_words} > 0 THEN ({n_chars} - ({n_words} - 1)) / {n_words} ELSE CAST(0 AS DOUBLE) END)"
+    n_punct = "CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE)"
+    n_digit = "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)"
+    punct_r = f"(CASE WHEN {n_chars} > 0 THEN {n_punct} / {n_chars} ELSE CAST(0 AS DOUBLE) END)"
+    digit_r = f"(CASE WHEN {n_chars} > 0 THEN {n_digit} / {n_chars} ELSE CAST(0 AS DOUBLE) END)"
+    score = (
+        f"(CASE WHEN {mean_wl} >= CAST(3 AS DOUBLE) AND {mean_wl} <= CAST(12 AS DOUBLE) THEN CAST(0.4 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+        f" + CASE WHEN {punct_r} <= CAST(0.1 AS DOUBLE) THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+        f" + CASE WHEN {digit_r} <= CAST(0.2 AS DOUBLE) THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+    )
+    return (
+        f"SELECT doc_id, CAST({n_chars} AS BIGINT) AS n_chars, CAST({n_words} AS BIGINT) AS n_words, "
+        f"{mean_wl} AS mean_word_len, {punct_r} AS punct_ratio, {digit_r} AS digit_ratio, "
+        f"{score} AS quality_score FROM documents"
+    )
+
+
+def sql_token_counts() -> str:
+    pieces = "len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]'))"
+    return (
+        f"SELECT doc_id, CAST(len({_WORDS}) AS INTEGER) AS n_tokens_ws, "
+        f"CAST({pieces} AS INTEGER) AS n_tokens_bpe FROM documents"
+    )
+
+
+def sql_fingerprint() -> str:
+    return (
+        "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint "
+        "FROM documents"
+    )
