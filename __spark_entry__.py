@@ -34,7 +34,6 @@ from openaip_yaixm_to_geojson_spark.operators.convert import convert_airspaces, 
 from openaip_yaixm_to_geojson_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
-    minhash_signature,
     simhash16,
 )
 from openaip_yaixm_to_geojson_spark.operators.knn import knn_ring_expansion
@@ -209,17 +208,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    from openaip_yaixm_to_geojson_spark.operators.dedup import word_shingles
+    from openaip_yaixm_to_geojson_spark.operators.dedup import (
+        minhash_from_shingles,
+        shingled_documents,
+    )
 
-    docs = _docs(spark, sf_dir)
-    return (
-        docs.select(
-            "doc_id",
-            word_shingles(F.col("text")).alias("sh"),
-            F.concat_ws("|", minhash_signature(F.col("text"))).alias("signature"),
-        )
-        .where(F.size("sh") > 0)
-        .select("doc_id", "signature")
+    shingled = shingled_documents(_docs(spark, sf_dir))
+    return shingled.select(
+        F.col("key").alias("doc_id"),
+        F.concat_ws("|", minhash_from_shingles(F.col("shingles"))).alias("signature"),
     )
 
 

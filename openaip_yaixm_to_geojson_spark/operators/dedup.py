@@ -22,17 +22,20 @@ from pyspark.sql import functions as F
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (shingles), all JVM-side: split on whitespace,
-    slide an n-window, join with single spaces, dedupe."""
+    """Distinct word n-grams (shingles), all JVM-side.
+
+    Built by zipping n shifted slices of the word array — O(words), and no
+    reference to the (expensive) split expression inside any lambda body:
+    higher-order-function lambdas re-evaluate captured expressions per
+    element, which turned the previous slice-in-lambda formulation into
+    O(words^2) split() calls per row."""
     words = F.split(F.trim(text), r"\s+")
     k = F.size(words) - F.lit(n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array())
+    shifted = [F.slice(words, i + 1, k) for i in range(n)]
+    zipped = shifted[0]
+    for arr in shifted[1:]:
+        zipped = F.zip_with(zipped, arr, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.when(k > 0, zipped).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -49,14 +52,19 @@ def exact_dedup(documents: DataFrame, text_col: str = "text", key_col: str = "do
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature as an array of `num_hashes` 16-hex-char minima.
+def minhash_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature (array of `num_hashes` 16-hex-char minima) from an
+    ALREADY-MATERIALIZED shingles column.
 
     Hash family h_j(s) = md5(s || '#j') prefix; the minimum over a
     document's shingle set is a classic MinHash (string order == unsigned
     order on same-length hex). Identical SQL runs on the DuckDB oracle.
+
+    IMPORTANT: pass a bound column (from a cached/checkpointed projection),
+    not the word_shingles(...) expression — each of the `num_hashes`
+    array_min terms re-evaluates its input expression per row, which turns
+    an inlined shingle build into a 16x blowup.
     """
-    shingles = word_shingles(text, shingle_n)
     return F.array(
         *[
             F.array_min(
@@ -68,6 +76,30 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) ->
             for j in range(num_hashes)
         ]
     )
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """Convenience wrapper: signature straight from text. Prefer the
+    shingled-table + minhash_from_shingles path in pipelines (see
+    minhash_lsh_pairs) — this inline form re-evaluates the shingle build
+    once per hash."""
+    return minhash_from_shingles(word_shingles(text, shingle_n), num_hashes)
+
+
+def shingled_documents(
+    documents: DataFrame, text_col: str = "text", key_col: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """(key, shingles) with the shingle arrays materialized (cached) so all
+    downstream MinHash/Jaccard consumers compute them exactly once. At
+    cluster scale MEMORY_AND_DISK spills; recomputing 16x is strictly
+    worse."""
+    from pyspark.storagelevel import StorageLevel
+
+    shingled = documents.select(
+        F.col(key_col).alias("key"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    return shingled.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -98,34 +130,34 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs via banded MinHash, verified with the
     true shingle Jaccard. Returns (key_a, key_b, jaccard), key_a < key_b."""
     rows_per_band = num_hashes // bands
-    sigs = documents.select(
-        F.col(key_col).alias("key"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-    ).where(F.size("shingles") > 0)
+    shingled = shingled_documents(documents, text_col, key_col, shingle_n)
+    sigs = shingled.select(
+        "key", minhash_from_shingles(F.col("shingles"), num_hashes).alias("sig")
+    )
+    # candidate generation joins on (band_idx, band_key) with KEYS ONLY —
+    # hot bands fan out, so the wide shingle arrays must not ride through
+    # this self-join; they are joined back after the pair dedupe.
     banded = sigs.select(
-        "key", "shingles", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("band")
-    ).select("key", "shingles", "band.band_idx", "band.band_key")
-    left = banded.alias("a")
-    right = banded.alias("b")
+        "key", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("band")
+    ).select("key", "band.band_idx", "band.band_key")
     cands = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.key") < F.col("b.key")),
         )
-        .select(
-            F.col("a.key").alias("key_a"),
-            F.col("b.key").alias("key_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
         .dropDuplicates(["key_a", "key_b"])
+    )
+    verified = (
+        cands.join(shingled.select(F.col("key").alias("key_a"), F.col("shingles").alias("sh_a")), "key_a")
+        .join(shingled.select(F.col("key").alias("key_b"), F.col("shingles").alias("sh_b")), "key_b")
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cands.withColumn("jaccard", jaccard.cast("double"))
+        verified.withColumn("jaccard", jaccard.cast("double"))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("key_a", "key_b", "jaccard")
     )

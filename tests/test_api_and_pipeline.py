@@ -1,0 +1,131 @@
+"""Public converter API, CLI, GeoJSON validation, resumable pipeline, and
+the full-UK-airspace smoke (the reference's own stress case,
+tests/convertAirspaces.test.ts:1917-1933)."""
+
+import json
+import os
+
+import pytest
+import yaml as pyyaml
+
+from fixtures_data import FIXTURES
+
+UK_AIRSPACE = "/root/reference/tests/fixtures/airspace.yaml"
+UK_SERVICE = "/root/reference/tests/fixtures/service.yaml"
+
+
+def _fixture_yaml_bytes(case):
+    return pyyaml.safe_dump(FIXTURES[case]).encode()
+
+
+def test_converter_api_roundtrip(spark, tmp_path):
+    from openaip_yaixm_to_geojson_spark import YaixmConverter
+
+    converter = YaixmConverter(spark=spark, fixGeometries=True, strictSchemaValidation=True)
+    converter.convert_from_buffer(
+        _fixture_yaml_bytes("with-service"),
+        service_file_buffer=pyyaml.safe_dump(FIXTURES["service"]).encode(),
+    )
+    geojson = converter.to_geojson()
+    assert len(geojson["features"]) == 9
+    assert geojson["features"][0]["properties"]["groundService"]["frequency"] == "133.440"
+    out = tmp_path / "out.geojson"
+    converter.to_geojson_file(str(out))
+    assert json.loads(out.read_text())["type"] == "FeatureCollection"
+
+
+def test_converter_api_rejects_unknown(spark):
+    from openaip_yaixm_to_geojson_spark import YaixmConverter
+
+    with pytest.raises(ValueError):
+        YaixmConverter(spark=spark, nope=1)
+    with pytest.raises(ValueError):
+        YaixmConverter(spark=spark).convert_from_buffer(b"airspace: []", type="navaid")
+
+
+def test_geojson_validator_flags_problems():
+    from openaip_yaixm_to_geojson_spark.functions.validate_geojson import (
+        validate_feature_collection,
+    )
+
+    good = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {
+                    "name": "X",
+                    "type": "CTA",
+                    "class": "D",
+                    "upperCeiling": {"value": 100, "unit": "FT", "referenceDatum": "MSL"},
+                    "lowerCeiling": {"value": 0, "unit": "FT", "referenceDatum": "GND"},
+                    "activatedByNotam": False,
+                    "activity": "NONE",
+                },
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 0]]],
+                },
+            }
+        ],
+    }
+    assert validate_feature_collection(good) == []
+    bad = json.loads(json.dumps(good))
+    bad["features"][0]["properties"]["type"] = "NOT_A_TYPE"
+    bad["features"][0]["geometry"]["coordinates"] = [[[0, 0], [1, 0], [0, 0]]]
+    problems = validate_feature_collection(bad)
+    assert any("NOT_A_TYPE" in p for p in problems)
+    assert any("< 4" in p for p in problems)
+
+
+def test_cli_smoke(spark, tmp_path):
+    from openaip_yaixm_to_geojson_spark import cli
+
+    src = tmp_path / "in.yaml"
+    src.write_bytes(_fixture_yaml_bytes("circle"))
+    out = tmp_path / "out.geojson"
+    cli.main(["-f", str(src), "-o", str(out), "-F", "-S"])
+    geojson = json.loads(out.read_text())
+    assert len(geojson["features"]) == 1
+    assert len(geojson["features"][0]["geometry"]["coordinates"][0]) == 101
+
+
+def test_pipeline_resume_stable_hashes(spark, tmp_path):
+    from openaip_yaixm_to_geojson_spark.plans.checkpoint import StageRunner
+    from openaip_yaixm_to_geojson_spark.plans.pipeline import run_pipeline
+
+    ckpt = str(tmp_path / "pipe")
+    # simulate a kill after the join stage
+    partial = run_pipeline(spark, "/root/testdata/sf0.001", ckpt, stop_after="join_out")
+    assert set(partial) == {"pages", "join_out"}
+    runner = StageRunner(spark, ckpt)
+    hashes_before = {s: runner.content_hash(s) for s in ["pages", "join_out"]}
+
+    # resume to completion: upstream manifests untouched, all stages complete
+    full = run_pipeline(spark, "/root/testdata/sf0.001", ckpt)
+    assert set(full) == {"pages", "join_out", "knn_out", "tiles", "tile_counts"}
+    for stage, h in hashes_before.items():
+        assert runner.content_hash(stage) == h
+    manifest = runner.manifest("tiles")
+    assert manifest["status"] == "complete" and manifest["rows"] == full["tiles"].count()
+
+    # byte-identical text per url through the checkpointed join stage
+    pages = {r["url"]: r["text"] for r in full["pages"].select("url", "text").collect()}
+    for row in full["join_out"].select("url", "text").collect():
+        assert row["text"] == pages[row["url"]]
+
+
+@pytest.mark.skipif(not os.path.exists(UK_AIRSPACE), reason="reference fixture not present")
+def test_full_uk_airspace_smoke(spark, tmp_path):
+    """Reference smoke: the full UK airspace file (13,718-line YAML +
+    services) converts without error (tests/convertAirspaces.test.ts:1917-1933,
+    config fixGeometries+strict)."""
+    from openaip_yaixm_to_geojson_spark import YaixmConverter
+
+    converter = YaixmConverter(spark=spark, fixGeometries=True, strictSchemaValidation=True)
+    converter.convert_from_file(UK_AIRSPACE, service_file_path=UK_SERVICE)
+    geojson = converter.to_geojson()
+    assert len(geojson["features"]) > 500
+    out = tmp_path / "airspace.geojson"
+    converter.to_geojson_file(str(out))
+    assert out.stat().st_size > 1_000_000
