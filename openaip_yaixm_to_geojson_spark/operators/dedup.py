@@ -163,6 +163,53 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_signatures_pandas(
+    documents: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Arrow-batched Python MinHash (hashlib.md5) — identical signatures to
+    the expression-based path (same hash family md5(shingle + '#j')), kept
+    as the throughput comparison point for bench: JVM expressions vs
+    vectorized Python."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("signature", T.StringType()),
+        ]
+    )
+    salts = [f"#{j}".encode() for j in range(num_hashes)]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keys, sigs = [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                words = text.strip().split()
+                if len(words) < shingle_n:
+                    continue
+                shingles = {
+                    " ".join(words[i : i + shingle_n]).encode()
+                    for i in range(len(words) - shingle_n + 1)
+                }
+                sig = [
+                    min(hashlib.md5(s + salt).hexdigest()[:16] for s in shingles)
+                    for salt in salts
+                ]
+                keys.append(key)
+                sigs.append("|".join(sig))
+            yield pd.DataFrame({"key": keys, "signature": sigs})
+
+    return documents.select(key_col, text_col).mapInPandas(run, schema=schema)
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     text_col: str = "text",

@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 from ..functions import cellgrid
 from ..functions.geodesy import points_in_ring_winding
 
-DEFAULT_JOIN_RES = 11  # ~0.176 deg cells: a few cells per fixture polygon
+DEFAULT_JOIN_RES = 13  # ~0.044 deg cells: tight polygon covers, ~2x fewer false candidates than res 11 (bench-chosen)
 
 
 def polygon_cover_df(

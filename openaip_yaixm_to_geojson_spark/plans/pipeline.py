@@ -39,7 +39,17 @@ def run_pipeline(
     runner = StageRunner(spark, checkpoint_dir)
     out: dict[str, DataFrame] = {}
 
-    out["pages"] = runner.run("pages", lambda: pages_from_documents(spark, sf_dir))
+    def build_pages() -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ..functions.cellgrid import cell_id_col
+
+        # partition the stored pages by a coarse cell prefix so regional
+        # queries get partition pruning from the parquet layout for free
+        pages = pages_from_documents(spark, sf_dir)
+        return pages.withColumn("cell_r5", cell_id_col(F.col("lon"), F.col("lat"), 5))
+
+    out["pages"] = runner.run("pages", build_pages, partition_by=("cell_r5",))
     if stop_after == "pages":
         return out
 

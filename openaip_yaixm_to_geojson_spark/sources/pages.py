@@ -20,13 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-def _digit(url_expr: str, i: int, weight: int) -> str:
-    return f"CAST(ascii(substring(md5({url_expr}), {i}, 1)) AS BIGINT) * {weight}"
+def _digit(hash_col: str, i: int, weight: int) -> str:
+    return f"CAST(ascii(substring({hash_col}, {i}, 1)) AS BIGINT) * {weight}"
 
 
-def _hash_expr(url_expr: str, first_char: int) -> str:
+def _hash_expr(hash_col: str, first_char: int) -> str:
     parts = [
-        _digit(url_expr, first_char + k, 10 ** (2 * (4 - k)))
+        _digit(hash_col, first_char + k, 10 ** (2 * (4 - k)))
         for k in range(5)
     ]
     return "(" + " + ".join(parts) + ")"
@@ -44,20 +44,25 @@ _CLUSTERS = [
 ]
 
 
-def _cluster_expr(url_expr: str) -> str:
+def _cluster_expr(hash_col: str) -> str:
     """Cluster selector 0..9 from md5 chars 11-12."""
     return (
-        f"((CAST(ascii(substring(md5({url_expr}), 11, 1)) AS BIGINT) * 100 + "
-        f"CAST(ascii(substring(md5({url_expr}), 12, 1)) AS BIGINT)) % 10)"
+        f"((CAST(ascii(substring({hash_col}, 11, 1)) AS BIGINT) * 100 + "
+        f"CAST(ascii(substring({hash_col}, 12, 1)) AS BIGINT)) % 10)"
     )
 
 
-def _coord_sql(url_expr: str, which: str) -> str:
-    """lat/lon as dialect-shared SQL. Every term is explicitly DOUBLE —
-    bare decimal literals parse as DECIMAL in both Spark and DuckDB, whose
-    decimal arithmetic is not bit-compatible; IEEE doubles are."""
-    hash_expr = _hash_expr(url_expr, 1 if which == "lat" else 6)
-    cluster = _cluster_expr(url_expr)
+def _coord_sql(hash_col: str, which: str) -> str:
+    """lat/lon from a pre-computed md5-hex column, as dialect-shared SQL.
+
+    Every term is explicitly DOUBLE — bare decimal literals parse as
+    DECIMAL in both Spark and DuckDB, whose decimal arithmetic is not
+    bit-compatible; IEEE doubles are. Taking the hash COLUMN (not an
+    inlined md5(url)) keeps the expression tree small: interpreted eval
+    and codegen both re-evaluate duplicated subtrees, so inlining md5 here
+    used to cost 12 digest computations per row."""
+    hash_expr = _hash_expr(hash_col, 1 if which == "lat" else 6)
+    cluster = _cluster_expr(hash_col)
     branches = []
     lo = 0
     for base_lat, lat_span, base_lon, lon_span, weight in _CLUSTERS:
@@ -73,11 +78,13 @@ def _coord_sql(url_expr: str, which: str) -> str:
 
 
 def lat_sql(url_expr: str = "url") -> str:
-    return _coord_sql(url_expr, "lat")
+    """Latitude from a url expression (md5 inlined — prefer pages_cte /
+    synth_pages, which hash once per row)."""
+    return _coord_sql(f"md5({url_expr})", "lat")
 
 
 def lon_sql(url_expr: str = "url") -> str:
-    return _coord_sql(url_expr, "lon")
+    return _coord_sql(f"md5({url_expr})", "lon")
 
 
 def url_sql(dialect: str) -> str:
@@ -88,13 +95,17 @@ def url_sql(dialect: str) -> str:
 
 def pages_cte(dialect: str) -> str:
     """SQL deriving the `pages` view from the `documents` table — identical
-    logic in Spark and DuckDB (only the string cast differs)."""
+    logic in Spark and DuckDB (only the string cast differs). The md5 is
+    computed once per row in an inner projection."""
     u = url_sql(dialect)
+    inner = (
+        f"SELECT {u} AS url, md5({u}) AS uh, text, lang, "
+        f"CAST(n_chars AS BIGINT) AS n_bytes FROM documents"
+    )
     return (
-        f"SELECT {u} AS url, text, lang, "
-        f"CAST(n_chars AS BIGINT) AS n_bytes, "
-        f"{lat_sql(u)} AS lat, {lon_sql(u)} AS lon "
-        f"FROM documents"
+        f"SELECT url, text, lang, n_bytes, "
+        f"{_coord_sql('uh', 'lat')} AS lat, {_coord_sql('uh', 'lon')} AS lon "
+        f"FROM ({inner})"
     )
 
 
@@ -120,7 +131,12 @@ def synth_pages(spark: SparkSession, n: int, with_payload: bool = True) -> DataF
     df = spark.range(n).select(
         F.concat(F.lit("https://bench.example/"), F.col("id").cast("string")).alias("url")
     )
-    df = df.withColumn("lat", F.expr(lat_sql("url"))).withColumn("lon", F.expr(lon_sql("url")))
+    df = (
+        df.withColumn("uh", F.md5("url"))
+        .withColumn("lat", F.expr(_coord_sql("uh", "lat")))
+        .withColumn("lon", F.expr(_coord_sql("uh", "lon")))
+        .drop("uh")
+    )
     if with_payload:
         df = (
             df.withColumn("text", F.concat(F.lit("synthetic page body for "), F.col("url")))

@@ -6,6 +6,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 import yaml as pyyaml
 
 from fixtures_data import FIXTURES
@@ -113,6 +114,19 @@ def test_pipeline_resume_stable_hashes(spark, tmp_path):
     pages = {r["url"]: r["text"] for r in full["pages"].select("url", "text").collect()}
     for row in full["join_out"].select("url", "text").collect():
         assert row["text"] == pages[row["url"]]
+
+    # partition pruning: a region filter on the stored layout reads fewer
+    # files than the full scan (cell_r5 is a physical partition column)
+    stored = spark.read.parquet(f"{ckpt}/pages")
+    one_cell = stored.select("cell_r5").first()[0]
+    all_files = stored.select(F.input_file_name()).distinct().count()
+    pruned_files = (
+        stored.where(F.col("cell_r5") == one_cell)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert pruned_files < all_files
 
 
 @pytest.mark.skipif(not os.path.exists(UK_AIRSPACE), reason="reference fixture not present")
