@@ -19,6 +19,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -198,6 +200,45 @@ def q_airspace_features(spark, sf_dir):
     )
 
 
+def q_airspace_rings(spark, sf_dir):
+    """Full geometry pipeline pinned by ring digests: the rings produced by
+    the Spark conversion (Arrow geometry UDF) are canonicalized with the
+    same repr-based scheme as the oracle twin and digested; poly_id
+    numbering follows fixture order like functions.convert_local."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    blocks = []
+    for case in [
+        "with-service",
+        "single-arc-clockwise",
+        "single-arc-counterclockwise",
+        "circle",
+        "single-line",
+        "pill-shaped",
+    ]:
+        blocks.extend(FIXTURES[case]["airspace"])
+    feats = convert_airspaces(
+        airspaces_from_records(spark, blocks), fix_geometries=True
+    )
+
+    @F.pandas_udf("string")
+    def ring_digest(rings: pd.Series) -> pd.Series:
+        out = []
+        for ring in rings:
+            canon = ";".join(f"{float(x)!r},{float(y)!r}" for x, y in ring)
+            out.append(hashlib.md5(canon.encode()).hexdigest())
+        return pd.Series(out)
+
+    w = Window.orderBy("block_idx", "seq_idx")
+    return feats.select(
+        (F.row_number().over(w) - 1).cast("int").alias("poly_id"),
+        ring_digest(F.col("ring")).alias("ring_digest"),
+        F.size("ring").alias("n_ring_pts"),
+    )
+
+
 def q_service_join(spark, sf_dir):
     services = services_from_records(spark, FIXTURES["service"]["service"])
     return prepare_services(services)
@@ -285,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ceiling_parse": q_ceiling_parse,
         "class_type_mapping": q_class_type_mapping,
         "airspace_features": q_airspace_features,
+        "airspace_rings": q_airspace_rings,
         "service_join": q_service_join,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -313,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "ceiling_parse": oracle.sql_ceiling_parse(),
         "class_type_mapping": oracle.sql_class_type_mapping(),
         "airspace_features": oracle.sql_airspace_features(),
+        "airspace_rings": oracle.sql_airspace_rings(),
         "service_join": oracle.sql_service_join(),
         "dedup_exact": oracle.sql_dedup_exact(),
         "minhash_signatures": oracle.sql_minhash_signatures(),

@@ -96,14 +96,18 @@ def knn_ring_expansion(
     pages: DataFrame,
     polygons: list[dict[str, Any]],
     res: int = KNN_RES,
-    max_rounds: int = 16,
+    windows: tuple[tuple[int, int], ...] = ((0, 1), (2, 3), (4, 7), (8, 15)),
 ) -> DataFrame:
     """(url, poly_id, dist_sq) via iterative cell-ring expansion.
 
-    Round k: unmatched pages join the vertex index on `disk k` candidate
-    cells (page side explodes its cell neighborhood — the index side stays
-    a clean equi-join key). Matched pages finalize once the ring guarantee
-    (k-1)*size > sqrt(best d2) holds; the rest carry to round k+1.
+    Round r joins still-unfinalized pages against the vertex index over the
+    Chebyshev ring WINDOW [lo_r, hi_r] (the page side explodes its cell
+    neighborhood — the index side stays a clean equi-join key). Geometric
+    windows keep the number of driver-coordinated rounds at 4 instead of
+    one per ring; pages finalize once the guarantee (hi_r * size)^2 >=
+    best dist_sq holds (an unseen vertex in ring > hi_r is at least
+    hi_r * size away). Pages with nothing inside the last window fall back
+    to the exact vectorized scan.
     """
     spark = pages.sparkSession
     vindex = vertex_index_df(spark, polygons, res)
@@ -117,20 +121,27 @@ def knn_ring_expansion(
     )
     finalized: list[DataFrame] = []
 
-    for k in range(max_rounds):
+    for lo, hi in windows:
+        # Expand the SMALL side: every vertex is registered under each cell
+        # in the window's Chebyshev annulus, so the page side stays one row
+        # per page with a plain equi-join (no fact-side explode). Window
+        # (8,15) x ~1k vertices is still well under broadcast thresholds;
+        # beyond broadcast scale this becomes a shuffle join on cell.
         offsets = [
             (dx, dy)
-            for dx in range(-k, k + 1)
-            for dy in range(-k, k + 1)
-            if max(abs(dx), abs(dy)) == k
+            for dx in range(-hi, hi + 1)
+            for dy in range(-hi, hi + 1)
+            if lo <= max(abs(dx), abs(dy)) <= hi
         ]
-        neighbor_cells = F.array(
-            *[F.col("cell") + F.lit(dy * cellgrid._SHIFT + dx) for dx, dy in offsets]
+        off_df = spark.createDataFrame(
+            [(dy * cellgrid._SHIFT + dx,) for dx, dy in offsets], "off bigint"
+        )
+        vwin = vindex.crossJoin(off_df).select(
+            (F.col("vcell") + F.col("off")).alias("cell"), "poly_id", "vlon", "vlat"
         )
         cand = (
             pending.select("url", "lat", "lon", "cell")
-            .withColumn("vcell", F.explode(neighbor_cells))
-            .join(F.broadcast(vindex), "vcell")
+            .join(F.broadcast(vwin), "cell")
             .withColumn(
                 "d2",
                 (F.col("lon") - F.col("vlon")) * (F.col("lon") - F.col("vlon"))
@@ -153,9 +164,9 @@ def knn_ring_expansion(
             F.when(cand_better, F.col("c_pid")).otherwise(F.col("poly_id")).alias("poly_id"),
             F.when(cand_better, F.col("c_d2")).otherwise(F.col("dist_sq")).alias("dist_sq"),
         )
-        # finalize once nothing in an unseen ring (>= k+1) can be closer:
-        # any point there is at least k*size away in Chebyshev terms.
-        bound = float((k * size) * (k * size))
+        # finalize once nothing in an unseen ring (>= hi+1) can be closer:
+        # any point there is at least hi*size away in Chebyshev terms.
+        bound = float((hi * size) * (hi * size))
         guarantee = F.col("dist_sq").isNotNull() & (F.col("dist_sq") <= F.lit(bound))
         finalized.append(merged.where(guarantee))
         pending = merged.where(~guarantee | F.col("dist_sq").isNull()).localCheckpoint()

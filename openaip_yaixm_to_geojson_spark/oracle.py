@@ -324,6 +324,26 @@ def sql_airspace_features() -> str:
     )
 
 
+def sql_airspace_rings() -> str:
+    """Golden-twin VALUES: md5 digest of each feature's densified ring
+    (canonical 'lon,lat;...' string with repr floats). Pins the full
+    geometry pipeline — not just vertex counts — into the driver's
+    correctness gate; the twin itself is pytest-pinned to the reference
+    goldens."""
+    rows = []
+    for f in _polys():
+        canon = ";".join(f"{float(x)!r},{float(y)!r}" for x, y in np.asarray(f["ring"]))
+        import hashlib
+
+        digest = hashlib.md5(canon.encode()).hexdigest()
+        rows.append(f"({f['poly_id']},'{digest}',{len(f['ring'])})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(poly_id, ring_digest, n_ring_pts)"
+    )
+
+
 def _services_values() -> str:
     from .data.fixtures_data import FIXTURES
 
