@@ -83,6 +83,14 @@ def remarks_text(rules: Column) -> Column:
 
 
 def frequency_formatted(frequency: Column) -> Column:
-    """Zero-padded 3-decimal string: 120.38 -> '120.380'
-    (reference :193-202)."""
-    return F.format_number(frequency.cast("double"), 3)
+    """Zero-padded 3-decimal string: 120.38 -> '120.380', 119.0 -> '119.000'
+    (reference :193-202: toString, split on '.', padEnd(3, '0')).
+
+    Faithful to JS padEnd: decimals are padded but never truncated or
+    rounded (a 4-decimal frequency keeps all 4 digits), which is why this
+    is NOT format_number(freq, 3)."""
+    as_str = frequency.cast("double").cast("string")
+    whole = F.split(as_str, r"\.")[0]
+    dec = F.coalesce(F.split(as_str, r"\.")[1], F.lit("000"))
+    dec_padded = F.when(F.length(dec) >= 3, dec).otherwise(F.rpad(dec, 3, "0"))
+    return F.concat(whole, F.lit("."), dec_padded)

@@ -191,25 +191,41 @@ def fix_ring(ring: np.ndarray) -> np.ndarray:
     return create_fixed_ring(ring)
 
 
+def _largest(parts: list[np.ndarray]) -> np.ndarray:
+    # keep the largest polygon; ties keep the later one (reference
+    # getLargestPolygon uses >=, src/geojson-polygon.ts:125)
+    best = parts[0]
+    best_area = ring_area_m2(parts[0])
+    for part in parts[1:]:
+        area = ring_area_m2(part)
+        if area >= best_area:
+            best_area = area
+            best = part
+    return best
+
+
 def create_fixed_ring(ring: np.ndarray) -> np.ndarray:
     try:
         cleaned = remove_exact_duplicates(ring)
         if len(cleaned) < 4:
             raise ValueError("too few distinct coordinates")
         cleaned = remove_intermediate_points(cleaned)
-        parts = unkink_ring(cleaned)
-        parts = [rewind_ccw(p) for p in parts]
-        if not parts:
-            raise ValueError("unkink produced no rings")
-        # keep the largest polygon; ties keep the later one (reference
-        # getLargestPolygon uses >=, src/geojson-polygon.ts:125)
-        best = parts[0]
-        best_area = ring_area_m2(parts[0])
-        for part in parts[1:]:
-            area = ring_area_m2(part)
-            if area >= best_area:
-                best_area = area
-                best = part
-        return best
+        # A single unkink pass can leave residual crossings on adversarial
+        # inputs (float-perturbed intersection insertion); iterate the
+        # split+largest selection until the survivor is simple, falling back
+        # to the envelope like the reference's catch-all path.
+        for _ in range(4):
+            parts = [rewind_ccw(p) for p in unkink_ring(cleaned)]
+            if not parts:
+                raise ValueError("unkink produced no rings")
+            best = _largest(parts)
+            if ring_is_valid(best):
+                return best
+            if len(best) == len(cleaned) and (best == cleaned).all():
+                break  # no progress
+            cleaned = remove_exact_duplicates(best)
+            if len(cleaned) < 4:
+                break
+        raise ValueError("could not produce a simple ring")
     except Exception:
         return envelope_ring(ring)

@@ -357,9 +357,16 @@ def _services_values() -> str:
 def sql_service_join() -> str:
     """Unnest controls -> first-match service per airspace id, frequency
     zero-padded to 3 decimals."""
+    # JS-padEnd semantics: pad the decimal part to 3 digits, never truncate
+    freq = (
+        "concat(string_split(CAST(s.frequency AS VARCHAR), '.')[1], '.', "
+        "(CASE WHEN length(COALESCE(string_split(CAST(s.frequency AS VARCHAR), '.')[2], '000')) >= 3 "
+        "THEN COALESCE(string_split(CAST(s.frequency AS VARCHAR), '.')[2], '000') "
+        "ELSE rpad(COALESCE(string_split(CAST(s.frequency AS VARCHAR), '.')[2], '000'), 3, '0') END))"
+    )
     return f"""
 WITH exploded AS (
-  SELECT s.service_idx, s.callsign, printf('%.3f', s.frequency) AS frequency,
+  SELECT s.service_idx, s.callsign, {freq} AS frequency,
          UNNEST(s.controls) AS airspace_id
   FROM {_services_values()}
 )
