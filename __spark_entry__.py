@@ -147,7 +147,7 @@ def q_ceiling_parse(spark, sf_dir):
         "ceiling",
         c["value"].alias("value"),
         c["unit"].alias("unit"),
-        c["referenceDatum"].alias("referenceDatum"),
+        c["referenceDatum"].alias("reference_datum"),
     )
 
 
@@ -191,7 +191,7 @@ def q_airspace_features(spark, sf_dir):
         F.col("lowerCeiling.value").alias("lower_value"),
         F.col("lowerCeiling.unit").alias("lower_unit"),
         F.col("lowerCeiling.referenceDatum").alias("lower_datum"),
-        "activatedByNotam",
+        F.col("activatedByNotam").alias("activated_by_notam"),
         "activity",
         "remarks",
         F.col("groundService.callsign").alias("gs_callsign"),

@@ -202,7 +202,7 @@ SELECT ceiling,
        WHEN regexp_matches(ceiling, '{feet}') THEN
             (CASE WHEN regexp_extract(ceiling, '{feet}', 4) = 'SFC' THEN 'GND' ELSE 'MSL' END)
        WHEN regexp_matches(ceiling, '{fl}') THEN 'STD'
-  END AS referenceDatum
+  END AS reference_datum
 FROM (VALUES {values}) AS t(ceiling)"""
 
 
@@ -319,7 +319,7 @@ def sql_airspace_features() -> str:
         "SELECT * FROM (VALUES "
         + ",".join(rows)
         + ") AS t(name, type, class, upper_value, upper_unit, upper_datum, "
-        "lower_value, lower_unit, lower_datum, activatedByNotam, activity, "
+        "lower_value, lower_unit, lower_datum, activated_by_notam, activity, "
         "remarks, gs_callsign, gs_frequency, n_ring_pts)"
     )
 
