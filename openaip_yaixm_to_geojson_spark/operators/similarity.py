@@ -1,10 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
 * `cosine_topk` — exact brute-force top-k per query vector. Dot products
-  are computed JVM-side with zip_with/aggregate; the accumulation is an
-  exact DECIMAL sum so the result is order-independent and reproducible
-  bit-for-bit on the DuckDB oracle (float += is not associative; decimal
-  is).
+  are computed JVM-side with zip_with/aggregate as strict left-fold double
+  sums — bit-identical to the DuckDB oracle's list_reduce fold (see
+  dot_double).
 * `lsh_ann_topk` — the scale path: random-hyperplane LSH buckets
   (hyperplanes derived deterministically from md5, no RNG state), probe
   only the query's bucket (+ optional multi-probe), exact re-rank inside
@@ -21,20 +20,18 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# scale 14 so decimal ADDITION keeps the scale intact (Spark's decimal add
-# grows precision; at scale 15 it would clamp to (38,14) and silently round)
-DOT_DECIMAL = "decimal(30,14)"
+def dot_double(a: Column, b: Column) -> Column:
+    """Dot product as a strict LEFT-FOLD double sum.
 
-
-def dot_decimal(a: Column, b: Column) -> Column:
-    """Exact decimal dot product of two float arrays (order-independent;
-    each double product rounds once to 14 dp, the sum is exact)."""
-    products = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DOT_DECIMAL))
-    return F.aggregate(
-        products,
-        F.lit(0).cast(DOT_DECIMAL),
-        lambda acc, p: (acc + p).cast(DOT_DECIMAL),
-    )
+    Spark's `aggregate` folds left over array order; DuckDB's `list_reduce`
+    does the same, and `0.0 + p1 == p1` exactly in IEEE — so both engines
+    produce bit-identical dots with plain doubles. (An earlier decimal-sum
+    variant was order-independent but the per-product decimal ROUNDING
+    boundary differs between engines: float32 products frequently terminate
+    exactly on half-ULP decimal boundaries, which diverged at sf0.1.)
+    """
+    products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(products, F.lit(0.0), lambda acc, p: acc + p)
 
 
 def norm_double(a: Column) -> Column:
@@ -70,7 +67,7 @@ def cosine_topk(
         .select(
             F.col(f"q.{query_id_col}").alias("query_id"),
             F.col(f"e.{id_col}").alias("vec_id"),
-            dot_decimal(F.col(f"e.{vec_col}"), F.col("q.qvec")).alias("dot"),
+            dot_double(F.col(f"e.{vec_col}"), F.col("q.qvec")).alias("dot"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
@@ -149,7 +146,7 @@ def lsh_ann_topk(
         .select(
             F.col(f"q.{query_id_col}").alias("query_id"),
             F.col(f"e.{id_col}").alias("vec_id"),
-            dot_decimal(F.col(f"e.{vec_col}"), F.col("q.qvec")).alias("dot"),
+            dot_double(F.col(f"e.{vec_col}"), F.col("q.qvec")).alias("dot"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
@@ -176,8 +173,8 @@ def embedding_neardup_pairs(
     cols = [
         F.col(id_col).alias("key"),
         F.col(vec_col).alias("vec"),
-        # decimal-exact squared norm: order-independent, oracle-reproducible
-        dot_decimal(F.col(vec_col), F.col(vec_col)).cast("double").alias("norm_sq"),
+        # left-fold squared norm: oracle-reproducible bit-for-bit
+        dot_double(F.col(vec_col), F.col(vec_col)).alias("norm_sq"),
     ]
     if not exact_all_pairs:
         dim = len(embeddings.select(vec_col).first()[0])
@@ -190,7 +187,7 @@ def embedding_neardup_pairs(
     if not exact_all_pairs:
         cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
     cosine = (
-        dot_decimal(F.col("a.vec"), F.col("b.vec")).cast("double")
+        dot_double(F.col("a.vec"), F.col("b.vec"))
         / F.sqrt(F.col("a.norm_sq") * F.col("b.norm_sq"))
     )
     return (

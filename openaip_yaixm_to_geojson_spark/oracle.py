@@ -468,12 +468,11 @@ def sql_simhash() -> str:
 
 
 def _dot_expr(a: str, b: str, dim: int) -> str:
-    """Decimal-exact dot product of two list columns (same rounding contract
-    as operators/similarity.dot_decimal: each double product rounds once to
-    14 dp, the sum is exact)."""
+    """Dot product as a strict left-fold double sum — bit-identical to
+    Spark's aggregate fold (operators/similarity.dot_double)."""
     return (
-        f"list_aggregate(list_transform(generate_series(1, {dim}), "
-        f"i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(30,14))), 'sum')"
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
     )
 
 

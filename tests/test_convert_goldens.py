@@ -52,6 +52,29 @@ def test_golden_parity(spark, case):
     assert not mismatches, f"{case}: {mismatches[:10]}"
 
 
+def test_many_documents_distributed_parse(spark):
+    """The conversion scales out over a TABLE of YAIXM documents: 60
+    distinct docs parse/convert in one distributed job with per-doc
+    lineage intact."""
+    import yaml as pyyaml
+    from pyspark.sql import functions as F
+
+    from openaip_yaixm_to_geojson_spark.operators.convert import convert_airspaces
+    from openaip_yaixm_to_geojson_spark.sources.yaixm import airspaces_from_yaml_docs
+
+    text = pyyaml.safe_dump({"airspace": FIXTURES["circle"]["airspace"]})
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", text) for i in range(60)], "doc_id string, yaml string"
+    ).repartition(6)
+    feats = convert_airspaces(airspaces_from_yaml_docs(docs), fix_geometries=True)
+    assert feats.count() == 60
+    assert feats.where(F.col("error").isNotNull()).count() == 0
+    per_doc = feats.groupBy("doc_id").count().collect()
+    assert len(per_doc) == 60 and all(r["count"] == 1 for r in per_doc)
+    # all docs produce the identical 101-point ring
+    assert feats.select(F.size("ring")).distinct().collect()[0][0] == 101
+
+
 def test_yaml_doc_source_roundtrip(spark):
     """The distributed YAML source parses documents identically to the
     pre-parsed record path."""
