@@ -116,21 +116,27 @@ def main() -> None:
         lambda: cosine_topk(emb, queries_from_embeddings(emb, n=5), k=3).count(),
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "spatial_join_tile_rollup_wall",
-                "value": round(headline_sec, 3),
-                "unit": "sec",
-                "docs_per_sec": round(docs_per_sec),
-                "bench_docs": BENCH_DOCS,
-                "rollup_rows": n_rollup,
-                "cpus": CPUS,
-                "queries": timings,
-                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-            }
-        )
-    )
+    result = {
+        "metric": "spatial_join_tile_rollup_wall",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "docs_per_sec": round(docs_per_sec),
+        "bench_docs": BENCH_DOCS,
+        "rollup_rows": n_rollup,
+        "cpus": CPUS,
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+    }
+    # surface the last recorded N->4N scaling run (tools/scaling_bench.py)
+    bench_md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    if os.path.exists(bench_md):
+        import re
+
+        text = open(bench_md).read()
+        m = re.search(r"scaling efficiency (\d+\.\d+)", text)
+        if m:
+            result["scaling_efficiency_n_to_4n"] = float(m.group(1))
+    print(json.dumps(result))
     spark.stop()
 
 
