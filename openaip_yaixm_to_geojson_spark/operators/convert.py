@@ -216,6 +216,21 @@ def convert_airspaces(
     return feats
 
 
+def split_quarantine(features: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Error channel as first-class tables: (clean, quarantine).
+
+    The reference throws on any invalid row (enum guards, bad ceilings,
+    broken boundaries — src/airspace-converter.ts:352-362,507-549); a
+    distributed engine must not kill a 10^12-row job for one bad record,
+    so rows the reference would throw on land in a quarantine table
+    carrying the error message, and the clean side is guaranteed
+    error-free. `features_to_geojson(strict=True)` keeps the reference's
+    throw semantics for converter-API users."""
+    clean = features.where(F.col("error").isNull()).drop("error")
+    quarantine = features.where(F.col("error").isNotNull())
+    return clean, quarantine
+
+
 def _clean_number(x: float):
     """JSON-friendly numbers: integral floats render as ints (the golden
     fixtures carry `2500`, not `2500.0`)."""
