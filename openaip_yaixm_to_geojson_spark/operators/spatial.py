@@ -98,7 +98,7 @@ def spatial_join(
     polygons: list[dict[str, Any]],
     res: int = DEFAULT_JOIN_RES,
     broadcast: bool = True,
-    salt: int | None = None,
+    salt: int | str | None = None,
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Pages inside polygons. Returns (url, lat, lon, poly_id,
@@ -109,10 +109,15 @@ def spatial_join(
     splinters hot cells — the page side gets a deterministic salt from
     xxhash64(url) and the cover side is exploded x salt, so skewed cells
     spread over `salt` reducers (AQE skew-join stays on as backstop).
+    salt="auto" derives the factor from the cell histogram (choose_salt) —
+    deterministic for a given input at any parallelism.
     """
     spark = pages.sparkSession
     cover = polygon_cover_df(spark, polygons, res)
     cells = pages.withColumn("cell", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), res))
+
+    if salt == "auto":
+        salt = choose_salt(pages, res)
 
     if broadcast:
         candidates = cells.join(F.broadcast(cover), "cell")
