@@ -137,8 +137,15 @@ def convert_airspaces(
     """
     rows = explode_sequences(airspaces)
 
-    seq_class = F.coalesce(F.col("sequence.class"), F.col("base_class"))
-    seq_rules = F.coalesce(F.col("sequence.rules"), F.col("base_rules"))
+    # JS `seq.class || base.class` semantics (reference :249-258): empty
+    # string / empty array are falsy and fall back — plain coalesce would
+    # keep them and diverge from the reference and the convert_local twin.
+    seq_class = F.when(
+        F.length(F.col("sequence.class")) > 0, F.col("sequence.class")
+    ).otherwise(F.col("base_class"))
+    seq_rules = F.when(
+        F.size(F.col("sequence.rules")) > 0, F.col("sequence.rules")
+    ).otherwise(F.col("base_rules"))
     mapped = map_class_and_type(F.col("base_type"), F.col("localtype"), seq_class, seq_rules)
 
     geometry_udf = make_geometry_udf(geometry_detail, fix_geometries, validate_geometries)

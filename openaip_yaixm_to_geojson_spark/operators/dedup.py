@@ -277,25 +277,54 @@ def simhash16(text: Column, token_pattern: str = r"\s+") -> Column:
     return out.cast("int")
 
 
+def simhash_bands(sim: Column, n_bands: int, n_bits: int = 16) -> list[tuple[int, Column]]:
+    """Split an n_bits SimHash into n_bands contiguous bit segments (as even
+    as possible): [(band_idx, band_key_column), ...]."""
+    widths = [n_bits // n_bands + (1 if i < n_bits % n_bands else 0) for i in range(n_bands)]
+    out, lo = [], 0
+    for i, w in enumerate(widths):
+        out.append((i, F.shiftright(sim, lo).bitwiseAND(F.lit((1 << w) - 1))))
+        lo += w
+    return out
+
+
 def simhash_neardup_pairs(
     documents: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
     max_hamming: int = 2,
 ) -> DataFrame:
-    """Pairs whose 16-bit SimHash differs in <= max_hamming bits. Banded on
-    the two 8-bit halves (a pair within Hamming distance 1 shares at least
-    one half; for larger budgets both halves are compared)."""
+    """Pairs whose 16-bit SimHash differs in <= max_hamming bits.
+
+    Banded into `max_hamming + 1` contiguous bit segments: by pigeonhole a
+    pair with <= max_hamming differing bits matches on at least one band,
+    so recall is exact for the full budget (the earlier two-half scheme only
+    guaranteed Hamming <= 1). Candidates come from a per-band equi-join —
+    the same explode + (band_idx, band_key) shuffle shape as MinHash LSH,
+    so hot bands spread across reducers instead of an OR-condition
+    nested-loop join."""
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(f"max_hamming must be in [0, 15] for a 16-bit SimHash; got {max_hamming}")
+    n_bands = max_hamming + 1
     docs = documents.select(F.col(key_col).alias("key"), simhash16(F.col(text_col)).alias("sim"))
-    lo = (F.col("sim") % 256).alias("lo")
-    hi = (F.col("sim") / 256).cast("int").alias("hi")
-    docs = docs.select("key", "sim", lo, hi)
-    a = docs.alias("a")
-    b = docs.alias("b")
-    same_half = (F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi"))
+    bands = F.array(
+        *[
+            F.struct(F.lit(i).alias("band_idx"), key.cast("int").alias("band_key"))
+            for i, key in simhash_bands(F.col("sim"), n_bands)
+        ]
+    )
+    banded = docs.select("key", "sim", F.explode(bands).alias("band")).select(
+        "key", "sim", "band.band_idx", "band.band_key"
+    )
     hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
     return (
-        a.join(b, same_half & (F.col("a.key") < F.col("b.key")))
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
         .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"), "hamming")

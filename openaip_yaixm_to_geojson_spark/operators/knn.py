@@ -33,6 +33,13 @@ from pyspark.sql import types as T
 from ..functions import cellgrid
 
 KNN_RES = 9  # ~0.7 deg cells for the vertex index
+OUT_COLS = ("url", "lat", "lon", "poly_id", "dist_sq")
+# vertex-index rows (vertices x window offsets) past this are shuffle-joined
+# on `cell` instead of broadcast (the expanded index stops being "small")
+BROADCAST_INDEX_MAX_ROWS = 2_000_000
+# brute-force fallback: vertices scanned per inner chunk so each Arrow batch
+# allocates O(batch_rows x chunk) instead of O(batch_rows x all_vertices)
+BRUTEFORCE_CHUNK = 4096
 
 
 def _vertex_arrays(polygons: list[dict[str, Any]]):
@@ -63,20 +70,24 @@ def knn_bruteforce(pages: DataFrame, polygons: list[dict[str, Any]]) -> DataFram
     def nearest(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
         lon_np = lon.to_numpy(dtype=np.float64)[:, None]
         lat_np = lat.to_numpy(dtype=np.float64)[:, None]
-        dx = lon_np - vx[None, :]
-        dy = lat_np - vy[None, :]
-        d2 = dx * dx + dy * dy
-        # nearest vertex per polygon, then argmin over polygons with
-        # smallest-poly_id tie-break (matches the SQL oracle's row_number
-        # ordered by dist_sq, poly_id)
-        best = np.full(len(lon_np), np.inf)
-        best_pid = np.full(len(lon_np), -1, dtype=np.int64)
-        for pid in np.unique(pids):
-            m = pids == pid
-            dmin = d2[:, m].min(axis=1)
+        n = len(lon_np)
+        # scan vertices in pid-sorted chunks: per-batch memory stays
+        # O(batch_rows x BRUTEFORCE_CHUNK) however many vertices exist.
+        # argmin's first-occurrence rule on the pid-sorted array + the
+        # strict `<` merge give the smallest-poly_id tie-break (matches the
+        # SQL oracle's row_number ordered by dist_sq, poly_id).
+        best = np.full(n, np.inf)
+        best_pid = np.full(n, -1, dtype=np.int64)
+        for s in range(0, len(vx), BRUTEFORCE_CHUNK):
+            cx, cy, cp = vx[s : s + BRUTEFORCE_CHUNK], vy[s : s + BRUTEFORCE_CHUNK], pids[s : s + BRUTEFORCE_CHUNK]
+            dx = lon_np - cx[None, :]
+            dy = lat_np - cy[None, :]
+            d2 = dx * dx + dy * dy
+            idx = d2.argmin(axis=1)
+            dmin = d2[np.arange(n), idx]
             take = dmin < best
             best[take] = dmin[take]
-            best_pid[take] = pid
+            best_pid[take] = cp[idx[take]]
         return pd.DataFrame({"poly_id": best_pid.astype("int32"), "dist_sq": best})
 
     return pages.select(
@@ -111,6 +122,7 @@ def knn_ring_expansion(
     """
     spark = pages.sparkSession
     vindex = vertex_index_df(spark, polygons, res)
+    n_vertices = sum(len(p["ring"]) - 1 for p in polygons)
     size = cellgrid.cell_size_deg(res)
 
     pending = (
@@ -139,9 +151,13 @@ def knn_ring_expansion(
         vwin = vindex.crossJoin(off_df).select(
             (F.col("vcell") + F.col("off")).alias("cell"), "poly_id", "vlon", "vlat"
         )
+        # expanded index = vertices x |window annulus|; broadcast only while
+        # that stays genuinely small, else shuffle-join on the cell key
+        if n_vertices * len(offsets) <= BROADCAST_INDEX_MAX_ROWS:
+            vwin = F.broadcast(vwin)
         cand = (
             pending.select("url", "lat", "lon", "cell")
-            .join(F.broadcast(vwin), "cell")
+            .join(vwin, "cell")
             .withColumn(
                 "d2",
                 (F.col("lon") - F.col("vlon")) * (F.col("lon") - F.col("vlon"))
@@ -168,7 +184,9 @@ def knn_ring_expansion(
         # any point there is at least hi*size away in Chebyshev terms.
         bound = float((hi * size) * (hi * size))
         guarantee = F.col("dist_sq").isNotNull() & (F.col("dist_sq") <= F.lit(bound))
-        finalized.append(merged.where(guarantee))
+        # normalize to the output schema here: the loop frames carry a
+        # `cell` column that the brute-force fallback frame does not.
+        finalized.append(merged.where(guarantee).select(*OUT_COLS))
         pending = merged.where(~guarantee | F.col("dist_sq").isNull()).localCheckpoint()
         if pending.isEmpty():
             pending = None
@@ -176,9 +194,11 @@ def knn_ring_expansion(
 
     if pending is not None and not pending.isEmpty():
         # pages with nothing within max_rounds rings: exact fallback scan
-        finalized.append(knn_bruteforce(pending.select("url", "lat", "lon"), polygons))
+        finalized.append(
+            knn_bruteforce(pending.select("url", "lat", "lon"), polygons).select(*OUT_COLS)
+        )
 
     out = finalized[0]
     for df in finalized[1:]:
-        out = out.unionByName(df.select(*out.columns))
-    return out.select("url", "lat", "lon", "poly_id", "dist_sq")
+        out = out.unionByName(df)
+    return out

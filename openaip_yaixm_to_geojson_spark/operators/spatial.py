@@ -66,17 +66,19 @@ def polygon_cover_df(
     return spark.createDataFrame(rows, schema=schema)
 
 
-def make_pip_udf(polygons: list[dict[str, Any]]):
+def make_pip_udf(spark: SparkSession, polygons: list[dict[str, Any]]):
     """Vectorized winding-number refine: (lon, lat, poly_id) -> bool.
 
-    Rings ride along in the UDF closure (they are broadcast to executors
-    once per task set by Spark's task serialization; for very large polygon
-    sets switch to SparkContext.broadcast).
+    Rings are shipped via `SparkContext.broadcast` — one torrent transfer
+    per executor, not a per-task closure copy — so the ring table can grow
+    to millions of vertices without bloating task serialization.
     """
     rings = {int(p["poly_id"]): np.asarray(p["ring"], dtype=np.float64) for p in polygons}
+    bc_rings = spark.sparkContext.broadcast(rings)
 
     @F.pandas_udf(T.BooleanType())
     def pip(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
+        ring_map = bc_rings.value
         lon_np = lon.to_numpy(dtype=np.float64)
         lat_np = lat.to_numpy(dtype=np.float64)
         pid_np = poly_id.to_numpy()
@@ -84,7 +86,7 @@ def make_pip_udf(polygons: list[dict[str, Any]]):
         # group the batch by polygon: one vectorized PIP call per polygon
         for pid in np.unique(pid_np):
             mask = pid_np == pid
-            ring = rings.get(int(pid))
+            ring = ring_map.get(int(pid))
             if ring is None:
                 continue
             out[mask] = points_in_ring_winding(lon_np[mask], lat_np[mask], ring)
@@ -116,12 +118,21 @@ def spatial_join(
     cover = polygon_cover_df(spark, polygons, res)
     cells = pages.withColumn("cell", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), res))
 
+    if broadcast:
+        # salt is a shuffle-join concept; resolving 'auto' here would run a
+        # full groupBy-count scan of the fact table for nothing.
+        candidates = cells.join(F.broadcast(cover), "cell")
+        pip = make_pip_udf(spark, polygons)
+        out_cols = ["url", "lat", "lon", "poly_id", "airspace_name", "airspace_type", "airspace_class"]
+        out_cols += [c for c in keep_cols if c not in out_cols]
+        return candidates.where(pip(F.col("lon"), F.col("lat"), F.col("poly_id"))).select(*out_cols)
+
     if salt == "auto":
         salt = choose_salt(pages, res)
+    elif salt is not None and not isinstance(salt, int):
+        raise TypeError(f"salt must be an int, None, or 'auto'; got {salt!r}")
 
-    if broadcast:
-        candidates = cells.join(F.broadcast(cover), "cell")
-    elif salt and salt > 1:
+    if salt and salt > 1:
         cells = cells.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt)).cast("int"))
         cover_salted = cover.withColumn(
             "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
@@ -132,7 +143,7 @@ def spatial_join(
     else:
         candidates = cells.join(cover, "cell")
 
-    pip = make_pip_udf(polygons)
+    pip = make_pip_udf(spark, polygons)
     out_cols = ["url", "lat", "lon", "poly_id", "airspace_name", "airspace_type", "airspace_class"]
     out_cols += [c for c in keep_cols if c not in out_cols]
     return candidates.where(pip(F.col("lon"), F.col("lat"), F.col("poly_id"))).select(*out_cols)

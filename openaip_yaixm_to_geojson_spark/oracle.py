@@ -140,7 +140,9 @@ def sql_tile_doc_counts(res: int = DEFAULT_TILE_RES) -> str:
         f"WITH {pages_with()} "
         f"SELECT {cell_id_sql('lon', 'lat', res)} AS tile_id, "
         "COUNT(*) AS doc_count, COUNT(DISTINCT lang) AS n_langs, "
-        "SUM(LENGTH(text)) AS total_chars "
+        # DuckDB SUM(int) widens to HUGEINT (int128); Spark's is BIGINT. The
+        # driver's hasher stringifies by type, so cast to match (r1 red cell).
+        "CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars "
         "FROM pages GROUP BY 1"
     )
 

@@ -51,7 +51,7 @@ def colocated_spatial_join(spark: SparkSession, pages_table: str, cover_table: s
     pages = spark.table(pages_table)
     cover = spark.table(cover_table)
     candidates = pages.join(cover.hint("merge"), "cell")
-    pip = make_pip_udf(polygons)
+    pip = make_pip_udf(spark, polygons)
     return candidates.where(pip(F.col("lon"), F.col("lat"), F.col("poly_id"))).select(
         "url", "lat", "lon", "poly_id", "airspace_name", "airspace_type", "airspace_class"
     )

@@ -70,22 +70,23 @@ class StageRunner:
         name: str,
         build: Callable[[], DataFrame],
         partition_by: tuple[str, ...] = (),
-        verify_on_resume: bool = False,
+        verify_on_resume: bool = True,
     ) -> DataFrame:
         """Build-or-resume one stage. Returns the stage DataFrame (reading
         from the checkpoint, so downstream lineage is cut at the stage
-        boundary)."""
+        boundary).
+
+        verify_on_resume (default True): before trusting a resume, check the
+        on-disk parquet file set against the manifest's per-file lineage and
+        recount the rows (one cheap count job) — a truncated/corrupt stage
+        directory with an intact manifest rebuilds instead of resuming
+        silently with wrong data.
+        """
         stage_dir = self._stage_dir(name)
         manifest = self.manifest(name)
         if manifest and manifest.get("status") == "complete":
-            df = self.spark.read.parquet(stage_dir)
-            if verify_on_resume:
-                rows = df.count()
-                if rows != manifest["rows"]:
-                    raise RuntimeError(
-                        f"stage {name}: checkpoint row count {rows} != manifest {manifest['rows']}"
-                    )
-            return df
+            if not verify_on_resume or self._resume_is_sound(name, stage_dir, manifest):
+                return self.spark.read.parquet(stage_dir)
 
         # incomplete / missing: rebuild from scratch
         if os.path.exists(stage_dir):
@@ -120,6 +121,22 @@ class StageRunner:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         os.replace(tmp, self._manifest_path(name))
         return self.spark.read.parquet(stage_dir)
+
+    def _resume_is_sound(self, name: str, stage_dir: str, manifest: dict) -> bool:
+        """File set matches per-file lineage AND the recount matches."""
+        on_disk = {
+            os.path.relpath(os.path.join(root, f), stage_dir)
+            for root, _, fs in os.walk(stage_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        if on_disk != set(manifest["files"]):
+            return False
+        try:
+            rows = self.spark.read.parquet(stage_dir).count()
+        except Exception:
+            return False
+        return rows == manifest["rows"]
 
     def invalidate(self, name: str) -> None:
         stage_dir = self._stage_dir(name)

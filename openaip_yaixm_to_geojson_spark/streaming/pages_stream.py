@@ -46,7 +46,7 @@ def stream_spatial_join(
     spark = pages_stream.sparkSession
     cover = polygon_cover_df(spark, polygons, res)
     cells = pages_stream.withColumn("cell", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), res))
-    pip = make_pip_udf(polygons)
+    pip = make_pip_udf(spark, polygons)
     return (
         cells.join(F.broadcast(cover), "cell")
         .where(pip(F.col("lon"), F.col("lat"), F.col("poly_id")))

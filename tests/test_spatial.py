@@ -130,3 +130,47 @@ def test_cellgrid_roundtrip_and_cover_soundness(polygons):
         inside = points_in_ring_winding(lons, lats, ring)
         for lon, lat in zip(lons[inside], lats[inside]):
             assert cellgrid.encode(lon, lat, 11) in cover
+
+
+def test_knn_fallback_bruteforce_path(spark, polygons):
+    """Pages outside every ring window must hit the exact fallback without
+    schema errors (round-1 ADVICE: the `cell` column crashed the union)."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import (
+        knn_bruteforce,
+        knn_ring_expansion,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR).limit(40)
+    # a single (0, 0) window: anything not sharing a cell with a vertex
+    # falls through to the brute-force fallback
+    ring = {
+        r["url"]: (r["poly_id"], r["dist_sq"])
+        for r in knn_ring_expansion(pages, polygons, windows=((0, 0),)).collect()
+    }
+    brute = {r["url"]: (r["poly_id"], r["dist_sq"]) for r in knn_bruteforce(pages, polygons).collect()}
+    assert ring == brute and len(ring) == 40
+
+
+def test_knn_shuffle_join_past_broadcast_threshold(spark, polygons, monkeypatch):
+    """Same answers when the expanded vertex index is too big to broadcast."""
+    from openaip_yaixm_to_geojson_spark.operators import knn as knn_mod
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    monkeypatch.setattr(knn_mod, "BROADCAST_INDEX_MAX_ROWS", 0)
+    pages = pages_from_documents(spark, SF_DIR).limit(40)
+    ring = {
+        r["url"]: (r["poly_id"], r["dist_sq"])
+        for r in knn_mod.knn_ring_expansion(pages, polygons).collect()
+    }
+    brute = {r["url"]: (r["poly_id"], r["dist_sq"]) for r in knn_mod.knn_bruteforce(pages, polygons).collect()}
+    assert ring == brute
+
+
+def test_spatial_join_salt_type_validation(spark, polygons):
+    from openaip_yaixm_to_geojson_spark.operators.spatial import spatial_join
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    with pytest.raises(TypeError, match="salt"):
+        spatial_join(pages, polygons, broadcast=False, salt="four")
