@@ -275,14 +275,25 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Approximate ANN (bucketed) — rows-only check: recall vs exact is
-    measured in tests/test_pipeline_ops.py, not equality."""
+    """Approximate ANN (bucketed): hash-compared against a deterministic
+    DuckDB self-oracle (md5-derived hyperplanes -> bucket assignment +
+    multiprobe + re-rank are mechanical SQL); recall vs exact is measured
+    separately in tests/test_pipeline_ops.py."""
     emb = _emb(spark, sf_dir)
-    return lsh_ann_topk(emb, queries_from_embeddings(emb, n=5), k=3, n_planes=2)
+    return lsh_ann_topk(emb, queries_from_embeddings(emb, n=5), k=3, n_planes=2, dim=64)
 
 
 def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir), cosine_threshold=0.4, exact_all_pairs=True)
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """The 100-TB mode of near-dup: candidates bucketed by hyperplane LSH
+    instead of the O(n^2) all-pairs join; graded against a DuckDB oracle
+    that recomputes the (deterministic) buckets."""
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), cosine_threshold=0.4, exact_all_pairs=False, n_planes=4, dim=64
+    )
 
 
 def q_langid(spark, sf_dir):
@@ -335,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "langid": q_langid,
         "quality": q_quality,
         "token_counts": q_token_counts,
@@ -362,9 +374,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": oracle.sql_minhash_lsh_pairs(),
         "simhash": oracle.sql_simhash(),
         "ann_topk": oracle.sql_ann_topk(),
-        # ann_lsh: intentionally no oracle — approximate operator; recall
-        # vs the exact ann_topk is asserted in tests instead.
+        "ann_lsh": oracle.sql_ann_lsh(n_planes=2),
         "embedding_neardup": oracle.sql_embedding_neardup(threshold=0.4),
+        "embedding_neardup_lsh": oracle.sql_embedding_neardup_lsh(threshold=0.4, n_planes=4),
         "langid": oracle.sql_langid(),
         "quality": oracle.sql_quality(),
         "token_counts": oracle.sql_token_counts(),

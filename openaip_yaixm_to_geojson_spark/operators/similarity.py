@@ -119,6 +119,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket, exact re-rank inside.
 
@@ -130,7 +131,10 @@ def lsh_ann_topk(
     """
     from pyspark.sql import Window
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        # fallback metadata action; callers should pass dim to keep
+        # plan-build free of Spark jobs
+        dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
     corpus = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
     probes = queries.withColumn("bucket", lsh_bucket_col(F.col("qvec"), planes))
@@ -164,6 +168,7 @@ def embedding_neardup_pairs(
     exact_all_pairs: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors: exact cosine >= threshold among candidate
     pairs. Candidates = same LSH bucket (the scale path); with
@@ -177,7 +182,8 @@ def embedding_neardup_pairs(
         dot_double(F.col(vec_col), F.col(vec_col)).alias("norm_sq"),
     ]
     if not exact_all_pairs:
-        dim = len(embeddings.select(vec_col).first()[0])
+        if dim is None:
+            dim = len(embeddings.select(vec_col).first()[0])
         planes = hyperplanes(dim, n_planes)
         cols.append(lsh_bucket_col(F.col(vec_col), planes).alias("bucket"))
     bucketed = embeddings.select(*cols)

@@ -490,6 +490,79 @@ FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dsum DESC
 WHERE rank <= {k}"""
 
 
+def _plane_list(plane) -> str:
+    """One hyperplane as a DuckDB DOUBLE list literal (strtod-parsed, same
+    IEEE doubles Spark gets from F.lit(float(w)))."""
+    return "[" + ",".join(_dbl(w) for w in plane) + "]"
+
+
+def _bucket_expr(vec: str, n_planes: int, dim: int) -> str:
+    """LSH bucket id from hyperplane sign bits — identical fold to
+    operators/similarity.lsh_bucket_col (left-fold double sum per plane,
+    bit i set when projection onto plane i is >= 0)."""
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    terms = []
+    for i, plane in enumerate(planes):
+        proj = (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ({_plane_list(plane)})[j]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_ann_lsh(
+    n_queries: int = 5, k: int = 3, dim: int = 64, n_planes: int = 2, multiprobe: bool = True
+) -> str:
+    """Deterministic self-oracle for the LSH ANN path: hyperplanes are
+    md5-derived (operators/similarity.hyperplanes), so bucket assignment,
+    multiprobe neighbours, and in-bucket re-rank are all recomputable in
+    SQL. This compares the approximate operator against ITSELF re-derived
+    independently — the recall-vs-exact check lives in pytest."""
+    dot = _dot_expr("e.embedding", "p.qvec", dim)
+    probe_list = "[bucket" + "".join(f", xor(bucket, {1 << i})" for i in range(n_planes)) + "]"
+    probes = f"UNNEST({probe_list})" if multiprobe else "bucket"
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, {_bucket_expr('embedding', n_planes, dim)} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+         {_bucket_expr('embedding', n_planes, dim)} AS bucket
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+probes AS (SELECT query_id, qvec, {probes} AS bucket FROM q),
+scored AS (
+  SELECT p.query_id, e.vec_id, {dot} AS dsum
+  FROM corpus e JOIN probes p ON e.bucket = p.bucket AND e.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, CAST(dsum AS DOUBLE) AS dot, rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dsum DESC, vec_id) AS INTEGER) AS rank FROM scored)
+WHERE rank <= {k}"""
+
+
+def sql_embedding_neardup_lsh(threshold: float = 0.6, dim: int = 64, n_planes: int = 8) -> str:
+    """Scale-path (bucketed) near-dup oracle: candidates limited to pairs
+    sharing an LSH bucket, cosine recomputed with the same left-fold dots as
+    the exact oracle."""
+    dot = _dot_expr("a.embedding", "b.embedding", dim)
+    nsq = _dot_expr("embedding", "embedding", dim)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {nsq} AS norm_sq,
+         {_bucket_expr('embedding', n_planes, dim)} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+         CAST({dot} AS DOUBLE) / sqrt(CAST(a.norm_sq AS DOUBLE) * CAST(b.norm_sq AS DOUBLE)) AS cosine
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT key_a, key_b, cosine FROM pairs WHERE cosine >= {threshold!r}"""
+
+
 def sql_embedding_neardup(threshold: float = 0.6, dim: int = 64) -> str:
     dot = _dot_expr("a.embedding", "b.embedding", dim)
     nsq_a = _dot_expr("a.embedding", "a.embedding", dim)
