@@ -108,6 +108,22 @@ def q_spatial_join_partitioned(spark, sf_dir):
     )
 
 
+def q_spatial_join_table(spark, sf_dir):
+    """Polygon-TABLE path: cover built by a distributed pandas-UDF polyfill
+    + explode, PIP rings attached via a poly_id join — nothing polygon-
+    shaped on the driver (the 100-TB shape; same rows as spatial_join)."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        polygons_to_df,
+        spatial_join_distributed,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    polys_df = polygons_to_df(spark, fixture_polygons())
+    return spatial_join_distributed(pages, polys_df).select(
+        "url", "poly_id", "airspace_name", "airspace_type", "airspace_class"
+    )
+
+
 def q_join_count_by_airspace(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir)
     return (
@@ -329,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_cells": q_page_cells,
         "spatial_join": q_spatial_join,
         "spatial_join_partitioned": q_spatial_join_partitioned,
+        "spatial_join_table": q_spatial_join_table,
         "join_count_by_airspace": q_join_count_by_airspace,
         "knn": q_knn,
         "tile_doc_counts": q_tile_doc_counts,
@@ -359,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
         "page_cells": oracle.sql_page_cells(),
         "spatial_join": oracle.sql_spatial_join(),
         "spatial_join_partitioned": oracle.sql_spatial_join(),
+        "spatial_join_table": oracle.sql_spatial_join(),
         "join_count_by_airspace": oracle.sql_join_count_by_airspace(),
         "knn": oracle.sql_knn(),
         "tile_doc_counts": oracle.sql_tile_doc_counts(),

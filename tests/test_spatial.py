@@ -174,3 +174,105 @@ def test_spatial_join_salt_type_validation(spark, polygons):
     pages = pages_from_documents(spark, SF_DIR)
     with pytest.raises(TypeError, match="salt"):
         spatial_join(pages, polygons, broadcast=False, salt="four")
+
+
+def test_spatial_join_distributed_matches_driver_path(spark, polygons, pages_pdf):
+    """Polygon-table path (distributed cover + ring-join PIP) returns the
+    exact same rows as the driver-list path."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        polygons_to_df,
+        spatial_join_distributed,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    polys_df = polygons_to_df(spark, polygons)
+    for broadcast_polys in (True, False):
+        got = {
+            (r["url"], r["poly_id"])
+            for r in spatial_join_distributed(pages, polys_df, broadcast_polys=broadcast_polys).collect()
+        }
+        assert got == brute_force_join(pages_pdf, polygons)
+
+
+def test_polygon_cover_distributed_scales_without_driver(spark):
+    """10^4 polygons covered with no driver-side loop or collect: the cover
+    is built by a pandas UDF + explode over a generated polygon table."""
+    from pyspark.sql import functions as F
+
+    from openaip_yaixm_to_geojson_spark.functions import cellgrid
+    from openaip_yaixm_to_geojson_spark.operators.spatial import polygon_cover_distributed
+
+    n = 10_000
+    # small synthetic boxes generated DISTRIBUTED (no driver list)
+    polys = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("int").alias("poly_id"),
+            F.concat(F.lit("P"), F.col("id")).alias("airspace_name"),
+            F.lit("CTA").alias("airspace_type"),
+            F.lit("D").alias("airspace_class"),
+            ((F.col("id") % 360).cast("double") - 180.0).alias("x0"),
+            ((F.col("id") % 170).cast("double") - 85.0).alias("y0"),
+        )
+        .select(
+            "poly_id",
+            "airspace_name",
+            "airspace_type",
+            "airspace_class",
+            F.array(
+                F.array(F.col("x0"), F.col("y0")),
+                F.array(F.col("x0") + 0.02, F.col("y0")),
+                F.array(F.col("x0") + 0.02, F.col("y0") + 0.02),
+                F.array(F.col("x0"), F.col("y0") + 0.02),
+                F.array(F.col("x0"), F.col("y0")),
+            ).alias("ring"),
+        )
+    )
+    cover = polygon_cover_distributed(polys, res=13)
+    stats = cover.agg(
+        F.count(F.lit(1)).alias("rows"), F.count_distinct("poly_id").alias("polys")
+    ).first()
+    assert stats["polys"] == n
+    assert stats["rows"] >= n  # every polygon produced at least one cell
+    # spot-check one polygon's cover against the driver-side builder
+    import numpy as np
+
+    one = cover.where(F.col("poly_id") == 7).select("cell").collect()
+    ring = np.array([[-173.0, -78.0], [-172.98, -78.0], [-172.98, -77.98], [-173.0, -77.98], [-173.0, -78.0]])
+    assert {r["cell"] for r in one} == set(cellgrid.cover(ring, 13))
+
+
+def test_knn_hundred_thousand_vertices(spark):
+    """kNN stays correct and memory-bounded with ~10^5 index vertices: the
+    brute-force fallback scans in fixed chunks and the expanded window
+    index auto-switches off broadcast past the row threshold."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_ring_expansion
+
+    rng = np.random.default_rng(7)
+    polygons = []
+    for pid in range(500):
+        cx, cy = rng.uniform(-5.0, 1.0), rng.uniform(50.0, 57.0)
+        theta = np.linspace(0.0, 2.0 * np.pi, 201)
+        ring = np.stack([cx + 0.01 * np.cos(theta), cy + 0.01 * np.sin(theta)], axis=1)
+        ring[-1] = ring[0]
+        polygons.append({"poly_id": pid, "name": f"P{pid}", "type": "CTA", "class": "D", "ring": ring.tolist()})
+    n_vertices = sum(len(p["ring"]) - 1 for p in polygons)
+    assert n_vertices == 100_000
+
+    pts = rng.uniform([-5.0, 50.0], [1.0, 57.0], size=(200, 2))
+    pages = spark.createDataFrame(
+        [(f"u{i}", float(y), float(x)) for i, (x, y) in enumerate(pts)], "url string, lat double, lon double"
+    )
+    got = {r["url"]: (r["poly_id"], r["dist_sq"]) for r in knn_ring_expansion(pages, polygons).collect()}
+
+    # NumPy reference: nearest vertex distance per polygon, smallest-pid tie-break
+    vx = np.concatenate([np.asarray(p["ring"])[:-1, 0] for p in polygons])
+    vy = np.concatenate([np.asarray(p["ring"])[:-1, 1] for p in polygons])
+    vp = np.concatenate([np.full(len(p["ring"]) - 1, p["poly_id"]) for p in polygons])
+    d2 = (pts[:, 0:1] - vx[None, :]) ** 2 + (pts[:, 1:2] - vy[None, :]) ** 2
+    idx = d2.argmin(axis=1)
+    for i in range(len(pts)):
+        url = f"u{i}"
+        assert got[url][1] == d2[i, idx[i]]
+        assert got[url][0] == vp[idx[i]]
