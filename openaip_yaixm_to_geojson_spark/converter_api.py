@@ -29,6 +29,10 @@ DEFAULT_CONFIG = {
     "fixGeometries": False,
     "geometryDetail": 100,
     "strictSchemaValidation": False,
+    # meters buffer for collapsing near-duplicate vertices during fixing
+    # (reference createFixedPolygon/removeDuplicatePoints,
+    # src/geojson-polygon.ts:143-158,214-259)
+    "consumeDuplicateBuffer": 0,
 }
 
 
@@ -90,6 +94,7 @@ class YaixmConverter:
             geometry_detail=self.config["geometryDetail"],
             fix_geometries=self.config["fixGeometries"],
             validate_geometries=self.config["validateGeometries"],
+            consume_duplicate_buffer=float(self.config["consumeDuplicateBuffer"]),
         )
         geojson = features_to_geojson(features, strict=True)
         problems = validate_feature_collection(geojson)

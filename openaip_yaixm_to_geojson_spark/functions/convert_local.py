@@ -73,6 +73,7 @@ def convert_blocks(
     services: list[dict[str, Any]] | None = None,
     geometry_detail: int = 100,
     fix_geometries: bool = False,
+    consume_duplicate_buffer: float = 0.0,
 ) -> list[dict[str, Any]]:
     """YAIXM blocks (parsed dicts) -> list of feature dicts with keys
     name/type/class/upperCeiling/lowerCeiling/activatedByNotam/activity/
@@ -96,7 +97,7 @@ def convert_blocks(
             )
             ring = geodesy.build_ring(seq_def["boundary"], steps=geometry_detail)
             if fix_geometries:
-                ring = polyfix.fix_ring(ring)
+                ring = polyfix.fix_ring(ring, consume_duplicate_buffer)
             feature = {
                 "name": name,
                 "type": mapped_type,

@@ -58,6 +58,30 @@ def remove_exact_duplicates(ring: np.ndarray) -> np.ndarray:
     return np.vstack([out, out[:1]])
 
 
+def remove_duplicate_points(ring: np.ndarray, consume_duplicate_buffer: float = 0.0) -> np.ndarray:
+    """removeDuplicatePoints with the meters buffer knob (reference
+    src/geojson-polygon.ts:214-259): a coordinate is a duplicate when its
+    haversine distance to ANY already-kept coordinate is <= buffer/1000 km.
+    buffer 0 degenerates to the bit-equality fast path."""
+    if consume_duplicate_buffer <= 0.0:
+        return remove_exact_duplicates(ring)
+    if len(ring) < 4:
+        raise ValueError("Polygon must at least have four coordinates")
+    min_km = float(consume_duplicate_buffer) / 1000.0
+    kept: list[np.ndarray] = []
+    for coord in ring:
+        if kept:
+            kept_arr = np.asarray(kept)
+            dists = haversine_km(kept_arr[:, 0], kept_arr[:, 1], float(coord[0]), float(coord[1]))
+            if bool((np.asarray(dists) <= min_km).any()):
+                continue
+        kept.append(coord)
+    out = np.asarray(kept)
+    if len(out) < 3:
+        raise ValueError("The polygon dimensions are too small to create a polygon.")
+    return np.vstack([out, out[:1]])
+
+
 def remove_intermediate_points(ring: np.ndarray) -> np.ndarray:
     """Drop point i when some earlier consecutive pair (j, j+1) sees it at
     exactly opposite bearings (|b(i->j) - b(i->j+1)| == 180), i.e. the point
@@ -183,12 +207,12 @@ def envelope_ring(coords: np.ndarray) -> np.ndarray:
     )
 
 
-def fix_ring(ring: np.ndarray) -> np.ndarray:
+def fix_ring(ring: np.ndarray, consume_duplicate_buffer: float = 0.0) -> np.ndarray:
     """makeValid semantics (src/geojson-polygon.ts:78-87): return the ring
     untouched when already valid, else run the fix pipeline."""
     if ring_is_valid(ring):
         return ring
-    return create_fixed_ring(ring)
+    return create_fixed_ring(ring, consume_duplicate_buffer)
 
 
 def _largest(parts: list[np.ndarray]) -> np.ndarray:
@@ -204,9 +228,9 @@ def _largest(parts: list[np.ndarray]) -> np.ndarray:
     return best
 
 
-def create_fixed_ring(ring: np.ndarray) -> np.ndarray:
+def create_fixed_ring(ring: np.ndarray, consume_duplicate_buffer: float = 0.0) -> np.ndarray:
     try:
-        cleaned = remove_exact_duplicates(ring)
+        cleaned = remove_duplicate_points(ring, consume_duplicate_buffer)
         if len(cleaned) < 4:
             raise ValueError("too few distinct coordinates")
         cleaned = remove_intermediate_points(cleaned)

@@ -45,10 +45,16 @@ GEOMETRY_RESULT_TYPE = T.StructType(
 )
 
 
-def make_geometry_udf(geometry_detail: int = 100, fix_geometries: bool = False, validate_geometries: bool = True):
+def make_geometry_udf(
+    geometry_detail: int = 100,
+    fix_geometries: bool = False,
+    validate_geometries: bool = True,
+    consume_duplicate_buffer: float = 0.0,
+):
     """Arrow-batched pandas UDF folding one boundary per row into a closed
     CCW ring; config knobs mirror the reference defaults
-    (src/default-config.ts:1-10)."""
+    (src/default-config.ts:1-10; consumeDuplicateBuffer meters knob from
+    createFixedPolygon, src/geojson-polygon.ts:143-158)."""
 
     @F.pandas_udf(GEOMETRY_RESULT_TYPE)
     def geometry_udf(boundaries: pd.Series) -> pd.DataFrame:
@@ -66,7 +72,7 @@ def make_geometry_udf(geometry_detail: int = 100, fix_geometries: bool = False, 
                 ring = geodesy.build_ring(segments, steps=geometry_detail)
                 fixed = False
                 if fix_geometries:
-                    new_ring = polyfix.fix_ring(ring)
+                    new_ring = polyfix.fix_ring(ring, consume_duplicate_buffer)
                     fixed = new_ring is not ring
                     ring = new_ring
                 valid = polyfix.ring_is_valid(ring) if validate_geometries else True
@@ -86,8 +92,10 @@ def make_geometry_udf(geometry_detail: int = 100, fix_geometries: bool = False, 
 
 def explode_sequences(airspaces: DataFrame) -> DataFrame:
     """One row per geometry sequence — the engine's unit of work
-    (1 sequence = 1 output polygon feature)."""
-    seq = F.posexplode("geometry")
+    (1 sequence = 1 output polygon feature). posexplode_OUTER keeps
+    structurally-malformed blocks (empty geometry + struct_error) as one
+    row so they reach the quarantine channel instead of vanishing."""
+    seq = F.posexplode_outer("geometry")
     return airspaces.select(
         "doc_id",
         "block_idx",
@@ -97,6 +105,7 @@ def explode_sequences(airspaces: DataFrame) -> DataFrame:
         F.col("localtype"),
         F.col("class").alias("base_class"),
         F.col("rules").alias("base_rules"),
+        F.col("struct_error"),
         seq.alias("seq_idx", "sequence"),
     )
 
@@ -128,6 +137,7 @@ def convert_airspaces(
     geometry_detail: int = 100,
     fix_geometries: bool = False,
     validate_geometries: bool = True,
+    consume_duplicate_buffer: float = 0.0,
 ) -> DataFrame:
     """Full conversion: airspace rows -> GeoJSON feature rows.
 
@@ -148,13 +158,16 @@ def convert_airspaces(
     ).otherwise(F.col("base_rules"))
     mapped = map_class_and_type(F.col("base_type"), F.col("localtype"), seq_class, seq_rules)
 
-    geometry_udf = make_geometry_udf(geometry_detail, fix_geometries, validate_geometries)
+    geometry_udf = make_geometry_udf(
+        geometry_detail, fix_geometries, validate_geometries, consume_duplicate_buffer
+    )
 
     feats = rows.select(
         "doc_id",
         "block_idx",
         "seq_idx",
         "airspace_id",
+        "struct_error",
         airspace_name(F.col("base_name"), F.col("sequence.seq")).alias("name"),
         mapped.alias("_mapped"),
         ceiling_struct(F.col("sequence.upper")).alias("_upper"),
@@ -189,9 +202,15 @@ def convert_airspaces(
         F.col("_geom.ring").alias("ring"),
         F.col("_geom.valid").alias("valid"),
         F.col("_geom.fixed").alias("fixed"),
-        F.coalesce(F.col("_mapped.map_error"), F.col("_upper.error"), F.col("_lower.error"), F.col("_geom.geom_error")).alias(
-            "error"
-        ),
+        # structural input errors win: they describe the root cause, the
+        # downstream mapping/ceiling/geometry errors are their symptoms
+        F.coalesce(
+            F.col("struct_error"),
+            F.col("_mapped.map_error"),
+            F.col("_upper.error"),
+            F.col("_lower.error"),
+            F.col("_geom.geom_error"),
+        ).alias("error"),
     )
 
     if services is not None:
@@ -238,6 +257,38 @@ def split_quarantine(features: DataFrame) -> tuple[DataFrame, DataFrame]:
     return clean, quarantine
 
 
+def clean_object(
+    obj,
+    keep_empty_strings: bool = False,
+    keep_empty_arrays: bool = False,
+    keep_empty_objects: bool = False,
+    keep_null: bool = False,
+):
+    """Faithful recursive cleanObject (reference src/clean-object.ts:19-88):
+    drop null / '' / [] / {} values at ANY dict nesting depth; dicts recurse,
+    arrays are kept as-is unless empty (the reference does not clean array
+    elements); a dict that collapses to empty is dropped too."""
+    if not isinstance(obj, dict) or not obj:
+        return obj
+    out = {}
+    for key, value in obj.items():
+        if (
+            (not keep_null and value is None)
+            or (not keep_empty_strings and isinstance(value, str) and value == "")
+            or (not keep_empty_arrays and isinstance(value, list) and not value)
+            or (not keep_empty_objects and isinstance(value, dict) and not value)
+        ):
+            continue
+        if isinstance(value, dict):
+            value = clean_object(
+                value, keep_empty_strings, keep_empty_arrays, keep_empty_objects, keep_null
+            )
+            if not value and not keep_empty_objects:
+                continue
+        out[key] = value
+    return out
+
+
 def _clean_number(x: float):
     """JSON-friendly numbers: integral floats render as ints (the golden
     fixtures carry `2500`, not `2500.0`)."""
@@ -256,34 +307,40 @@ def features_to_geojson(features: DataFrame, strict: bool = False) -> dict:
     for row in rows:
         if row["error"] is not None and strict:
             raise ValueError(f"conversion error for '{row['name']}': {row['error']}")
-        props: dict = {}
-        props["name"] = row["name"]
-        props["type"] = row["type"]
-        props["class"] = row["class"]
-        props["upperCeiling"] = {
-            "value": _clean_number(row["upperCeiling"]["value"]),
-            "unit": row["upperCeiling"]["unit"],
-            "referenceDatum": row["upperCeiling"]["referenceDatum"],
+        props: dict = {
+            "name": row["name"],
+            "type": row["type"],
+            "class": row["class"],
+            "upperCeiling": {
+                "value": _clean_number(row["upperCeiling"]["value"]),
+                "unit": row["upperCeiling"]["unit"],
+                "referenceDatum": row["upperCeiling"]["referenceDatum"],
+            },
+            "lowerCeiling": {
+                "value": _clean_number(row["lowerCeiling"]["value"]),
+                "unit": row["lowerCeiling"]["unit"],
+                "referenceDatum": row["lowerCeiling"]["referenceDatum"],
+            },
+            "activatedByNotam": row["activatedByNotam"],
+            "activity": row["activity"],
+            "remarks": row["remarks"],
+            "groundService": (
+                {
+                    "callsign": row["groundService"]["callsign"],
+                    "frequency": row["groundService"]["frequency"],
+                }
+                if row["groundService"] is not None
+                else None
+            ),
         }
-        props["lowerCeiling"] = {
-            "value": _clean_number(row["lowerCeiling"]["value"]),
-            "unit": row["lowerCeiling"]["unit"],
-            "referenceDatum": row["lowerCeiling"]["referenceDatum"],
-        }
-        props["activatedByNotam"] = row["activatedByNotam"]
-        props["activity"] = row["activity"]
-        if row["remarks"] is not None:
-            props["remarks"] = row["remarks"]
-        if row["groundService"] is not None and row["groundService"]["callsign"] is not None:
-            props["groundService"] = {
-                "callsign": row["groundService"]["callsign"],
-                "frequency": row["groundService"]["frequency"],
+        # cleanObject over the whole feature like the reference
+        # (src/airspace-converter.ts:304)
+        feature = clean_object(
+            {
+                "type": "Feature",
+                "properties": props,
+                "geometry": {"type": "Polygon", "coordinates": [row["ring"]]},
             }
-        props = {k: v for k, v in props.items() if v is not None}
-        feature = {
-            "type": "Feature",
-            "properties": props,
-            "geometry": {"type": "Polygon", "coordinates": [row["ring"]]},
-        }
+        )
         out.append(feature)
     return {"type": "FeatureCollection", "features": out}

@@ -70,6 +70,12 @@ AIRSPACE_SCHEMA = T.StructType(
         T.StructField("class", T.StringType(), True),
         T.StructField("rules", T.ArrayType(T.StringType()), True),
         T.StructField("geometry", T.ArrayType(SEQUENCE_TYPE), True),
+        # structural input-validation verdict (null = well-formed). Mirrors
+        # the reference's Zod asserts on the YAIXM object shape
+        # (src/validate-schema.ts:16-52, src/yaixm-converter.ts:116-117):
+        # a malformed block quarantines (or raises in strict collection)
+        # instead of silently flowing null fields to the output.
+        T.StructField("struct_error", T.StringType(), True),
     ]
 )
 
@@ -84,52 +90,108 @@ SERVICE_SCHEMA = T.StructType(
 )
 
 
+def _validate_block(block: Any) -> str | None:
+    """Structural YAIXM airspace-block checks, mirroring the reference's
+    schema asserts: required name (non-empty string), required non-empty
+    geometry list, each sequence an object with a non-empty boundary list,
+    string-typed scalar fields and list-typed rules when present."""
+    if not isinstance(block, dict):
+        return f"airspace block is not an object (got {type(block).__name__})"
+    name = block.get("name")
+    if not isinstance(name, str) or not name:
+        return "missing or non-string required field 'name'"
+    for field in ("id", "type", "localtype", "class"):
+        v = block.get(field)
+        if v is not None and not isinstance(v, str):
+            return f"field '{field}' must be a string (got {type(v).__name__})"
+    rules = block.get("rules")
+    if rules is not None and not isinstance(rules, list):
+        return f"field 'rules' must be a list (got {type(rules).__name__})"
+    geometry = block.get("geometry")
+    if not isinstance(geometry, list) or not geometry:
+        return "missing or empty required field 'geometry'"
+    for gi, seq_def in enumerate(geometry):
+        if not isinstance(seq_def, dict):
+            return f"geometry[{gi}] is not an object"
+        boundary = seq_def.get("boundary")
+        if not isinstance(boundary, list) or not boundary:
+            return f"geometry[{gi}] missing or empty required field 'boundary'"
+        for si, seg in enumerate(boundary):
+            if not isinstance(seg, dict) or not any(k in seg for k in ("line", "arc", "circle")):
+                return f"geometry[{gi}].boundary[{si}] is not a line/arc/circle segment"
+    return None
+
+
+def _bad_block_row(doc_id: str, block_idx: int, block: Any, err: str) -> dict[str, Any]:
+    name = block.get("name") if isinstance(block, dict) else None
+    return {
+        "doc_id": doc_id,
+        "block_idx": block_idx,
+        "name": name if isinstance(name, str) else None,
+        "id": None,
+        "type": None,
+        "localtype": None,
+        "class": None,
+        "rules": None,
+        "geometry": [],
+        "struct_error": err,
+    }
+
+
 def _airspace_rows(doc_id: str, parsed: dict[str, Any]) -> list[dict[str, Any]]:
     rows = []
     for block_idx, block in enumerate(parsed.get("airspace") or []):
-        geometry = []
-        for seq_def in block.get("geometry") or []:
-            boundary = []
-            for seg in seq_def.get("boundary") or []:
-                line = seg.get("line")
-                boundary.append(
+        err = _validate_block(block)
+        if err is not None:
+            rows.append(_bad_block_row(doc_id, block_idx, block, err))
+            continue
+        try:
+            geometry = []
+            for seq_def in block.get("geometry") or []:
+                boundary = []
+                for seg in seq_def.get("boundary") or []:
+                    line = seg.get("line")
+                    boundary.append(
+                        {
+                            "line": [str(c) for c in line] if line is not None else None,
+                            "arc": (
+                                {k: str(v) for k, v in seg["arc"].items()}
+                                if seg.get("arc") is not None
+                                else None
+                            ),
+                            "circle": (
+                                {k: str(v) for k, v in seg["circle"].items()}
+                                if seg.get("circle") is not None
+                                else None
+                            ),
+                        }
+                    )
+                geometry.append(
                     {
-                        "line": [str(c) for c in line] if line is not None else None,
-                        "arc": (
-                            {k: str(v) for k, v in seg["arc"].items()}
-                            if seg.get("arc") is not None
-                            else None
-                        ),
-                        "circle": (
-                            {k: str(v) for k, v in seg["circle"].items()}
-                            if seg.get("circle") is not None
-                            else None
-                        ),
+                        "seq": seq_def.get("seq"),
+                        "upper": seq_def.get("upper"),
+                        "lower": seq_def.get("lower"),
+                        "class": seq_def.get("class"),
+                        "rules": seq_def.get("rules"),
+                        "boundary": boundary,
                     }
                 )
-            geometry.append(
+            rows.append(
                 {
-                    "seq": seq_def.get("seq"),
-                    "upper": seq_def.get("upper"),
-                    "lower": seq_def.get("lower"),
-                    "class": seq_def.get("class"),
-                    "rules": seq_def.get("rules"),
-                    "boundary": boundary,
+                    "doc_id": doc_id,
+                    "block_idx": block_idx,
+                    "name": block.get("name"),
+                    "id": block.get("id"),
+                    "type": block.get("type"),
+                    "localtype": block.get("localtype"),
+                    "class": block.get("class"),
+                    "rules": block.get("rules"),
+                    "geometry": geometry,
+                    "struct_error": None,
                 }
             )
-        rows.append(
-            {
-                "doc_id": doc_id,
-                "block_idx": block_idx,
-                "name": block.get("name"),
-                "id": block.get("id"),
-                "type": block.get("type"),
-                "localtype": block.get("localtype"),
-                "class": block.get("class"),
-                "rules": block.get("rules"),
-                "geometry": geometry,
-            }
-        )
+        except Exception as exc:  # malformed leaf types past the shape check
+            rows.append(_bad_block_row(doc_id, block_idx, block, f"malformed block: {exc}"))
     return rows
 
 

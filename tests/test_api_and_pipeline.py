@@ -143,3 +143,83 @@ def test_full_uk_airspace_smoke(spark, tmp_path):
     out = tmp_path / "airspace.geojson"
     converter.to_geojson_file(str(out))
     assert out.stat().st_size > 1_000_000
+
+
+def test_input_schema_validation_quarantines_and_strict_raises(spark):
+    """Structurally malformed YAIXM blocks (reference Zod asserts,
+    src/validate-schema.ts:16-52) land in quarantine with a structural
+    error; the strict converter API raises like the reference."""
+    from openaip_yaixm_to_geojson_spark import YaixmConverter
+    from openaip_yaixm_to_geojson_spark.operators.convert import (
+        convert_airspaces,
+        split_quarantine,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.yaixm import airspaces_from_yaml_docs
+
+    good = FIXTURES["circle"]["airspace"][0]
+    bad_cases = {
+        "no-name": {k: v for k, v in good.items() if k != "name"},
+        "no-geometry": {k: v for k, v in good.items() if k != "geometry"},
+        "empty-boundary": {**good, "name": "EB", "geometry": [{"upper": "FL65", "lower": "SFC", "boundary": []}]},
+        "bad-rules": {**good, "name": "BR", "rules": "NOTAM"},
+    }
+    doc = pyyaml.safe_dump({"airspace": [good] + list(bad_cases.values())})
+    docs = spark.createDataFrame([("d", doc)], "doc_id string, yaml string")
+    feats = convert_airspaces(airspaces_from_yaml_docs(docs))
+    clean, quarantine = split_quarantine(feats)
+    assert clean.count() == 1
+    q = quarantine.select("block_idx", "error").collect()
+    assert len(q) == 4
+    errs = {r["block_idx"]: r["error"] for r in q}
+    assert "name" in errs[1] and "geometry" in errs[2]
+    assert "boundary" in errs[3] and "rules" in errs[4]
+
+    converter = YaixmConverter(spark=spark)
+    with pytest.raises(ValueError, match="name"):
+        converter.convert_from_buffer(pyyaml.safe_dump({"airspace": [bad_cases["no-name"]]}).encode())
+
+
+def test_consume_duplicate_buffer_collapses_near_dups(spark):
+    """Nonzero consumeDuplicateBuffer collapses vertices within the meters
+    buffer during fixing (reference removeDuplicatePoints,
+    src/geojson-polygon.ts:214-259); buffer 0 keeps them."""
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.functions.polyfix import remove_duplicate_points
+
+    # square with a self-intersection forced via a near-duplicate vertex
+    # 0.0001 deg (~11 m) from a corner
+    ring = np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [1.0001, 0.0001], [0.0, 1.0], [0.0, 0.0]]
+    )
+    kept0 = remove_duplicate_points(ring, 0.0)
+    assert len(kept0) == 6  # nothing bit-equal: only the closing dup folds
+    kept50 = remove_duplicate_points(ring, 50.0)  # 50 m buffer eats the near-dup
+    assert len(kept50) == 5
+    assert [0.0, 1.0] in kept50.tolist() and [1.0001, 0.0001] not in kept50.tolist()
+
+    # end to end: with the buffer the fixed ring is the simple square
+    from openaip_yaixm_to_geojson_spark.functions.polyfix import create_fixed_ring, ring_is_valid
+
+    fixed = create_fixed_ring(ring, consume_duplicate_buffer=50.0)
+    assert ring_is_valid(fixed) and len(fixed) == 5
+
+
+def test_clean_object_recursive():
+    """cleanObject parity: null/''/[]/{} pruned at any dict depth; arrays
+    kept as-is unless empty (reference src/clean-object.ts:19-88)."""
+    from openaip_yaixm_to_geojson_spark.operators.convert import clean_object
+
+    src = {
+        "a": None,
+        "b": "",
+        "c": [],
+        "d": {},
+        "e": {"x": None, "y": {"z": "", "w": []}, "k": 0},
+        "f": [1, None, ""],
+        "g": False,
+        "h": "ok",
+    }
+    assert clean_object(src) == {"e": {"k": 0}, "f": [1, None, ""], "g": False, "h": "ok"}
+    assert clean_object({"a": {"b": {}}}) == {}
+    assert clean_object(src, keep_null=True)["a"] is None
