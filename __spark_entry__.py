@@ -156,6 +156,21 @@ def q_text_passthrough(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator; stream == batch is pinned in tests/test_streaming.py). Key =
+    lang, event time = the dual-engine md5-derived fetch time."""
+    from openaip_yaixm_to_geojson_spark.sources.pages import warc_ts_seconds_sql
+    from openaip_yaixm_to_geojson_spark.streaming.pages_stream import sessionize_batch
+
+    pages = pages_from_documents(spark, sf_dir)
+    events = pages.withColumn("uh", F.md5("url")).select(
+        F.col("lang").alias("key"),
+        F.timestamp_seconds(F.expr(warc_ts_seconds_sql("uh"))).alias("warc_ts"),
+    )
+    return sessionize_batch(events, gap_seconds=500_000)
+
+
 def q_ceiling_parse(spark, sf_dir):
     df = spark.createDataFrame([(s,) for s in oracle.CEILING_SAMPLES], "ceiling string")
     c = ceiling_struct(F.col("ceiling"))
@@ -351,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_doc_counts": q_tile_doc_counts,
         "tile_class_rollup": q_tile_class_rollup,
         "text_passthrough": q_text_passthrough,
+        "sessionize": q_sessionize,
         "ceiling_parse": q_ceiling_parse,
         "class_type_mapping": q_class_type_mapping,
         "airspace_features": q_airspace_features,
@@ -382,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_doc_counts": oracle.sql_tile_doc_counts(),
         "tile_class_rollup": oracle.sql_tile_class_rollup(),
         "text_passthrough": oracle.sql_text_passthrough(),
+        "sessionize": oracle.sql_sessionize(),
         "ceiling_parse": oracle.sql_ceiling_parse(),
         "class_type_mapping": oracle.sql_class_type_mapping(),
         "airspace_features": oracle.sql_airspace_features(),

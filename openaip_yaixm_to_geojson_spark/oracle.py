@@ -28,7 +28,7 @@ from .functions.classmap import COMBO_TABLE, RULE_TYPES, TYPE_ONLY, TYPE_RENAME
 from .functions.convert_local import fixture_polygons
 from .operators.spatial import DEFAULT_JOIN_RES
 from .operators.tiles import DEFAULT_TILE_RES
-from .sources.pages import lat_sql, lon_sql, pages_cte
+from .sources.pages import lat_sql, lon_sql, pages_cte, warc_ts_seconds_sql
 
 # ---------------------------------------------------------------------------
 # shared fragments
@@ -162,6 +162,24 @@ def sql_text_passthrough() -> str:
         "SELECT h.url, MIN(p.text) AS text, MIN(md5(p.text)) AS text_digest "
         "FROM hits h JOIN pages p ON h.url = p.url GROUP BY h.url"
     )
+
+
+def sql_sessionize(gap_seconds: int = 500_000) -> str:
+    """Gap-based sessionization of page fetches per language key: the same
+    lag + running-counter formulation as streaming.sessionize_batch (the
+    batch twin the stateful streaming operator is pinned against)."""
+    return f"""WITH {pages_with()},
+ev AS (SELECT lang AS key, {warc_ts_seconds_sql('md5(url)')} AS t FROM pages),
+m AS (
+  SELECT key, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY key ORDER BY t) > {gap_seconds}
+              THEN 1 ELSE 0 END AS ns
+  FROM ev
+),
+s AS (SELECT key, t, SUM(ns) OVER (PARTITION BY key ORDER BY t) AS sid FROM m)
+SELECT key, MIN(t) AS session_start, MAX(t) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY key, sid"""
 
 
 # ---------------------------------------------------------------------------

@@ -87,6 +87,14 @@ def lon_sql(url_expr: str = "url") -> str:
     return _coord_sql(f"md5({url_expr})", "lon")
 
 
+def warc_ts_seconds_sql(hash_col: str) -> str:
+    """Deterministic epoch-seconds 'fetch time' within 2024, from md5 chars
+    13-17 — identical arithmetic in Spark and DuckDB (the engine's regular
+    warc_ts uses xxhash64, which DuckDB lacks, so oracle-graded
+    time-derived queries use this column instead)."""
+    return f"(CAST(1704067200 AS BIGINT) + {_hash_expr(hash_col, 13)} % 31536000)"
+
+
 def url_sql(dialect: str) -> str:
     """`documents` row -> url. doc_id cast differs per dialect."""
     cast = "CAST(doc_id AS STRING)" if dialect == "spark" else "CAST(doc_id AS VARCHAR)"

@@ -72,6 +72,143 @@ def stream_tile_counts(
     )
 
 
+def stream_pages_rate(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Rate-shaped source: Spark's built-in `rate` stream mapped to synthetic
+    pages. Every field is a pure function of the monotonically increasing
+    `value` (the same md5-derived geotag scheme as sources/pages), so the
+    content is deterministic per value and wall-clock independent — only the
+    arrival TIMES come from the rate clock. This is the kafka-shaped
+    ingestion stand-in for this sandbox (no broker available): swap
+    `format("rate")` for `format("kafka")` + the same projection."""
+    from ..sources.pages import _coord_sql
+
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return (
+        raw.select(
+            F.concat(F.lit("https://rate.example/"), F.col("value").cast("string")).alias("url"),
+            F.col("timestamp").alias("arrival_ts"),
+        )
+        .withColumn("uh", F.md5("url"))
+        .withColumn("lat", F.expr(_coord_sql("uh", "lat")))
+        .withColumn("lon", F.expr(_coord_sql("uh", "lon")))
+        .withColumn(
+            "warc_ts", F.timestamp_seconds(F.lit(1704067200) + F.xxhash64("url") % 31536000)
+        )
+        .withColumn("text", F.concat(F.lit("rate page body for "), F.col("url")))
+        .withColumn("lang", F.lit("en"))
+        .drop("uh")
+    )
+
+
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("session_start", T.LongType(), False),
+        T.StructField("session_end", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("start", T.LongType()),
+        T.StructField("last", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "warc_ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState.
+
+    Events for a key belong to one session while consecutive gaps stay
+    <= gap_seconds. Each micro-batch merges its (sorted) events into the
+    open session carried in GroupState; every gap violation CLOSES a
+    session and emits it downstream, and the trailing open session stays in
+    state for the next batch (it is never emitted early — exactly-once
+    session rows). Timestamps are epoch seconds in the output so the batch
+    twin (sessionize_batch) is bit-comparable.
+
+    Production posture: pair with a watermark on the event time and an
+    EventTimeTimeout to flush long-idle keys; in availableNow drains (tests,
+    backfills) NoTimeout keeps the final open session pending, which is the
+    deterministic behaviour the stream==batch test pins."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = int(gap_seconds)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        ts_all = []
+        for pdf in pdfs:
+            col = pd.to_datetime(pdf[ts_col])
+            ts_all.extend((col.astype("int64") // 1_000_000_000).tolist())
+        ts_all.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        for t in ts_all:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap:
+                last, n = max(last, t), n + 1
+            else:
+                closed.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+        state.update((start, last, n))
+        yield pd.DataFrame(closed, columns=["key", "session_start", "session_end", "n_events"])
+
+    return events.groupBy(F.col(key_col).alias("key")).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "warc_ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch twin of sessionize_stateful (lag + running session counter):
+    returns ALL sessions, including each key's final one — the streaming
+    operator holds that one open in state."""
+    from pyspark.sql import Window
+
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    marked = events.select(
+        F.col(key_col).alias("key"), ts_s.alias("t")
+    ).withColumn(
+        "new_session",
+        F.when(F.col("t") - F.lag("t").over(Window.partitionBy("key").orderBy("t")) > gap_seconds, 1)
+        .otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_session").over(Window.partitionBy("key").orderBy("t"))
+    )
+    return sess.groupBy("key", "session_id").agg(
+        F.min("t").alias("session_start"),
+        F.max("t").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("session_id")
+
+
 def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"):
     """Drain everything currently available and stop (deterministic test /
     backfill trigger); the checkpoint makes re-runs incremental."""

@@ -59,3 +59,93 @@ def test_stream_windowed_tile_counts(spark, polygons, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert sum(r["doc_count"] for r in rows) > 0
     assert all(r["window_start"] is not None for r in rows)
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Custom stateful sessionization (applyInPandasWithState) == batch
+    twin for all CLOSED sessions, including sessions that span micro-batch
+    boundaries (second file drop continues a key's open session)."""
+    from datetime import datetime, timezone
+
+    from openaip_yaixm_to_geojson_spark.streaming.pages_stream import (
+        run_available_now,
+        sessionize_batch,
+        sessionize_stateful,
+    )
+
+    def ts(s):
+        return datetime.fromtimestamp(1704067200 + s, tz=timezone.utc)
+
+    GAP = 60
+    # key a: 3 sessions; key b: 2 sessions; session a2 spans the two drops
+    drop1 = [("a", ts(0)), ("a", ts(30)), ("a", ts(200)), ("b", ts(0)), ("b", ts(10))]
+    drop2 = [("a", ts(250)), ("a", ts(1000)), ("b", ts(500)), ("b", ts(520)), ("b", ts(9000))]
+    schema = "key string, warc_ts timestamp"
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    spark.createDataFrame(drop1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    run_available_now(sessionize_stateful(stream, gap_seconds=GAP), out_dir, ckpt)
+
+    spark.createDataFrame(drop2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    run_available_now(sessionize_stateful(stream, gap_seconds=GAP), out_dir, ckpt)
+
+    got = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch_all = sessionize_batch(
+        spark.createDataFrame(drop1 + drop2, schema), gap_seconds=GAP
+    ).collect()
+    # the stream holds each key's FINAL session open in state
+    last_start = {}
+    for r in batch_all:
+        last_start[r["key"]] = max(last_start.get(r["key"], -1), r["session_start"])
+    expected = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch_all
+        if r["session_start"] != last_start[r["key"]]
+    }
+    assert got == expected
+    # the cross-drop session (a: 200+250) must be ONE session of 2 events
+    assert ("a", 1704067200 + 200, 1704067200 + 250, 2) in got
+
+
+def test_rate_source_deterministic_content(spark):
+    """Rate-shaped ingestion: field values are a pure function of `value`
+    (wall-clock only controls arrival), verified against the batch
+    derivation for whatever rows arrive."""
+    import time
+
+    from openaip_yaixm_to_geojson_spark.sources.pages import _coord_sql
+    from openaip_yaixm_to_geojson_spark.streaming.pages_stream import stream_pages_rate
+
+    stream = stream_pages_rate(spark, rows_per_second=500)
+    assert stream.isStreaming
+    q = stream.writeStream.format("memory").queryName("rate_pages").outputMode("append").start()
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.sql("SELECT COUNT(*) c FROM rate_pages").first()["c"] >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM rate_pages").collect()
+    assert len(rows) >= 100
+    # recompute lat/lon/warc_ts from url with the batch expressions
+    from pyspark.sql import functions as F
+
+    urls = spark.createDataFrame([(r["url"],) for r in rows], "url string")
+    ref = {
+        r["url"]: (r["lat"], r["lon"], r["warc_ts"])
+        for r in urls.withColumn("uh", F.md5("url"))
+        .withColumn("lat", F.expr(_coord_sql("uh", "lat")))
+        .withColumn("lon", F.expr(_coord_sql("uh", "lon")))
+        .withColumn("warc_ts", F.timestamp_seconds(F.lit(1704067200) + F.xxhash64("url") % 31536000))
+        .collect()
+    }
+    for r in rows:
+        assert (r["lat"], r["lon"], r["warc_ts"]) == ref[r["url"]]
