@@ -101,3 +101,41 @@ def test_yaml_doc_source_roundtrip(spark):
         strict=True,
     )
     assert not geojson_matches(via_yaml, via_records)
+
+
+def test_unkink_selfpinned_goldens(spark):
+    """SELF-PINNED unkink regression goldens (tests/goldens/
+    unkink_selfpinned.json, minted once by tools/make_unkink_pins.py —
+    NOT reference-derived; they pin the ring-start convention and
+    largest-part selection of the fix pipeline). Both the driver twin and
+    the Spark geometry UDF must reproduce the pinned rings bit-exactly."""
+    import hashlib
+    import json
+
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.functions.convert_local import convert_blocks
+    from openaip_yaixm_to_geojson_spark.operators.convert import convert_airspaces
+    from openaip_yaixm_to_geojson_spark.sources.yaixm import airspaces_from_records
+
+    with open("tests/goldens/unkink_selfpinned.json") as fh:
+        pins = json.load(fh)
+
+    def digest(ring):
+        canon = ";".join(f"{float(x)!r},{float(y)!r}" for x, y in ring)
+        return hashlib.md5(canon.encode()).hexdigest()
+
+    blocks = [pin["block"] for pin in pins.values()]
+    local = convert_blocks(blocks, fix_geometries=True)
+    feats = (
+        convert_airspaces(airspaces_from_records(spark, blocks), fix_geometries=True)
+        .orderBy("block_idx")
+        .collect()
+    )
+    assert len(local) == len(feats) == len(pins)
+    for (name, pin), lf, sf in zip(pins.items(), local, feats):
+        assert len(lf["ring"]) == pin["n_ring_pts"], name
+        assert digest(lf["ring"]) == pin["ring_digest"], name
+        spark_ring = np.asarray(sf["ring"])
+        assert digest(spark_ring) == pin["ring_digest"], name
+        assert sf["valid"] and sf["fixed"], name
