@@ -107,18 +107,25 @@ def knn_ring_expansion(
     pages: DataFrame,
     polygons: list[dict[str, Any]],
     res: int = KNN_RES,
-    windows: tuple[tuple[int, int], ...] = ((0, 1), (2, 3), (4, 7), (8, 15)),
+    windows: tuple[tuple[int, int], ...] = ((0, 1), (2, 15)),
 ) -> DataFrame:
     """(url, poly_id, dist_sq) via iterative cell-ring expansion.
 
     Round r joins still-unfinalized pages against the vertex index over the
-    Chebyshev ring WINDOW [lo_r, hi_r] (the page side explodes its cell
-    neighborhood — the index side stays a clean equi-join key). Geometric
-    windows keep the number of driver-coordinated rounds at 4 instead of
-    one per ring; pages finalize once the guarantee (hi_r * size)^2 >=
-    best dist_sq holds (an unseen vertex in ring > hi_r is at least
-    hi_r * size away). Pages with nothing inside the last window fall back
-    to the exact vectorized scan.
+    Chebyshev ring WINDOW [lo_r, hi_r] (the index side explodes across the
+    window's offsets — the page side stays one row per page with a plain
+    equi-join). Pages finalize once the guarantee (hi_r * size)^2 >= best
+    dist_sq holds (an unseen vertex in ring > hi_r is at least hi_r * size
+    away). Pages with nothing inside the last window fall back to the exact
+    vectorized scan.
+
+    Window schedule: every driver round is a full barrier (join + agg +
+    checkpoint), so fewer/wider windows win whenever the expanded index
+    stays joinable — the default ((0,1),(2,15)) measured ~1.5x faster than
+    four geometric windows at bench scale with identical output. For very
+    dense vertex sets, more geometric windows bound per-round candidate
+    fan-out; past BROADCAST_INDEX_MAX_ROWS the wide round shuffle-joins
+    instead of broadcasting either way.
     """
     spark = pages.sparkSession
     vindex = vertex_index_df(spark, polygons, res)
