@@ -355,6 +355,19 @@ def q_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end to end: synthetic binary media table ->
+    bounded mapInPandas feature extraction. The deterministic fake decode
+    is md5/ascii arithmetic, so DuckDB recomputes it exactly; a real codec
+    slots in via the decoder argument without moving the plan."""
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    return extract_features(synth_media(spark, 500))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_cells": q_page_cells,
@@ -384,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -416,4 +430,5 @@ def oracle_sql() -> dict[str, str]:
         "quality": oracle.sql_quality(),
         "token_counts": oracle.sql_token_counts(),
         "fingerprint": oracle.sql_fingerprint(),
+        "multimodal_features": oracle.sql_multimodal_features(),
     }

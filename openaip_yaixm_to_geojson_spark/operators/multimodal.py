@@ -73,12 +73,17 @@ def synth_media(spark, n: int) -> DataFrame:
 
 def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic stand-in for a real decoder: 8-dim feature from the
-    payload bytes (mean/spread of byte windows)."""
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    payload bytes (mean of byte windows).
+
+    Arithmetic contract (oracle parity): each window mean is an exact
+    integer byte sum divided in FLOAT64, then rounded once to float32 —
+    identical to the DuckDB oracle's CAST(sum / 5.0 AS FLOAT) path
+    (float32-native accumulation would double-round differently)."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     if len(arr) == 0:
         return np.zeros(8, dtype=np.float32)
     chunks = np.array_split(arr, 8)
-    return np.asarray([float(c.mean()) for c in chunks], dtype=np.float32)
+    return np.asarray([c.mean() for c in chunks], dtype=np.float32)
 
 
 def extract_features(

@@ -644,6 +644,31 @@ def sql_token_counts() -> str:
     )
 
 
+def sql_multimodal_features(n: int = 500) -> str:
+    """Oracle for the multimodal PLUMBING: the synthetic media table and
+    the deterministic fake decode (operators/multimodal) are both pure
+    md5/ascii arithmetic, so the whole mapInPandas path is recomputable —
+    payload = 'payload-' || md5(id) (40 ascii bytes), feature[j] = mean of
+    byte window j (integer sum / 5.0, rounded once to FLOAT)."""
+    payload = "concat('payload-', md5(CAST(media_id AS VARCHAR)))"
+    feature_terms = []
+    for j in range(8):
+        s = " + ".join(f"ascii(substring(p, {j * 5 + k + 1}, 1))" for k in range(5))
+        feature_terms.append(f"CAST(({s}) / CAST(5.0 AS DOUBLE) AS FLOAT)")
+    feature = "[" + ", ".join(feature_terms) + "]"
+    return f"""
+WITH m AS (
+  SELECT UNNEST(generate_series(0, {n - 1})) AS media_id
+),
+p AS (
+  SELECT media_id,
+         CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         {payload} AS p
+  FROM m
+)
+SELECT media_id, kind, CAST(length(p) AS INTEGER) AS n_bytes, {feature} AS feature FROM p"""
+
+
 def sql_fingerprint() -> str:
     return (
         "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint "
