@@ -143,6 +143,16 @@ def q_tile_doc_counts(spark, sf_dir):
     return tile_doc_counts(pages, DEFAULT_TILE_RES)
 
 
+def q_tile_zoom_rollup(spark, sf_dir):
+    """Zoom-pyramid step: res-8 tile table re-aggregated 2 levels up by id
+    arithmetic only (no fact rescan)."""
+    from openaip_yaixm_to_geojson_spark.operators.tiles import tile_zoom_rollup
+
+    pages = pages_from_documents(spark, sf_dir)
+    tiles = tile_doc_counts(pages, DEFAULT_TILE_RES).drop("n_langs")
+    return tile_zoom_rollup(tiles, levels=2)
+
+
 def q_tile_class_rollup(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir)
     return tile_class_rollup(spatial_join(pages, fixture_polygons()), DEFAULT_TILE_RES)
@@ -314,6 +324,17 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(emb, queries_from_embeddings(emb, n=5), k=3, n_planes=2, dim=64)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (inverted centroid lists): graded against a deterministic
+    DuckDB self-oracle like ann_lsh; recall vs exact asserted in pytest."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import ivf_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_ann_topk(
+        emb, queries_from_embeddings(emb, n=5), k=3, n_centroids=16, n_probes=4, dim=64
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir), cosine_threshold=0.4, exact_all_pairs=True)
 
@@ -355,6 +376,14 @@ def q_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+def q_rolling_fingerprint(spark, sf_dir):
+    from openaip_yaixm_to_geojson_spark.operators.text import rolling_fingerprint_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", rolling_fingerprint_col(F.col("text")).alias("rolling_fp")
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end to end: synthetic binary media table ->
     bounded mapInPandas feature extraction. The deterministic fake decode
@@ -378,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "tile_doc_counts": q_tile_doc_counts,
         "tile_class_rollup": q_tile_class_rollup,
+        "tile_zoom_rollup": q_tile_zoom_rollup,
         "text_passthrough": q_text_passthrough,
         "sessionize": q_sessionize,
         "ceiling_parse": q_ceiling_parse,
@@ -391,12 +421,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "langid": q_langid,
         "quality": q_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -411,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": oracle.sql_knn(),
         "tile_doc_counts": oracle.sql_tile_doc_counts(),
         "tile_class_rollup": oracle.sql_tile_class_rollup(),
+        "tile_zoom_rollup": oracle.sql_tile_zoom_rollup(),
         "text_passthrough": oracle.sql_text_passthrough(),
         "sessionize": oracle.sql_sessionize(),
         "ceiling_parse": oracle.sql_ceiling_parse(),
@@ -424,11 +457,13 @@ def oracle_sql() -> dict[str, str]:
         "simhash": oracle.sql_simhash(),
         "ann_topk": oracle.sql_ann_topk(),
         "ann_lsh": oracle.sql_ann_lsh(n_planes=2),
+        "ann_ivf": oracle.sql_ann_ivf(),
         "embedding_neardup": oracle.sql_embedding_neardup(threshold=0.4),
         "embedding_neardup_lsh": oracle.sql_embedding_neardup_lsh(threshold=0.4, n_planes=4),
         "langid": oracle.sql_langid(),
         "quality": oracle.sql_quality(),
         "token_counts": oracle.sql_token_counts(),
         "fingerprint": oracle.sql_fingerprint(),
+        "rolling_fingerprint": oracle.sql_rolling_fingerprint(),
         "multimodal_features": oracle.sql_multimodal_features(),
     }

@@ -161,6 +161,96 @@ def lsh_ann_topk(
     )
 
 
+def ivf_centroids(dim: int, n_centroids: int) -> np.ndarray:
+    """Deterministic pseudo-random coarse-quantizer centroids, same md5
+    scheme as hyperplanes() (no RNG state, no training pass — a k-means
+    refinement would improve recall but break oracle determinism)."""
+    out = np.empty((n_centroids, dim), dtype=np.float64)
+    for i in range(n_centroids):
+        for j in range(dim):
+            digest = hashlib.md5(f"centroid-{i}-{j}".encode()).hexdigest()
+            out[i, j] = (int(digest[:8], 16) / float(0xFFFFFFFF)) * 2.0 - 1.0
+    return out
+
+
+def _centroid_dots(vec: Column, centroids: np.ndarray) -> list[Column]:
+    return [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in c]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+        for c in centroids
+    ]
+
+
+def ivf_assign_col(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid (max dot) list id, ties to the LOWEST centroid id —
+    pure expressions, zero shuffle on the corpus."""
+    dots = F.array(*_centroid_dots(vec, centroids))
+    # array_position returns the 1-based FIRST occurrence == lowest index
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest coarse
+    centroid (one expression pass, no shuffle); each query probes its
+    `n_probes` nearest centroid lists and re-ranks exactly inside them.
+
+    The inverted-list equi-join replaces the cross join — candidates per
+    query shrink ~n_centroids/n_probes-fold. Complements the hyperplane-LSH
+    variant: IVF partitions by region (good when vectors cluster), LSH by
+    direction."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    cents = ivf_centroids(dim, n_centroids)
+    corpus = embeddings.withColumn("cid", ivf_assign_col(F.col(vec_col), cents))
+    # query probe lists: top-n_probes centroids by dot desc, centroid-id asc
+    qdots = F.array(
+        *[
+            F.struct((-d).alias("nd"), F.lit(i).alias("cid"))
+            for i, d in enumerate(_centroid_dots(F.col("qvec"), cents))
+        ]
+    )
+    probes = (
+        queries.withColumn("_p", F.slice(F.sort_array(qdots), 1, n_probes))
+        .withColumn("cid", F.explode(F.transform(F.col("_p"), lambda s: s["cid"])))
+        .drop("_p")
+    )
+    scored = (
+        corpus.alias("e")
+        .join(F.broadcast(probes.alias("q")), "cid")
+        .where(F.col(f"q.{query_id_col}") != F.col(f"e.{id_col}"))
+        .select(
+            F.col(f"q.{query_id_col}").alias("query_id"),
+            F.col(f"e.{id_col}").alias("vec_id"),
+            dot_double(F.col(f"e.{vec_col}"), F.col("q.qvec")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("dot").cast("double").alias("dot"), "rank")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     cosine_threshold: float = 0.95,

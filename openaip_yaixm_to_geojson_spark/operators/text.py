@@ -85,6 +85,34 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+ROLLING_BASE = 31
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def rolling_fingerprint_col(text: Column) -> Column:
+    """Rabin-Karp-style rolling hash over words (the classic document
+    fingerprint): h = fold(h * B + v(word)) mod M, with v(word) = the first
+    8 hex digits of md5(word) as an integer.
+
+    Word-level (not char-level) keeps the fold O(words) inside codegen;
+    every step stays < 2^36 so ANSI-mode bigint arithmetic never overflows.
+    The identical fold runs on the DuckDB oracle (left fold == list_reduce
+    with the same seed handling)."""
+    words = F.split(F.trim(text), r"\s+")
+    # pre-mod the word values so the fold is identical whether the engine
+    # seeds with 0 (Spark aggregate) or the first element (DuckDB
+    # list_reduce): v may exceed M, v % M never does.
+    vals = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint") % F.lit(ROLLING_MOD),
+    )
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc * F.lit(ROLLING_BASE) + v) % F.lit(ROLLING_MOD),
+    )
+
+
 def analyze_documents(documents: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     ws_tokens, bpe_tokens = token_count_cols(text)

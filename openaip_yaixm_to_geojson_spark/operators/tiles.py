@@ -52,6 +52,36 @@ def tile_class_rollup(join_out: DataFrame, res: int = DEFAULT_TILE_RES) -> DataF
     )
 
 
+def parent_tile_col(tile: F.Column, levels: int = 1) -> F.Column:
+    """Parent cell id `levels` resolutions up, by pure integer arithmetic on
+    the packed (res, y, x) id — the hierarchical-grid analogue of
+    h3_to_parent. _SHIFT is 2^29, so unpacking is exact shift/mask bigint
+    ops (ids approach 2^63; float division would round)."""
+    mask = F.lit(cellgrid._SHIFT - 1)
+    shift = F.lit(cellgrid._SHIFT)
+    x = tile.bitwiseAND(mask)
+    y = F.shiftright(tile, 29).bitwiseAND(mask)
+    res = F.shiftright(tile, 58)
+    return ((res - levels) * shift + F.shiftright(y, levels)) * shift + F.shiftright(x, levels)
+
+
+def tile_zoom_rollup(tiles: DataFrame, levels: int = 1) -> DataFrame:
+    """Re-aggregate an EXISTING per-tile table to a coarser zoom without
+    rescanning the fact table: children map to parents by id arithmetic
+    (2^levels x 2^levels children per parent), then one small shuffle on
+    the parent key. This is how zoom pyramids are built at 100 TB — the
+    fact scan happens once at the finest res, every coarser level costs
+    only a tiles-sized aggregation."""
+    return (
+        tiles.withColumn("tile_id", parent_tile_col(F.col("tile_id"), levels))
+        .groupBy("tile_id")
+        .agg(
+            F.sum("doc_count").alias("doc_count"),
+            F.sum("total_chars").alias("total_chars"),
+        )
+    )
+
+
 def polygon_raster(spark: SparkSession, polygons: list[dict[str, Any]], res: int = DEFAULT_TILE_RES) -> DataFrame:
     """Vector -> raster: rasterize polygons onto the tile grid (one row per
     covering tile per polygon). The inverse direction (raster -> vector) is

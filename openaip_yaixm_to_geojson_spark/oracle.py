@@ -147,6 +147,29 @@ def sql_tile_doc_counts(res: int = DEFAULT_TILE_RES) -> str:
     )
 
 
+def sql_tile_zoom_rollup(res: int = DEFAULT_TILE_RES, levels: int = 2) -> str:
+    """Child tiles re-aggregated to their parent via exact shift/mask
+    arithmetic on the packed (res, y, x) id — same ops as
+    operators/tiles.parent_tile_col."""
+    S = 536870912  # 2^29
+    parent = (
+        f"((((tile_id >> 58) - {levels}) * {S} + (((tile_id >> 29) & {S - 1}) >> {levels})) * {S}"
+        f" + ((tile_id & {S - 1}) >> {levels}))"
+    )
+    return f"""
+WITH {pages_with()},
+t AS (
+  SELECT {cell_id_sql('lon', 'lat', res)} AS tile_id,
+         COUNT(*) AS doc_count,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+  FROM pages GROUP BY 1
+)
+SELECT {parent} AS tile_id,
+       CAST(SUM(doc_count) AS BIGINT) AS doc_count,
+       CAST(SUM(total_chars) AS BIGINT) AS total_chars
+FROM t GROUP BY 1"""
+
+
 def sql_tile_class_rollup(res: int = DEFAULT_TILE_RES) -> str:
     return (
         f"WITH {pages_with()}, {pip_hits_cte()} "
@@ -561,6 +584,55 @@ FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dsum DESC
 WHERE rank <= {k}"""
 
 
+def sql_ann_ivf(
+    n_queries: int = 5, k: int = 3, dim: int = 64, n_centroids: int = 16, n_probes: int = 4
+) -> str:
+    """IVF ANN self-oracle: centroids are md5-derived
+    (operators/similarity.ivf_centroids), so corpus list assignment
+    (argmax dot, lowest-id tie-break), query probe lists (top n_probes by
+    dot desc, id asc) and the in-list re-rank are all mechanical SQL."""
+    from .operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_centroids)
+
+    def dot_lit(vec: str, c) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ({_plane_list(c)})[j]), (x, y) -> x + y)"
+        )
+
+    d_cols = ", ".join(f"{dot_lit('embedding', c)} AS d{i}" for i, c in enumerate(cents))
+    g = "GREATEST(" + ", ".join(f"d{i}" for i in range(n_centroids)) + ")"
+    argmax = "CASE " + " ".join(f"WHEN d{i} = g THEN {i}" for i in range(n_centroids)) + " END"
+    cent_values = ",".join(f"({i}, {_plane_list(c)})" for i, c in enumerate(cents))
+    qdot = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"j -> CAST(a.embedding[j] AS DOUBLE) * c.w[j]), (x, y) -> x + y)"
+    )
+    rdot = _dot_expr("e.embedding", "p.qvec", dim)
+    return f"""
+WITH d AS (SELECT vec_id, embedding, {d_cols} FROM embeddings),
+assigned AS (
+  SELECT vec_id, embedding, CAST({argmax} AS INTEGER) AS cid
+  FROM (SELECT *, {g} AS g FROM d)
+),
+probes AS (
+  SELECT query_id, qvec, cid FROM (
+    SELECT a.vec_id AS query_id, a.embedding AS qvec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {qdot} DESC, c.cid) AS rn
+    FROM embeddings a, (VALUES {cent_values}) AS c(cid, w)
+    WHERE a.vec_id < {n_queries}
+  ) WHERE rn <= {n_probes}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id, {rdot} AS dsum
+  FROM assigned e JOIN probes p ON e.cid = p.cid AND e.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, CAST(dsum AS DOUBLE) AS dot, rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dsum DESC, vec_id) AS INTEGER) AS rank FROM scored)
+WHERE rank <= {k}"""
+
+
 def sql_embedding_neardup_lsh(threshold: float = 0.6, dim: int = 64, n_planes: int = 8) -> str:
     """Scale-path (bucketed) near-dup oracle: candidates limited to pairs
     sharing an LSH bucket, cosine recomputed with the same left-fold dots as
@@ -642,6 +714,29 @@ def sql_token_counts() -> str:
         f"SELECT doc_id, CAST(len({_WORDS}) AS INTEGER) AS n_tokens_ws, "
         f"CAST({pieces} AS INTEGER) AS n_tokens_bpe FROM documents"
     )
+
+
+def sql_rolling_fingerprint() -> str:
+    """Word-level Rabin-Karp rolling hash, identical fold to
+    operators/text.rolling_fingerprint_col (values pre-modded so the
+    no-seed list_reduce matches Spark's zero-seeded aggregate)."""
+    from .operators.text import ROLLING_BASE, ROLLING_MOD
+
+    hexval = (
+        "CAST((CASE WHEN ascii(substring(md5(w), {i}, 1)) >= 97 "
+        "THEN ascii(substring(md5(w), {i}, 1)) - 87 "
+        "ELSE ascii(substring(md5(w), {i}, 1)) - 48 END) AS BIGINT)"
+    )
+    v = " + ".join(f"{hexval.format(i=k + 1)} * CAST({16 ** (7 - k)} AS BIGINT)" for k in range(8))
+    return f"""
+WITH vals AS (
+  SELECT doc_id,
+         list_transform({_WORDS}, w -> CAST(({v}) AS BIGINT) % {ROLLING_MOD}) AS vs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_reduce(vs, (x, y) -> (x * {ROLLING_BASE} + y) % {ROLLING_MOD}) AS BIGINT) AS rolling_fp
+FROM vals"""
 
 
 def sql_multimodal_features(n: int = 500) -> str:
