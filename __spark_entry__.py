@@ -291,14 +291,14 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_minhash_signatures(spark, sf_dir):
     from openaip_yaixm_to_geojson_spark.operators.dedup import (
-        minhash_from_shingles,
+        minhash_from_hashes,
         shingled_documents,
     )
 
     shingled = shingled_documents(_docs(spark, sf_dir))
     return shingled.select(
         F.col("key").alias("doc_id"),
-        F.concat_ws("|", minhash_from_shingles(F.col("shingles"))).alias("signature"),
+        F.concat_ws("|", minhash_from_hashes(F.col("sh_hashes"))).alias("signature"),
     )
 
 

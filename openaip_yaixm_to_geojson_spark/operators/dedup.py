@@ -52,53 +52,85 @@ def exact_dedup(documents: DataFrame, text_col: str = "text", key_col: str = "do
     )
 
 
-def minhash_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature (array of `num_hashes` 16-hex-char minima) from an
-    ALREADY-MATERIALIZED shingles column.
+MINHASH_P = 2_147_483_647  # 2^31 - 1: keeps a*x + b < 2^62 under ANSI mode
 
-    Hash family h_j(s) = md5(s || '#j') prefix; the minimum over a
-    document's shingle set is a classic MinHash (string order == unsigned
-    order on same-length hex). Identical SQL runs on the DuckDB oracle.
 
-    IMPORTANT: pass a bound column (from a cached/checkpointed projection),
-    not the word_shingles(...) expression — each of the `num_hashes`
-    array_min terms re-evaluates its input expression per row, which turns
-    an inlined shingle build into a 16x blowup.
+def minhash_params(num_hashes: int = 16) -> list[tuple[int, int]]:
+    """Deterministic affine-family parameters (a_j, b_j), md5-derived like
+    every other synthetic constant in the engine (no RNG state)."""
+    import hashlib
+
+    out = []
+    for j in range(num_hashes):
+        a = int(hashlib.md5(f"minhash-a-{j}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"minhash-b-{j}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def shingle_hash_col(shingles: Column) -> Column:
+    """One 31-bit base hash per shingle (md5 evaluated ONCE per shingle):
+    x = int(md5(s)[:8], 16) % P."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint") % F.lit(MINHASH_P),
+    )
+
+
+def minhash_from_hashes(shingle_hashes: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature (array of bigint minima) from an
+    ALREADY-MATERIALIZED base-hash column.
+
+    Universal affine family h_j(x) = (a_j*x + b_j) mod P over the single
+    md5-derived base hash — one digest per shingle instead of one per
+    (shingle, j), which is what makes signatures ~num_hashes x cheaper
+    than the md5-per-hash formulation. The affine re-evaluation per j is
+    plain integer arithmetic on a bound column, so the HOF re-evaluation
+    trap costs nothing here; the md5 must still live in a materialized
+    (persisted) projection.
     """
     return F.array(
         *[
             F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s: F.substring(F.md5(F.concat(s, F.lit(f"#{j}"))), 1, 16),
-                )
+                F.transform(shingle_hashes, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P))
             )
-            for j in range(num_hashes)
+            for a, b in minhash_params(num_hashes)
         ]
     )
 
 
+def minhash_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
+    """Signature straight from a shingles column. Fine on a materialized
+    shingles projection at moderate width; the pipelines below pre-compute
+    `shingle_hash_col` in the persisted projection instead so the md5 runs
+    exactly once per shingle."""
+    return minhash_from_hashes(shingle_hash_col(shingles), num_hashes)
+
+
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
     """Convenience wrapper: signature straight from text. Prefer the
-    shingled-table + minhash_from_shingles path in pipelines (see
-    minhash_lsh_pairs) — this inline form re-evaluates the shingle build
-    once per hash."""
+    shingled-table path in pipelines (see minhash_lsh_pairs) — this inline
+    form re-evaluates the shingle build per hash."""
     return minhash_from_shingles(word_shingles(text, shingle_n), num_hashes)
 
 
 def shingled_documents(
     documents: DataFrame, text_col: str = "text", key_col: str = "doc_id", shingle_n: int = 3
 ) -> DataFrame:
-    """(key, shingles) with the shingle arrays materialized (cached) so all
-    downstream MinHash/Jaccard consumers compute them exactly once. At
-    cluster scale MEMORY_AND_DISK spills; recomputing 16x is strictly
-    worse."""
+    """(key, shingles, sh_hashes) with both arrays materialized (cached) so
+    downstream MinHash/Jaccard consumers compute shingles and their md5
+    base hashes exactly once. At cluster scale MEMORY_AND_DISK spills;
+    recomputing num_hashes x is strictly worse."""
     from pyspark.storagelevel import StorageLevel
 
-    shingled = documents.select(
-        F.col(key_col).alias("key"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    shingled = (
+        documents.select(
+            F.col(key_col).alias("key"),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+        .withColumn("sh_hashes", shingle_hash_col(F.col("shingles")))
+    )
     return shingled.persist(StorageLevel.MEMORY_AND_DISK)
 
 
@@ -132,7 +164,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     shingled = shingled_documents(documents, text_col, key_col, shingle_n)
     sigs = shingled.select(
-        "key", minhash_from_shingles(F.col("shingles"), num_hashes).alias("sig")
+        "key", minhash_from_hashes(F.col("sh_hashes"), num_hashes).alias("sig")
     )
     # candidate generation joins on (band_idx, band_key) with KEYS ONLY —
     # hot bands fan out, so the wide shingle arrays must not ride through
@@ -171,8 +203,8 @@ def minhash_signatures_pandas(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Arrow-batched Python MinHash (hashlib.md5) — identical signatures to
-    the expression-based path (same hash family md5(shingle + '#j')), kept
-    as the throughput comparison point for bench: JVM expressions vs
+    the expression-based path (same base hash + affine family), kept as
+    the throughput comparison point for bench: JVM expressions vs
     vectorized Python."""
     import hashlib
 
@@ -184,7 +216,7 @@ def minhash_signatures_pandas(
             T.StructField("signature", T.StringType()),
         ]
     )
-    salts = [f"#{j}".encode() for j in range(num_hashes)]
+    params = minhash_params(num_hashes)
 
     def run(batches):
         import pandas as pd
@@ -199,10 +231,8 @@ def minhash_signatures_pandas(
                     " ".join(words[i : i + shingle_n]).encode()
                     for i in range(len(words) - shingle_n + 1)
                 }
-                sig = [
-                    min(hashlib.md5(s + salt).hexdigest()[:16] for s in shingles)
-                    for salt in salts
-                ]
+                xs = [int(hashlib.md5(s).hexdigest()[:8], 16) % MINHASH_P for s in shingles]
+                sig = [str(min((a * x + b) % MINHASH_P for x in xs)) for a, b in params]
                 keys.append(key)
                 sigs.append("|".join(sig))
             yield pd.DataFrame({"key": keys, "signature": sigs})

@@ -441,13 +441,36 @@ SHINGLES_EXPR = (
 )
 
 
+def _hex8_sql(arg: str) -> str:
+    """BIGINT value of the first 8 hex chars of md5(arg) — ascii arithmetic
+    (DuckDB has no hex-string-to-int conversion shared with Spark conv)."""
+    hexval = (
+        f"CAST((CASE WHEN ascii(substring(md5({arg}), {{i}}, 1)) >= 97 "
+        f"THEN ascii(substring(md5({arg}), {{i}}, 1)) - 87 "
+        f"ELSE ascii(substring(md5({arg}), {{i}}, 1)) - 48 END) AS BIGINT)"
+    )
+    return "(" + " + ".join(
+        f"{hexval.format(i=k + 1)} * CAST({16 ** (7 - k)} AS BIGINT)" for k in range(8)
+    ) + ")"
+
+
+def _minhash_hashes_expr() -> str:
+    """Base hashes: one md5 per shingle, x = hex8(md5(s)) % P — identical
+    to operators/dedup.shingle_hash_col."""
+    from .operators.dedup import MINHASH_P
+
+    return f"list_transform(shingles, s -> {_hex8_sql('s')} % {MINHASH_P})"
+
+
 def _minhash_exprs(num_hashes: int = 16) -> list[str]:
+    from .operators.dedup import MINHASH_P, minhash_params
+
     return [
         (
-            "list_aggregate(list_transform(shingles, "
-            f"s -> substring(md5(concat(s, '#{j}')), 1, 16)), 'min')"
+            f"list_aggregate(list_transform(hs, x -> (CAST({a} AS BIGINT) * x "
+            f"+ CAST({b} AS BIGINT)) % {MINHASH_P}), 'min')"
         )
-        for j in range(num_hashes)
+        for a, b in minhash_params(num_hashes)
     ]
 
 
@@ -456,7 +479,8 @@ def sql_minhash_signatures(num_hashes: int = 16) -> str:
     cols = ", ".join(f"h{j}" for j in range(num_hashes))
     return f"""
 WITH sh AS (SELECT doc_id, {SHINGLES_EXPR} AS shingles FROM documents),
-sig AS (SELECT doc_id, {sig} FROM sh WHERE len(shingles) > 0)
+hashed AS (SELECT doc_id, {_minhash_hashes_expr()} AS hs FROM sh WHERE len(shingles) > 0),
+sig AS (SELECT doc_id, {sig} FROM hashed)
 SELECT doc_id, concat_ws('|', {cols}) AS signature FROM sig"""
 
 
@@ -468,7 +492,8 @@ def sql_minhash_lsh_pairs(
     sig_list = "[" + ", ".join(f"h{j}" for j in range(num_hashes)) + "]"
     return f"""
 WITH sh AS (SELECT doc_id AS key, {SHINGLES_EXPR} AS shingles FROM documents),
-sig AS (SELECT key, shingles, {sig_exprs} FROM sh WHERE len(shingles) > 0),
+hashed AS (SELECT key, shingles, {_minhash_hashes_expr()} AS hs FROM sh WHERE len(shingles) > 0),
+sig AS (SELECT key, shingles, {sig_exprs} FROM hashed),
 banded AS (
   SELECT key, shingles, b.band_idx,
          array_to_string(({sig_list})[b.band_idx * {rows_per_band} + 1 : (b.band_idx + 1) * {rows_per_band}], '|') AS band_key

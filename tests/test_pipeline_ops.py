@@ -32,7 +32,12 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
         ngram_jaccard_pairs,
     )
 
-    pairs = {(r["key_a"], r["key_b"]): r["jaccard"] for r in minhash_lsh_pairs(docs, jaccard_threshold=0.4).collect()}
+    # banding matched to the threshold: 16 bands x 1 row has high recall at
+    # J >= 0.4 (the default 8x2 S-curve targets J >= ~0.7)
+    pairs = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.4, bands=16).collect()
+    }
     assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
     assert (0, 2) in pairs or (1, 2) in pairs  # near dup shares most shingles
     assert all(a < b for a, b in pairs)
