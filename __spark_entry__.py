@@ -306,6 +306,16 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components (cluster_id = min reachable
+    key; singletons included). Iterative min-label propagation vs the
+    oracle's recursive transitive closure."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import duplicate_clusters
+
+    docs = _docs(spark, sf_dir)
+    return duplicate_clusters(minhash_lsh_pairs(docs, jaccard_threshold=0.5), documents=docs)
+
+
 def q_simhash(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", simhash16(F.col("text")).alias("simhash"))
 
@@ -418,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -454,6 +465,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle.sql_dedup_exact(),
         "minhash_signatures": oracle.sql_minhash_signatures(),
         "minhash_lsh_pairs": oracle.sql_minhash_lsh_pairs(),
+        "dedup_clusters": oracle.sql_dedup_clusters(),
         "simhash": oracle.sql_simhash(),
         "ann_topk": oracle.sql_ann_topk(),
         "ann_lsh": oracle.sql_ann_lsh(n_planes=2),

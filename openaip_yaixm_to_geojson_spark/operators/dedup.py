@@ -270,6 +270,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    documents: DataFrame | None = None,
+    key_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every key gets
+    cluster_id = the smallest key reachable through the pair graph (the
+    canonical representative; keep rows where key == cluster_id to dedup).
+
+    Iterative min-label propagation — each round joins current labels to
+    the symmetric edge list, takes the neighborhood minimum, and stops when
+    no label changed. Rounds needed = graph diameter, which for near-dup
+    graphs is tiny (dup clusters are dense cliques-ish); each round is one
+    shuffle join + one aggregation on the (small) node set, with lineage
+    cut by localCheckpoint. `documents` (optional) adds isolated docs as
+    singleton clusters.
+
+    Returns (key, cluster_id)."""
+    edges = pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+    edges = edges.union(
+        pairs.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst"))
+    ).localCheckpoint()
+    nodes = edges.select(F.col("src").alias("key")).distinct()
+    if documents is not None:
+        nodes = documents.select(F.col(key_col).alias("key")).union(nodes).distinct()
+    labels = nodes.select("key", F.col("key").alias("cluster_id")).localCheckpoint()
+
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.key)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.key == neighbor_min.dst, "left")
+            .select(
+                "key",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "new_cluster_id"
+                ),
+                F.col("cluster_id"),
+            )
+        ).localCheckpoint()
+        if updated.where(F.col("new_cluster_id") != F.col("cluster_id")).isEmpty():
+            return updated.select("key", F.col("cluster_id"))
+        labels = updated.select("key", F.col("new_cluster_id").alias("cluster_id"))
+    return labels
+
+
 # hex digit sets with bit j set (j = 0 is the LEAST significant bit of the
 # hex digit) — lets SQL test md5 bits without bit-twiddling functions.
 _HEX_BIT = [

@@ -510,6 +510,25 @@ FROM cands
 WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= {jaccard_threshold!r}"""
 
 
+def sql_dedup_clusters(
+    num_hashes: int = 16, bands: int = 8, jaccard_threshold: float = 0.5
+) -> str:
+    """Connected components over the MinHash near-dup pairs (plus all docs
+    as singletons): cluster_id = MIN reachable doc_id, computed with a
+    recursive transitive-closure CTE — independent of the engine's
+    iterative label propagation."""
+    pairs = sql_minhash_lsh_pairs(num_hashes, bands, jaccard_threshold)
+    return f"""
+WITH RECURSIVE p AS ({pairs}),
+e AS (SELECT key_a AS src, key_b AS dst FROM p UNION ALL SELECT key_b, key_a FROM p),
+walk(k, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.k
+)
+SELECT k AS key, MIN(label) AS cluster_id FROM walk GROUP BY k"""
+
+
 _HEX_BIT_SQL = [
     "('1','3','5','7','9','b','d','f')",
     "('2','3','6','7','a','b','e','f')",

@@ -291,3 +291,17 @@ def test_tile_zoom_rollup_matches_direct(spark):
         for r in tile_doc_counts(pages, res=6).drop("n_langs").collect()
     }
     assert via_parents == direct and len(direct) > 0
+
+
+def test_duplicate_clusters(spark):
+    """Label propagation finds components on a chain, a triangle, and
+    leaves singletons alone — and converges past diameter > 1."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, singleton 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)], "key_a bigint, key_b bigint"
+    )
+    docs = spark.createDataFrame([(k,) for k in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id bigint")
+    got = {r["key"]: r["cluster_id"] for r in duplicate_clusters(pairs, documents=docs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
