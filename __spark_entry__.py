@@ -386,6 +386,30 @@ def q_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+def q_sample(spark, sf_dir):
+    from openaip_yaixm_to_geojson_spark.operators.text import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), 0.25).select("doc_id", "lang")
+
+
+def q_corpus_clean(spark, sf_dir):
+    """Composed training-data pipeline: quality filter -> exact-dup
+    representative -> deterministic 50% sample -> fingerprint + tokens."""
+    from openaip_yaixm_to_geojson_spark.operators.text import (
+        deterministic_sample,
+        quality_struct,
+    )
+
+    docs = _docs(spark, sf_dir)
+    filtered = docs.where(quality_struct(F.col("text"))["quality_score"] >= 0.7)
+    reps = exact_dedup(filtered).select(F.col("representative").alias("doc_id"))
+    survivors = filtered.join(reps, "doc_id")
+    ws, _bpe = token_count_cols(F.col("text"))
+    return deterministic_sample(survivors, 0.5).select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint"), ws.alias("n_tokens_ws")
+    )
+
+
 def q_rolling_fingerprint(spark, sf_dir):
     from openaip_yaixm_to_geojson_spark.operators.text import rolling_fingerprint_col
 
@@ -440,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "rolling_fingerprint": q_rolling_fingerprint,
+        "sample": q_sample,
+        "corpus_clean": q_corpus_clean,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -477,5 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracle.sql_token_counts(),
         "fingerprint": oracle.sql_fingerprint(),
         "rolling_fingerprint": oracle.sql_rolling_fingerprint(),
+        "sample": oracle.sql_sample(),
+        "corpus_clean": oracle.sql_corpus_clean(),
         "multimodal_features": oracle.sql_multimodal_features(),
     }

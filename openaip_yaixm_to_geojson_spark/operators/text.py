@@ -113,6 +113,28 @@ def rolling_fingerprint_col(text: Column) -> Column:
     )
 
 
+SAMPLE_BUCKETS = 1_000_000
+
+
+def sample_hash_col(key: Column) -> Column:
+    """Deterministic per-row sampling bucket in [0, 1e6): md5-derived, so
+    the SAME rows are kept at any parallelism, on re-runs, and in the
+    DuckDB oracle (Spark's df.sample is seed+partition dependent — useless
+    for reproducible corpus construction)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint") % F.lit(
+        SAMPLE_BUCKETS
+    )
+
+
+def deterministic_sample(
+    documents: DataFrame, fraction: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep rows whose md5 bucket falls under `fraction` — a reproducible,
+    cluster-size-independent Bernoulli sample keyed on content identity."""
+    threshold = int(round(fraction * SAMPLE_BUCKETS))
+    return documents.where(sample_hash_col(F.col(key_col)) < threshold)
+
+
 def analyze_documents(documents: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     ws_tokens, bpe_tokens = token_count_cols(text)

@@ -732,7 +732,7 @@ g AS (SELECT *, {gmax} AS gmax FROM h)
 SELECT doc_id, lang, (CASE {case} END) AS lang_pred FROM g"""
 
 
-def sql_quality() -> str:
+def _quality_parts() -> dict[str, str]:
     n_chars = "CAST(length(text) AS DOUBLE)"
     n_words = f"CAST(len({_WORDS}) AS DOUBLE)"
     mean_wl = f"(CASE WHEN {n_words} > 0 THEN ({n_chars} - ({n_words} - 1)) / {n_words} ELSE CAST(0 AS DOUBLE) END)"
@@ -745,11 +745,55 @@ def sql_quality() -> str:
         f" + CASE WHEN {punct_r} <= CAST(0.1 AS DOUBLE) THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
         f" + CASE WHEN {digit_r} <= CAST(0.2 AS DOUBLE) THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
     )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_wl": mean_wl,
+        "punct_r": punct_r,
+        "digit_r": digit_r,
+        "score": score,
+    }
+
+
+def sql_quality() -> str:
+    p = _quality_parts()
+    n_chars, n_words, mean_wl, punct_r, digit_r, score = (
+        p["n_chars"], p["n_words"], p["mean_wl"], p["punct_r"], p["digit_r"], p["score"],
+    )
     return (
         f"SELECT doc_id, CAST({n_chars} AS BIGINT) AS n_chars, CAST({n_words} AS BIGINT) AS n_words, "
         f"{mean_wl} AS mean_word_len, {punct_r} AS punct_ratio, {digit_r} AS digit_ratio, "
         f"{score} AS quality_score FROM documents"
     )
+
+
+def sql_sample(fraction: float = 0.25) -> str:
+    """Deterministic md5-bucket Bernoulli sample (operators/text.
+    deterministic_sample): identical keep-set in both engines."""
+    from .operators.text import SAMPLE_BUCKETS
+
+    threshold = int(round(fraction * SAMPLE_BUCKETS))
+    bucket = f"{_hex8_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_BUCKETS}"
+    return f"SELECT doc_id, lang FROM documents WHERE {bucket} < {threshold}"
+
+
+def sql_corpus_clean(quality_min: float = 0.7, sample_fraction: float = 0.5) -> str:
+    """End-to-end corpus construction: quality filter -> exact-dup
+    representative -> deterministic sample -> fingerprint + token count.
+    One composed SQL recomputing the whole pipeline."""
+    from .operators.text import SAMPLE_BUCKETS
+
+    score = _quality_parts()["score"]
+    threshold = int(round(sample_fraction * SAMPLE_BUCKETS))
+    bucket = f"{_hex8_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_BUCKETS}"
+    return f"""
+WITH f AS (SELECT doc_id, text FROM documents WHERE {score} >= {quality_min!r}),
+reps AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+s AS (SELECT f.doc_id, f.text FROM f JOIN reps USING (doc_id))
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       CAST(len({_WORDS}) AS INTEGER) AS n_tokens_ws
+FROM s WHERE {bucket} < {threshold}"""
 
 
 def sql_token_counts() -> str:

@@ -305,3 +305,18 @@ def test_duplicate_clusters(spark):
     docs = spark.createDataFrame([(k,) for k in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id bigint")
     got = {r["key"]: r["cluster_id"] for r in duplicate_clusters(pairs, documents=docs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_deterministic_sample(spark):
+    """Same keep-set on re-run and across fractions (bucket monotonicity):
+    the 10% sample is a subset of the 25% sample, sizes are in range."""
+    from openaip_yaixm_to_geojson_spark.operators.text import deterministic_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    s10 = {r["doc_id"] for r in deterministic_sample(docs, 0.10).select("doc_id").collect()}
+    s25 = {r["doc_id"] for r in deterministic_sample(docs, 0.25).select("doc_id").collect()}
+    again = {r["doc_id"] for r in deterministic_sample(docs, 0.25).select("doc_id").collect()}
+    assert s25 == again
+    assert s10 <= s25
+    assert 0 < len(s10) < len(s25) < n
