@@ -181,6 +181,27 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(events, gap_seconds=500_000)
 
 
+def q_events_sessions(spark, sf_dir):
+    from openaip_yaixm_to_geojson_spark.operators.events import events_from_dir, user_sessions
+
+    return user_sessions(events_from_dir(spark, sf_dir))
+
+
+def q_events_windows(spark, sf_dir):
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        event_type_windows,
+        events_from_dir,
+    )
+
+    return event_type_windows(events_from_dir(spark, sf_dir))
+
+
+def q_events_json(spark, sf_dir):
+    from openaip_yaixm_to_geojson_spark.operators.events import events_from_dir, props_k_stats
+
+    return props_k_stats(events_from_dir(spark, sf_dir))
+
+
 def q_ceiling_parse(spark, sf_dir):
     df = spark.createDataFrame([(s,) for s in oracle.CEILING_SAMPLES], "ceiling string")
     c = ceiling_struct(F.col("ceiling"))
@@ -444,6 +465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_zoom_rollup": q_tile_zoom_rollup,
         "text_passthrough": q_text_passthrough,
         "sessionize": q_sessionize,
+        "events_sessions": q_events_sessions,
+        "events_windows": q_events_windows,
+        "events_json": q_events_json,
         "ceiling_parse": q_ceiling_parse,
         "class_type_mapping": q_class_type_mapping,
         "airspace_features": q_airspace_features,
@@ -483,6 +507,9 @@ def oracle_sql() -> dict[str, str]:
         "tile_zoom_rollup": oracle.sql_tile_zoom_rollup(),
         "text_passthrough": oracle.sql_text_passthrough(),
         "sessionize": oracle.sql_sessionize(),
+        "events_sessions": oracle.sql_events_sessions(),
+        "events_windows": oracle.sql_event_type_windows(),
+        "events_json": oracle.sql_props_k_stats(),
         "ceiling_parse": oracle.sql_ceiling_parse(),
         "class_type_mapping": oracle.sql_class_type_mapping(),
         "airspace_features": oracle.sql_airspace_features(),

@@ -205,6 +205,42 @@ SELECT key, MIN(t) AS session_start, MAX(t) AS session_end,
 FROM s GROUP BY key, sid"""
 
 
+def sql_events_sessions(gap_seconds: int = 1800) -> str:
+    """Per-user gap sessions over the events table (epoch seconds via
+    floor(epoch(ts)) — Spark's unix_timestamp floors the same way)."""
+    return f"""WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+),
+m AS (
+  SELECT key, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY key ORDER BY t) > {gap_seconds}
+              THEN 1 ELSE 0 END AS ns
+  FROM ev
+),
+s AS (SELECT key, t, SUM(ns) OVER (PARTITION BY key ORDER BY t) AS sid FROM m)
+SELECT key, MIN(t) AS session_start, MAX(t) AS session_end, COUNT(*) AS n_events
+FROM s GROUP BY key, sid"""
+
+
+def sql_event_type_windows(window_seconds: int = 3600) -> str:
+    return f"""WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT e - e % {window_seconds} AS window_start, event_type,
+       COUNT(*) AS n_events, CAST(SUM(v) AS DECIMAL(38,2)) AS total_value
+FROM ev GROUP BY 1, 2"""
+
+
+def sql_props_k_stats() -> str:
+    return """SELECT event_type, COUNT(*) AS n_events,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
+FROM events GROUP BY event_type"""
+
+
 # ---------------------------------------------------------------------------
 # converter oracles
 # ---------------------------------------------------------------------------

@@ -320,3 +320,26 @@ def test_deterministic_sample(spark):
     assert s25 == again
     assert s10 <= s25
     assert 0 < len(s10) < len(s25) < n
+
+
+def test_events_operators(spark):
+    """Events surface: sessions partition the events exactly, windows sum
+    to the table total, JSON k-range is sane."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        event_type_windows,
+        events_from_dir,
+        props_k_stats,
+        user_sessions,
+    )
+
+    ev = events_from_dir(spark, "/root/testdata/sf0.001")
+    n = ev.count()
+    sessions = user_sessions(ev, gap_seconds=1800).collect()
+    assert sum(r["n_events"] for r in sessions) == n
+    assert all(r["session_start"] <= r["session_end"] for r in sessions)
+    windows = event_type_windows(ev).collect()
+    assert sum(r["n_events"] for r in windows) == n
+    assert all(r["window_start"] % 3600 == 0 for r in windows)
+    stats = {r["event_type"]: r for r in props_k_stats(ev).collect()}
+    assert sum(r["n_events"] for r in stats.values()) == n
+    assert all(r["k_min"] <= r["k_max"] for r in stats.values())
