@@ -181,6 +181,25 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(events, gap_seconds=500_000)
 
 
+def q_tpch_pricing_summary(spark, sf_dir):
+    from openaip_yaixm_to_geojson_spark.operators.relational import pricing_summary, table
+
+    return pricing_summary(table(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_segment_topk(spark, sf_dir):
+    from openaip_yaixm_to_geojson_spark.operators.relational import (
+        segment_revenue_topk,
+        table,
+    )
+
+    return segment_revenue_topk(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     from openaip_yaixm_to_geojson_spark.operators.events import events_from_dir, user_sessions
 
@@ -468,6 +487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_windows": q_events_windows,
         "events_json": q_events_json,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_segment_topk": q_tpch_segment_topk,
         "ceiling_parse": q_ceiling_parse,
         "class_type_mapping": q_class_type_mapping,
         "airspace_features": q_airspace_features,
@@ -510,6 +531,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": oracle.sql_events_sessions(),
         "events_windows": oracle.sql_event_type_windows(),
         "events_json": oracle.sql_props_k_stats(),
+        "tpch_pricing_summary": oracle.sql_pricing_summary(),
+        "tpch_segment_topk": oracle.sql_segment_revenue_topk(),
         "ceiling_parse": oracle.sql_ceiling_parse(),
         "class_type_mapping": oracle.sql_class_type_mapping(),
         "airspace_features": oracle.sql_airspace_features(),

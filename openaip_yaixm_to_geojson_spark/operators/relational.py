@@ -1,0 +1,63 @@
+"""Generic relational queries over the TPC-H-ish tables — evidence that
+the engine's plain DataFrame surface (multi-way broadcast joins, grouped
+aggregation, top-k) behaves like any warehouse, beyond the spatial/webtext
+specialty operators.
+
+Float policy: per-row double arithmetic (price * (1 - discount)) is
+deterministic, but a cross-row SUM of doubles depends on reduction order —
+so every hash-compared money aggregate casts the per-row double to DECIMAL
+first and sums exactly (same contract as operators/events.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: one shuffle, map-side partials."""
+    disc_price = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def segment_revenue_topk(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, segment: str = "BUILDING", k: int = 10
+) -> DataFrame:
+    """TPC-H Q3-shaped: revenue per order for one market segment, top-k.
+
+    customer (filtered, tiny) broadcasts into orders; the orders->lineitem
+    join shuffles on the order key; ties in revenue break on o_orderkey so
+    the top-k is total-ordered and oracle-reproducible."""
+    disc_price = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_orderpriority")
+        .join(lineitem.select("l_orderkey", disc_price.alias("dp")),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum("dp").cast("decimal(38,6)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )

@@ -205,6 +205,26 @@ SELECT key, MIN(t) AS session_start, MAX(t) AS session_end,
 FROM s GROUP BY key, sid"""
 
 
+def sql_pricing_summary() -> str:
+    return """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+def sql_segment_revenue_topk(segment: str = "BUILDING", k: int = 10) -> str:
+    return f"""SELECT o_orderkey, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+FROM customer JOIN orders ON o_custkey = c_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{segment}'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT {k}"""
+
+
 def sql_events_sessions(gap_seconds: int = 1800) -> str:
     """Per-user gap sessions over the events table (epoch seconds via
     floor(epoch(ts)) — Spark's unix_timestamp floors the same way)."""
