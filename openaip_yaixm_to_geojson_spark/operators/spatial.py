@@ -147,6 +147,7 @@ def spatial_join_distributed(
     polygons_df: DataFrame,
     res: int = DEFAULT_JOIN_RES,
     broadcast_polys: bool = True,
+    salt: int | str | None = None,
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Fully distributed spatial join: the polygon side is a TABLE end to
@@ -156,13 +157,33 @@ def spatial_join_distributed(
 
     broadcast_polys=True broadcasts both the cover and the ring attach —
     right while polygons fit executor memory (up to ~10^5); set False for a
-    shuffle join on `cell` / `poly_id` beyond that."""
+    shuffle join on `cell` / `poly_id` beyond that, with `salt` splintering
+    hot cells exactly like the driver-list path (deterministic page-side
+    salt from xxhash64(url), cover side exploded x salt; salt='auto'
+    derives the factor from the cell histogram)."""
     cover = polygon_cover_distributed(polygons_df, res).select("cell", "poly_id")
     cells = pages.withColumn("cell", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), res))
-    hint = F.broadcast if broadcast_polys else (lambda df: df)
-    candidates = cells.join(hint(cover), "cell").join(hint(polygons_df), "poly_id")
     out_cols = ["url", "lat", "lon", "poly_id", "airspace_name", "airspace_type", "airspace_class"]
     out_cols += [c for c in keep_cols if c not in out_cols]
+
+    if broadcast_polys:
+        candidates = cells.join(F.broadcast(cover), "cell").join(F.broadcast(polygons_df), "poly_id")
+        return pip_filter_with_ring(candidates).select(*out_cols)
+
+    if salt == "auto":
+        salt = choose_salt(pages, res)
+    elif salt is not None and not isinstance(salt, int):
+        raise TypeError(f"salt must be an int, None, or 'auto'; got {salt!r}")
+
+    if salt and salt > 1:
+        cells = cells.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt)).cast("int"))
+        cover = cover.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+        candidates = cells.repartition(F.col("cell"), F.col("_salt")).join(
+            cover, ["cell", "_salt"]
+        ).drop("_salt")
+    else:
+        candidates = cells.join(cover, "cell")
+    candidates = candidates.join(polygons_df, "poly_id")
     return pip_filter_with_ring(candidates).select(*out_cols)
 
 

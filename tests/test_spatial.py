@@ -276,3 +276,21 @@ def test_knn_hundred_thousand_vertices(spark):
         url = f"u{i}"
         assert got[url][1] == d2[i, idx[i]]
         assert got[url][0] == vp[idx[i]]
+
+
+def test_spatial_join_distributed_salted(spark, polygons, pages_pdf):
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        polygons_to_df,
+        spatial_join_distributed,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    polys_df = polygons_to_df(spark, polygons)
+    got = {
+        (r["url"], r["poly_id"])
+        for r in spatial_join_distributed(pages, polys_df, broadcast_polys=False, salt=4).collect()
+    }
+    assert got == brute_force_join(pages_pdf, polygons)
+    with pytest.raises(TypeError, match="salt"):
+        spatial_join_distributed(pages, polys_df, broadcast_polys=False, salt="four")
