@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.knn import knn_ring_expansion
 from ..operators.spatial import DEFAULT_JOIN_RES, spatial_join
-from ..operators.tiles import DEFAULT_TILE_RES, tile_class_rollup, tile_doc_counts
+from ..operators.tiles import (
+    DEFAULT_TILE_RES,
+    tile_class_rollup,
+    tile_doc_counts,
+    tile_zoom_rollup,
+)
 from ..sources.pages import pages_from_documents
 from .checkpoint import StageRunner
 
@@ -71,5 +76,11 @@ def run_pipeline(
     )
     out["tile_counts"] = runner.run(
         "tile_counts", lambda: tile_doc_counts(out["pages"], tile_res)
+    )
+    # zoom pyramid: built from the TILE stage, not the fact table — each
+    # coarser level costs a tiles-sized aggregation (the 100-TB shape)
+    out["tile_counts_z2"] = runner.run(
+        "tile_counts_z2",
+        lambda: tile_zoom_rollup(out["tile_counts"].drop("n_langs"), levels=2),
     )
     return out

@@ -104,6 +104,27 @@ def stream_pages_rate(spark: SparkSession, rows_per_second: int = 1000) -> DataF
     )
 
 
+def stream_exact_dedup(
+    pages_stream: DataFrame, text_col: str = "text", watermark: str | None = "1 day"
+) -> DataFrame:
+    """Streaming exact dedup: first-seen row per content digest.
+
+    First-seen-per-digest state; with a watermark the state is BOUNDED —
+    `dropDuplicatesWithinWatermark` evicts digest keys once the watermark
+    passes them (duplicates arriving later re-emit; the batch
+    reconciliation pass catches those — the standard contract for
+    streaming dedup at scale). watermark=None keeps exact state forever
+    (tests / bounded backfills)."""
+    digested = pages_stream.withColumn("digest", F.md5(F.col(text_col)))
+    if watermark is not None:
+        return (
+            digested.withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["digest"])
+            .drop("digest")
+        )
+    return digested.dropDuplicates(["digest"]).drop("digest")
+
+
 SESSION_OUTPUT = T.StructType(
     [
         T.StructField("key", T.StringType(), False),

@@ -104,7 +104,9 @@ def test_pipeline_resume_stable_hashes(spark, tmp_path):
 
     # resume to completion: upstream manifests untouched, all stages complete
     full = run_pipeline(spark, "/root/testdata/sf0.001", ckpt)
-    assert set(full) == {"pages", "join_out", "knn_out", "tiles", "tile_counts"}
+    assert set(full) == {"pages", "join_out", "knn_out", "tiles", "tile_counts", "tile_counts_z2"}
+    # the zoom stage aggregates the TILE stage, never the fact table
+    assert full["tile_counts_z2"].count() <= full["tile_counts"].count()
     for stage, h in hashes_before.items():
         assert runner.content_hash(stage) == h
     manifest = runner.manifest("tiles")

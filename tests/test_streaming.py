@@ -149,3 +149,38 @@ def test_rate_source_deterministic_content(spark):
     }
     for r in rows:
         assert (r["lat"], r["lon"], r["warc_ts"]) == ref[r["url"]]
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming first-seen-per-digest == batch distinct digest set, and
+    the second drain with the same checkpoint adds nothing."""
+    from pyspark.sql import functions as F
+
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+    from openaip_yaixm_to_geojson_spark.streaming.pages_stream import (
+        run_available_now,
+        stream_exact_dedup,
+        stream_pages,
+    )
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    # force duplicates: union the table with itself under different urls
+    dup = pages.withColumn("url", F.concat(F.lit("copy-"), F.col("url")))
+    both = pages.unionByName(dup).select("url", "warc_ts", "text", "lang", "lat", "lon")
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    both.write.parquet(in_dir)
+
+    deduped = stream_exact_dedup(stream_pages(spark, in_dir), watermark=None)
+    run_available_now(deduped, out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    n_batch_distinct = both.select(F.md5("text")).distinct().count()
+    assert got.count() == n_batch_distinct
+    assert got.select(F.md5("text")).distinct().count() == n_batch_distinct
+
+    run_available_now(stream_exact_dedup(stream_pages(spark, in_dir), watermark=None), out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == n_batch_distinct
+
+    # watermarked variant compiles into a streaming plan and drains
+    wm_out, wm_ckpt = str(tmp_path / "wm_out"), str(tmp_path / "wm_ckpt")
+    run_available_now(stream_exact_dedup(stream_pages(spark, in_dir)), wm_out, wm_ckpt)
+    assert spark.read.parquet(wm_out).count() >= n_batch_distinct
