@@ -16,6 +16,14 @@ Design note (100 TB posture): cell ids are uniformly hashed by Spark's
 HashPartitioner, res 7-9 gives ~0.7-2.8 degree cells for the polygon
 cover, and point encode is a codegen'd column expression (no UDF on the
 fact table).
+
+Known limitation (documented, matching the reference's domain): polygons
+that cross the antimeridian are not supported — their lon bbox spans the
+whole world, so `cover` degenerates (the reference converts UK airspace
+and never encounters this; a wrap-aware cover would split the ring at
++-180 first). Points at exactly lat=90 / lon=180 fold into the next cell
+index — harmless for uniqueness, but a polygon cover touching the exact
+top edge should use closed-top bounds.
 """
 
 from __future__ import annotations

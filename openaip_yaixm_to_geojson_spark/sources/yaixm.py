@@ -208,7 +208,21 @@ def airspaces_from_yaml_docs(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out: list[dict[str, Any]] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["yaml"]):
-                out.extend(_airspace_rows(doc_id, yaml.safe_load(text) or {}))
+                try:
+                    parsed = yaml.safe_load(text) or {}
+                except Exception as exc:
+                    # a single unparseable document must quarantine, not
+                    # kill a 10^12-doc job (block_idx -1 = document-level)
+                    out.append(_bad_block_row(doc_id, -1, None, f"yaml parse error: {exc}"))
+                    continue
+                if not isinstance(parsed, dict):
+                    out.append(
+                        _bad_block_row(
+                            doc_id, -1, None, f"yaml document is not a mapping ({type(parsed).__name__})"
+                        )
+                    )
+                    continue
+                out.extend(_airspace_rows(doc_id, parsed))
             yield pd.DataFrame(out, columns=[f.name for f in AIRSPACE_SCHEMA.fields])
 
     return docs.mapInPandas(parse, schema=AIRSPACE_SCHEMA)

@@ -225,3 +225,25 @@ def test_clean_object_recursive():
     assert clean_object(src) == {"e": {"k": 0}, "f": [1, None, ""], "g": False, "h": "ok"}
     assert clean_object({"a": {"b": {}}}) == {}
     assert clean_object(src, keep_null=True)["a"] is None
+
+
+def test_malformed_yaml_document_quarantines(spark):
+    """One broken YAML document must quarantine (block_idx -1), not kill
+    the distributed parse; sibling documents convert untouched."""
+    from openaip_yaixm_to_geojson_spark.operators.convert import (
+        convert_airspaces,
+        split_quarantine,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.yaixm import airspaces_from_yaml_docs
+
+    good = pyyaml.safe_dump({"airspace": FIXTURES["circle"]["airspace"]})
+    docs = spark.createDataFrame(
+        [("good", good), ("broken", "airspace: [\n  {name: 'unclosed"), ("scalar", "42")],
+        "doc_id string, yaml string",
+    )
+    feats = convert_airspaces(airspaces_from_yaml_docs(docs))
+    clean, quarantine = split_quarantine(feats)
+    assert clean.where(F.col("doc_id") == "good").count() == 1
+    q = {r["doc_id"]: r for r in quarantine.collect()}
+    assert "yaml parse error" in q["broken"]["error"] and q["broken"]["block_idx"] == -1
+    assert "not a mapping" in q["scalar"]["error"]
