@@ -297,6 +297,49 @@ def _clean_number(x: float):
     return int(x) if float(x).is_integer() else float(x)
 
 
+def feature_json_col() -> F.Column:
+    """One GeoJSON Feature as a JSON string column — the DISTRIBUTED sink
+    representation (newline-delimited GeoJSON). Built with to_json over a
+    struct: null fields are omitted by Spark's ignoreNullFields, matching
+    cleanObject's null pruning for the fields this schema carries."""
+    ceiling = lambda side: F.struct(  # noqa: E731
+        F.col(f"{side}.value").alias("value"),
+        F.col(f"{side}.unit").alias("unit"),
+        F.col(f"{side}.referenceDatum").alias("referenceDatum"),
+    )
+    props = F.struct(
+        F.col("name"),
+        F.col("type"),
+        F.col("class"),
+        ceiling("upperCeiling").alias("upperCeiling"),
+        ceiling("lowerCeiling").alias("lowerCeiling"),
+        F.col("activatedByNotam"),
+        F.col("activity"),
+        F.col("remarks"),
+        F.when(F.col("groundService.callsign").isNotNull(), F.col("groundService")).alias(
+            "groundService"
+        ),
+    )
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        props.alias("properties"),
+        F.struct(
+            F.lit("Polygon").alias("type"), F.array(F.col("ring")).alias("coordinates")
+        ).alias("geometry"),
+    )
+    return F.to_json(feature)
+
+
+def write_geojson_ndjson(features: DataFrame, path: str) -> None:
+    """Distributed GeoJSON sink: one Feature JSON per line (ndjson), written
+    straight from executors — no driver collect, so the feature table can
+    be arbitrarily large. The driver-side `features_to_geojson` collector
+    remains the fixture-parity sink (pretty FeatureCollection, exact
+    reference cleanObject semantics)."""
+    clean, _quarantine = split_quarantine(features)
+    clean.select(feature_json_col().alias("value")).write.mode("overwrite").text(path)
+
+
 def features_to_geojson(features: DataFrame, strict: bool = False) -> dict:
     """Collect feature rows into a GeoJSON FeatureCollection dict with the
     reference's cleanObject semantics (null/empty fields omitted,

@@ -139,3 +139,44 @@ def test_unkink_selfpinned_goldens(spark):
         spark_ring = np.asarray(sf["ring"])
         assert digest(spark_ring) == pin["ring_digest"], name
         assert sf["valid"] and sf["fixed"], name
+
+
+def test_ndjson_sink_matches_collector(spark, tmp_path):
+    """Distributed ndjson sink (executor-side to_json, no collect) agrees
+    with the driver-side FeatureCollection on every feature's identity,
+    geometry, and present/absent optional fields."""
+    import json
+
+    from openaip_yaixm_to_geojson_spark.operators.convert import (
+        convert_airspaces,
+        features_to_geojson,
+        write_geojson_ndjson,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.yaixm import (
+        airspaces_from_records,
+        services_from_records,
+    )
+
+    blocks = []
+    for case in ["with-service", "circle", "single-line", "pill-shaped"]:
+        blocks.extend(FIXTURES[case]["airspace"])
+    feats = convert_airspaces(
+        airspaces_from_records(spark, blocks),
+        services=services_from_records(spark, FIXTURES["service"]["service"]),
+        fix_geometries=True,
+    )
+    out = str(tmp_path / "nd")
+    write_geojson_ndjson(feats, out)
+    nd = {}
+    for row in spark.read.text(out).collect():
+        f = json.loads(row["value"])
+        nd[f["properties"]["name"]] = f
+    collected = features_to_geojson(feats)["features"]
+    assert len(nd) == len(collected) > 0
+    for cf in collected:
+        name = cf["properties"]["name"]
+        nf = nd[name]
+        assert nf["geometry"]["coordinates"][0] == cf["geometry"]["coordinates"][0]
+        for opt in ("remarks", "groundService"):
+            assert (opt in nf["properties"]) == (opt in cf["properties"]), (name, opt)
+        assert nf["properties"]["class"] == cf["properties"]["class"]
