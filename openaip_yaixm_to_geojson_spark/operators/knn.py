@@ -35,8 +35,10 @@ from ..functions import cellgrid
 KNN_RES = 9  # ~0.7 deg cells for the vertex index
 OUT_COLS = ("url", "lat", "lon", "poly_id", "dist_sq")
 # vertex-index rows (vertices x window offsets) past this are shuffle-joined
-# on `cell` instead of broadcast (the expanded index stops being "small")
-BROADCAST_INDEX_MAX_ROWS = 2_000_000
+# on `cell` instead of broadcast: building + shipping a multi-hundred-MB
+# broadcast relation costs more than shuffling the (shrunken) pending side
+# (measured ~20% on the wide round at bench scale)
+BROADCAST_INDEX_MAX_ROWS = 500_000
 # brute-force fallback: vertices scanned per inner chunk so each Arrow batch
 # allocates O(batch_rows x chunk) instead of O(batch_rows x all_vertices)
 BRUTEFORCE_CHUNK = 4096
