@@ -13,7 +13,11 @@ Methodology (this host is a shared, noisy box with 32 SMT threads over
   `reps` measured passes; the MINIMUM is reported (least-contended
   sample), along with all samples for transparency.
 
-Usage: python tools/scaling_bench.py [docs] [n_small] [reps]
+Usage: python tools/scaling_bench.py [docs] [n_small] [reps] [job]
+
+job = "spatial" (default; headline join+rollup -> rewrites BENCH.md) or
+"dedup" (MinHash LSH near-dup pairs over synthetic multi-word docs ->
+appends a second-evidence section to BENCH.md).
 """
 
 from __future__ import annotations
@@ -29,22 +33,53 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def measure(cores: int, pages_dir: str, reps: int) -> dict:
+def synth_docs(spark, n: int):
+    """Deterministic multi-word documents for the dedup scaling job: ~24
+    pseudo-words per doc from md5 chunks, with every 10th doc a near-copy
+    of its neighbour so the LSH bands are non-trivially populated."""
+    from pyspark.sql import functions as F
+
+    base_id = F.when(F.col("id") % 10 == 9, F.col("id") - 9).otherwise(F.col("id")).alias("bid")
+    word = lambda i: F.substring(F.md5(F.concat(F.col("bid").cast("string"), F.lit(f"-{i // 4}"))), (i % 4) * 8 + 1, 8)  # noqa: E731
+    return (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), base_id)
+        .select("doc_id", F.concat_ws(" ", *[word(i) for i in range(24)]).alias("text"))
+    )
+
+
+def _job_spatial(spark, data_dir: str):
     from openaip_yaixm_to_geojson_spark.functions.convert_local import fixture_polygons
     from openaip_yaixm_to_geojson_spark.operators.spatial import spatial_join
     from openaip_yaixm_to_geojson_spark.operators.tiles import tile_class_rollup
+
+    polys = fixture_polygons()
+    pages = spark.read.parquet(data_dir)
+    return pages, lambda: tile_class_rollup(spatial_join(pages, polys)).count()
+
+
+def _job_dedup(spark, data_dir: str):
+    from openaip_yaixm_to_geojson_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(data_dir)
+    return docs, lambda: minhash_lsh_pairs(docs).count()
+
+
+JOBS = {"spatial": _job_spatial, "dedup": _job_dedup}
+
+
+def measure(cores: int, data_dir: str, reps: int, job: str = "spatial") -> dict:
     from openaip_yaixm_to_geojson_spark.plans.session import build_session
 
     spark = build_session(app_name=f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    polys = fixture_polygons()
-    pages = spark.read.parquet(pages_dir)
-    n_docs = pages.count()
-    rollup_rows = tile_class_rollup(spatial_join(pages, polys)).count()  # warm pass
+    df, run = JOBS[job](spark, data_dir)
+    n_docs = df.count()
+    rollup_rows = run()  # warm pass
     samples = []
     for _ in range(reps):
         start = time.perf_counter()
-        tile_class_rollup(spatial_join(pages, polys)).count()
+        run()
         samples.append(round(time.perf_counter() - start, 3))
     spark.stop()
     best = min(samples)
@@ -62,6 +97,7 @@ def main() -> None:
     docs = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    job = sys.argv[4] if len(sys.argv) > 4 else "spatial"
     n_big = n_small * 4
 
     from openaip_yaixm_to_geojson_spark.plans.session import build_session
@@ -70,14 +106,15 @@ def main() -> None:
     pages_dir = tempfile.mkdtemp(prefix="scaling_pages_")
     gen = build_session(app_name="scaling-datagen", master="local[32]", shuffle_partitions=32)
     gen.sparkContext.setLogLevel("ERROR")
-    synth_pages(gen, docs, with_payload=False).write.mode("overwrite").parquet(pages_dir)
+    source = synth_pages(gen, docs, with_payload=False) if job == "spatial" else synth_docs(gen, docs)
+    source.write.mode("overwrite").parquet(pages_dir)
     gen.stop()
 
     # alternate configs so external noise hits both; keep every sample
     results: dict[int, list[dict]] = {n_small: [], n_big: []}
     for _ in range(2):
-        results[n_small].append(measure(n_small, pages_dir, reps))
-        results[n_big].append(measure(n_big, pages_dir, reps))
+        results[n_small].append(measure(n_small, pages_dir, reps, job))
+        results[n_big].append(measure(n_big, pages_dir, reps, job))
     shutil.rmtree(pages_dir, ignore_errors=True)
 
     def best(cores: int) -> dict:
@@ -97,6 +134,7 @@ def main() -> None:
     speedup = small["best_sec"] / big["best_sec"]
     efficiency = speedup / (n_big / n_small)
     summary = {
+        "job": job,
         "docs": small["n_docs"],
         "n_small": n_small,
         "n_big": n_big,
@@ -106,6 +144,29 @@ def main() -> None:
         "efficiency": round(efficiency, 3),
     }
     print(json.dumps(summary))
+
+    if job == "dedup":
+        md = f"""
+
+## Second evidence: MinHash LSH dedup job (N vs 4N)
+
+Same methodology, different operator family: {small['n_docs']:,} synthetic
+24-word documents (every 10th an exact copy) -> shingles -> one-md5-per-
+shingle base hashes -> 16 affine MinHash signatures -> banded self-join ->
+Jaccard verify, pair count forced.
+
+| config | best wall (s) | docs/sec | samples (s) |
+| --- | --- | --- | --- |
+| local[{n_small}] (N) | {small['best_sec']} | {small['docs_per_sec']:,} | {small['samples_sec']} |
+| local[{n_big}] (4N) | {big['best_sec']} | {big['docs_per_sec']:,} | {big['samples_sec']} |
+
+**Speedup {n_small}->{n_big}: {speedup:.2f}x — scaling efficiency {efficiency:.3f}**
+
+Raw: `{json.dumps(summary)}`
+"""
+        with open(os.path.join(REPO, "BENCH.md"), "a") as fh:
+            fh.write(md)
+        return
 
     md = f"""# BENCH — scaling evidence (N vs 4N cores)
 
