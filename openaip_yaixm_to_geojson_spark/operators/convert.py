@@ -335,7 +335,9 @@ def write_geojson_ndjson(features: DataFrame, path: str) -> None:
     straight from executors — no driver collect, so the feature table can
     be arbitrarily large. The driver-side `features_to_geojson` collector
     remains the fixture-parity sink (pretty FeatureCollection, exact
-    reference cleanObject semantics)."""
+    reference cleanObject semantics; note the collector renders integral
+    ceilings as ints (2500) while to_json renders JSON doubles (2500.0) —
+    numerically equal, texturally different)."""
     clean, _quarantine = split_quarantine(features)
     clean.select(feature_json_col().alias("value")).write.mode("overwrite").text(path)
 

@@ -288,7 +288,11 @@ def duplicate_clusters(
     cut by localCheckpoint. `documents` (optional) adds isolated docs as
     singleton clusters.
 
-    Returns (key, cluster_id)."""
+    Returns (key, cluster_id). If a component's diameter exceeds
+    `max_iters` (pathological chains — raise it for such graphs), the
+    labels returned are the best-so-far partial propagation; every round
+    reaching a fixpoint returns early, so normal near-dup graphs converge
+    in a handful of rounds."""
     edges = pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
     edges = edges.union(
         pairs.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst"))

@@ -190,10 +190,21 @@ def _centroid_dots(vec: Column, centroids: np.ndarray) -> list[Column]:
 
 def ivf_assign_col(vec: Column, centroids: np.ndarray) -> Column:
     """Nearest-centroid (max dot) list id, ties to the LOWEST centroid id —
-    pure expressions, zero shuffle on the corpus."""
-    dots = F.array(*_centroid_dots(vec, centroids))
-    # array_position returns the 1-based FIRST occurrence == lowest index
-    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    pure expressions, zero shuffle on the corpus.
+
+    Single-pass argmax fold: each centroid dot is evaluated exactly once
+    (the obvious array_position(dots, array_max(dots)) evaluates the whole
+    dot array twice). Strict `>` keeps the EARLIEST maximum, which matches
+    the oracle's first-match CASE chain including the -0.0 == 0.0 corner."""
+    pairs = F.array(
+        *[
+            F.struct(d.alias("d"), F.lit(i).alias("cid"))
+            for i, d in enumerate(_centroid_dots(vec, centroids))
+        ]
+    )
+    init = F.struct(F.lit(float("-inf")).alias("d"), F.lit(-1).alias("cid"))
+    best = F.aggregate(pairs, init, lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc))
+    return best["cid"].cast("int")
 
 
 def ivf_ann_topk(

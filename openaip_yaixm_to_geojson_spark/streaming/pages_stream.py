@@ -162,7 +162,13 @@ def sessionize_stateful(
     Production posture: pair with a watermark on the event time and an
     EventTimeTimeout to flush long-idle keys; in availableNow drains (tests,
     backfills) NoTimeout keeps the final open session pending, which is the
-    deterministic behaviour the stream==batch test pins."""
+    deterministic behaviour the stream==batch test pins.
+
+    Timezone contract: Arrow hands the handler naive local-time
+    timestamps while the batch twin uses unix_timestamp (true epoch) —
+    identical when spark.sql.session.timeZone is UTC (this engine's
+    default; gap LOGIC is offset-invariant either way, only the absolute
+    session_start values shift)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap = int(gap_seconds)
