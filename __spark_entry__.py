@@ -346,6 +346,55 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Blocked exact-Jaccard validation path. Block key = shingle count
+    bucket of 8 (the default identical-count blocking is vacuous on this
+    corpus — no two docs share an exact shingle count)."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import ngram_jaccard_pairs
+
+    block = F.floor(F.size(F.col("shingles")) / F.lit(8)).cast("int")
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, block_on=block)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Banded SimHash near-dup pairs vs an EXHAUSTIVE all-pairs oracle —
+    green only if the pigeonhole banding loses nothing."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """The kNN exact fallback path, driver-gated on the same oracle as the
+    ring-expansion operator."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_bruteforce
+
+    pages = pages_from_documents(spark, sf_dir)
+    return knn_bruteforce(pages, fixture_polygons()).select("url", "poly_id", "dist_sq")
+
+
+def q_spatial_join_bucketed(spark, sf_dir):
+    """Zero-exchange co-located join: pages and cover pre-bucketed on
+    `cell`, sort-merge join uses the bucket layout (no shuffle of either
+    side); same rows as every other spatial-join mode."""
+    from openaip_yaixm_to_geojson_spark.plans.bucketing import (
+        bucketed_cover,
+        colocated_spatial_join,
+        write_bucketed,
+    )
+    from openaip_yaixm_to_geojson_spark.functions import cellgrid
+    from openaip_yaixm_to_geojson_spark.operators.spatial import DEFAULT_JOIN_RES
+
+    pages = pages_from_documents(spark, sf_dir).withColumn(
+        "cell", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), DEFAULT_JOIN_RES)
+    )
+    write_bucketed(pages, "gate_pages_bucketed", "cell", 8)
+    cover = bucketed_cover(spark, fixture_polygons(), table="gate_cover_bucketed", n_buckets=8)
+    return colocated_spatial_join(
+        spark, "gate_pages_bucketed", "gate_cover_bucketed", fixture_polygons()
+    ).select("url", "poly_id", "airspace_name", "airspace_type", "airspace_class")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> connected components (cluster_id = min reachable
     key; singletons included). Iterative min-label propagation vs the
@@ -477,8 +526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "spatial_join_partitioned": q_spatial_join_partitioned,
         "spatial_join_table": q_spatial_join_table,
+        "spatial_join_bucketed": q_spatial_join_bucketed,
         "join_count_by_airspace": q_join_count_by_airspace,
         "knn": q_knn,
+        "knn_bruteforce": q_knn_bruteforce,
         "tile_doc_counts": q_tile_doc_counts,
         "tile_class_rollup": q_tile_class_rollup,
         "tile_zoom_rollup": q_tile_zoom_rollup,
@@ -497,8 +548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -521,8 +574,10 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join": oracle.sql_spatial_join(),
         "spatial_join_partitioned": oracle.sql_spatial_join(),
         "spatial_join_table": oracle.sql_spatial_join(),
+        "spatial_join_bucketed": oracle.sql_spatial_join(),
         "join_count_by_airspace": oracle.sql_join_count_by_airspace(),
         "knn": oracle.sql_knn(),
+        "knn_bruteforce": oracle.sql_knn(),
         "tile_doc_counts": oracle.sql_tile_doc_counts(),
         "tile_class_rollup": oracle.sql_tile_class_rollup(),
         "tile_zoom_rollup": oracle.sql_tile_zoom_rollup(),
@@ -541,8 +596,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle.sql_dedup_exact(),
         "minhash_signatures": oracle.sql_minhash_signatures(),
         "minhash_lsh_pairs": oracle.sql_minhash_lsh_pairs(),
+        "ngram_jaccard_pairs": oracle.sql_ngram_jaccard_pairs(),
         "dedup_clusters": oracle.sql_dedup_clusters(),
         "simhash": oracle.sql_simhash(),
+        "simhash_pairs": oracle.sql_simhash_pairs(),
         "ann_topk": oracle.sql_ann_topk(),
         "ann_lsh": oracle.sql_ann_lsh(n_planes=2),
         "ann_ivf": oracle.sql_ann_ivf(),

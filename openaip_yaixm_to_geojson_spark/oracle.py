@@ -566,6 +566,39 @@ FROM cands
 WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= {jaccard_threshold!r}"""
 
 
+def sql_ngram_jaccard_pairs(threshold: float = 0.3) -> str:
+    """Blocked exact-Jaccard pairs (block key = shingle-count bucket of 8),
+    identical semantics to the gated ngram_jaccard_pairs call."""
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS key, {SHINGLES_EXPR} AS shingles FROM documents
+),
+d AS (
+  SELECT key, shingles, CAST(floor(len(shingles) / 8.0) AS INTEGER) AS block
+  FROM sh WHERE len(shingles) > 0
+)
+SELECT a.key AS key_a, b.key AS key_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
+FROM d a JOIN d b ON a.block = b.block AND a.key < b.key
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= {threshold!r}
+"""
+
+
+def sql_simhash_pairs(max_hamming: int = 3) -> str:
+    """Exhaustive SimHash near-dup pairs: bit_count over the XOR of the
+    recomputed 16-bit simhashes (the engine's banded join must equal the
+    all-pairs scan — banding is pigeonhole-lossless for <= max_hamming)."""
+    sim = sql_simhash()
+    return f"""
+WITH s AS ({sim})
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
 def sql_dedup_clusters(
     num_hashes: int = 16, bands: int = 8, jaccard_threshold: float = 0.5
 ) -> str:

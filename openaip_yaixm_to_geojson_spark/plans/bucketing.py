@@ -11,6 +11,8 @@ asserts the join plan contains no Exchange.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -20,7 +22,19 @@ from ..operators.spatial import DEFAULT_JOIN_RES, make_pip_udf, polygon_cover_df
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str = "cell", n_buckets: int = 16) -> None:
     """Persist a table bucketed+sorted on the join key (Iceberg-style
-    layout substitute: catalog-managed parquet with bucket metadata)."""
+    layout substitute: catalog-managed parquet with bucket metadata).
+
+    Drops any previous incarnation first: with the default in-memory
+    catalog a table directory can survive from an earlier session without
+    a catalog entry, and saveAsTable refuses such orphan locations."""
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    location = os.path.join(warehouse.replace("file:", ""), table.lower())
+    if os.path.exists(location):
+        shutil.rmtree(location, ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
