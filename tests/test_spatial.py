@@ -294,3 +294,31 @@ def test_spatial_join_distributed_salted(spark, polygons, pages_pdf):
     assert got == brute_force_join(pages_pdf, polygons)
     with pytest.raises(TypeError, match="salt"):
         spatial_join_distributed(pages, polys_df, broadcast_polys=False, salt="four")
+
+
+def test_salted_join_under_real_skew(spark, polygons):
+    """All pages landing in ONE hot cell: the salted shuffle path must
+    still match the broadcast path, with choose_salt picking a factor > 1
+    once the hottest cell exceeds the per-task target."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        choose_salt,
+        spatial_join,
+    )
+
+    # 20k pages on a single point inside FARNBOROUGH CTA 1 -> one cell
+    inside = polygons[0]
+    import numpy as np
+
+    ring = np.asarray(inside["ring"])
+    cx, cy = float(ring[:, 0].mean()), float(ring[:, 1].mean())
+    pages = (
+        spark.range(20_000)
+        .selectExpr("concat('s', id) AS url")
+        .selectExpr("url", f"CAST({cy!r} AS DOUBLE) AS lat", f"CAST({cx!r} AS DOUBLE) AS lon")
+    )
+    assert choose_salt(pages, rows_per_task=1_000) > 1
+    broadcast_rows = spatial_join(pages, polygons, broadcast=True).count()
+    salted_rows = spatial_join(pages, polygons, broadcast=False, salt=8).count()
+    auto_rows = spatial_join(pages, polygons, broadcast=False, salt="auto").count()
+    assert broadcast_rows == salted_rows == auto_rows
+    assert broadcast_rows >= 20_000  # every page is inside at least one polygon
