@@ -373,6 +373,18 @@ def q_knn_bruteforce(spark, sf_dir):
     return knn_bruteforce(pages, fixture_polygons()).select("url", "poly_id", "dist_sq")
 
 
+def q_spatial_join_compact(spark, sf_dir):
+    """Quadtree-compacted mixed-res cover: interior cells stop coarse and
+    skip PIP, boundary cells refine at res_max — same rows as every other
+    spatial-join mode."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import spatial_join_compact
+
+    pages = pages_from_documents(spark, sf_dir)
+    return spatial_join_compact(pages, fixture_polygons()).select(
+        "url", "poly_id", "airspace_name", "airspace_type", "airspace_class"
+    )
+
+
 def q_spatial_join_bucketed(spark, sf_dir):
     """Zero-exchange co-located join: pages and cover pre-bucketed on
     `cell`, sort-merge join uses the bucket layout (no shuffle of either
@@ -527,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_partitioned": q_spatial_join_partitioned,
         "spatial_join_table": q_spatial_join_table,
         "spatial_join_bucketed": q_spatial_join_bucketed,
+        "spatial_join_compact": q_spatial_join_compact,
         "join_count_by_airspace": q_join_count_by_airspace,
         "knn": q_knn,
         "knn_bruteforce": q_knn_bruteforce,
@@ -575,6 +588,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_partitioned": oracle.sql_spatial_join(),
         "spatial_join_table": oracle.sql_spatial_join(),
         "spatial_join_bucketed": oracle.sql_spatial_join(),
+        "spatial_join_compact": oracle.sql_spatial_join(),
         "join_count_by_airspace": oracle.sql_join_count_by_airspace(),
         "knn": oracle.sql_knn(),
         "knn_bruteforce": oracle.sql_knn(),

@@ -270,6 +270,71 @@ def spatial_join(
     return candidates.where(pip(F.col("lon"), F.col("lat"), F.col("poly_id"))).select(*out_cols)
 
 
+def compact_cover_df(
+    spark: SparkSession,
+    polygons: list[dict[str, Any]],
+    res_min: int = 10,
+    res_max: int = DEFAULT_JOIN_RES,
+) -> DataFrame:
+    """Quadtree-compacted cover table: (cell, full, poly_id, airspace_*).
+    `full` rows need no PIP refinement (their whole rectangle is inside)."""
+    rows = []
+    for poly in polygons:
+        for cell, full in cellgrid.cover_compact(np.asarray(poly["ring"]), res_min, res_max):
+            rows.append(
+                {
+                    "cell": cell,
+                    "full": bool(full),
+                    "poly_id": int(poly["poly_id"]),
+                    "airspace_name": poly["name"],
+                    "airspace_type": poly["type"],
+                    "airspace_class": poly["class"],
+                }
+            )
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType(), False),
+            T.StructField("full", T.BooleanType(), False),
+            T.StructField("poly_id", T.IntegerType(), False),
+            T.StructField("airspace_name", T.StringType(), False),
+            T.StructField("airspace_type", T.StringType(), False),
+            T.StructField("airspace_class", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def spatial_join_compact(
+    pages: DataFrame,
+    polygons: list[dict[str, Any]],
+    res_min: int = 10,
+    res_max: int = DEFAULT_JOIN_RES,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Spatial join against a COMPACTED mixed-resolution cover.
+
+    The point side probes one cell id per resolution level (explode x
+    (res_max - res_min + 1) before the broadcast join); the cover's
+    regions are disjoint so each point still matches a polygon at most
+    once, and points landing in `full` cells skip the PIP UDF entirely —
+    only boundary-cell candidates pay the Arrow hop. Same rows as
+    spatial_join. Choose this over the uniform cover when polygon AREA
+    (broadcast bytes) is the bottleneck; the uniform cover wins when the
+    per-point fan-out matters more than cover size."""
+    spark = pages.sparkSession
+    cover = compact_cover_df(spark, polygons, res_min, res_max)
+    levels = [
+        cellgrid.cell_id_col(F.col("lon"), F.col("lat"), r) for r in range(res_min, res_max + 1)
+    ]
+    cells = pages.withColumn("cell", F.explode(F.array(*levels)))
+    candidates = cells.join(F.broadcast(cover), "cell")
+    pip = make_pip_udf(spark, polygons)
+    out_cols = ["url", "lat", "lon", "poly_id", "airspace_name", "airspace_type", "airspace_class"]
+    out_cols += [c for c in keep_cols if c not in out_cols]
+    keep = F.col("full") | pip(F.col("lon"), F.col("lat"), F.col("poly_id"))
+    return candidates.where(keep).select(*out_cols)
+
+
 def cell_histogram(pages: DataFrame, res: int = DEFAULT_JOIN_RES) -> DataFrame:
     """Per-cell page counts — the deterministic input for choosing a salt
     factor (hot cells = skew)."""

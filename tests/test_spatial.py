@@ -322,3 +322,53 @@ def test_salted_join_under_real_skew(spark, polygons):
     auto_rows = spatial_join(pages, polygons, broadcast=False, salt="auto").count()
     assert broadcast_rows == salted_rows == auto_rows
     assert broadcast_rows >= 20_000  # every page is inside at least one polygon
+
+
+def test_compact_cover_equivalence(polygons):
+    """Compacted mixed-res cover expands to exactly the uniform res_max
+    cover, regions are disjoint, full cells are genuinely interior, and a
+    LARGE polygon compacts substantially (fixtures are boundary-dominated,
+    so the big-circle case is what exercises the area win: ~7x)."""
+    from openaip_yaixm_to_geojson_spark.functions import cellgrid
+
+    theta = np.linspace(0, 2 * np.pi, 201)
+    big_ring = np.stack([-1.0 + 1.5 * np.cos(theta), 52.0 + 1.5 * np.sin(theta)], axis=1)
+    big_ring[-1] = big_ring[0]
+    cases = [np.asarray(p["ring"]) for p in polygons] + [big_ring]
+    for ring in cases:
+        res_min, res_max = 10, 13
+        compact = cellgrid.cover_compact(ring, res_min, res_max)
+        # expand every compact cell to its res_max descendants
+        expanded = set()
+        for cell, _full in compact:
+            frontier = [cell]
+            while frontier:
+                c = frontier.pop()
+                if cellgrid.decode(c)[0] == res_max:
+                    assert c not in expanded, "regions overlap"
+                    expanded.add(c)
+                else:
+                    frontier.extend(cellgrid.children(c))
+        assert expanded == set(cellgrid.cover(ring, res_max))
+        # full cells: their centre must be inside the polygon
+        from openaip_yaixm_to_geojson_spark.functions.geodesy import points_in_ring_winding
+
+        for cell, full in compact:
+            if full:
+                lo, la, hi, ha = cellgrid.cell_bounds(cell)
+                cx, cy = (lo + hi) / 2, (la + ha) / 2
+                assert points_in_ring_winding(np.array([cx]), np.array([cy]), ring)[0]
+        # compaction actually compacts on the bigger polygons
+        if len(cellgrid.cover(ring, res_max)) > 200:
+            assert len(compact) * 4 < len(cellgrid.cover(ring, res_max))
+
+
+def test_spatial_join_compact_matches(spark, polygons, pages_pdf):
+    from openaip_yaixm_to_geojson_spark.operators.spatial import spatial_join_compact
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    got = {
+        (r["url"], r["poly_id"]) for r in spatial_join_compact(pages, polygons).collect()
+    }
+    assert got == brute_force_join(pages_pdf, polygons)
