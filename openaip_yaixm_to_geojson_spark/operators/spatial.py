@@ -319,8 +319,10 @@ def spatial_join_compact(
     once, and points landing in `full` cells skip the PIP UDF entirely —
     only boundary-cell candidates pay the Arrow hop. Same rows as
     spatial_join. Choose this over the uniform cover when polygon AREA
-    (broadcast bytes) is the bottleneck; the uniform cover wins when the
-    per-point fan-out matters more than cover size."""
+    (broadcast bytes) is the bottleneck — a 1.5-deg polygon's cover drops
+    7.2x — NOT for wall time at small cover sizes: measured at 8M docs
+    against one large polygon, the PIP-skip gain roughly cancels the
+    (res_max - res_min + 1)x point-side probe fan-out (2.3s vs 2.2s)."""
     spark = pages.sparkSession
     cover = compact_cover_df(spark, polygons, res_min, res_max)
     levels = [
