@@ -523,13 +523,24 @@ def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end to end: synthetic binary media table ->
     bounded mapInPandas feature extraction. The deterministic fake decode
     is md5/ascii arithmetic, so DuckDB recomputes it exactly; a real codec
-    slots in via the decoder argument without moving the plan."""
+    slots in via the decoder argument without moving the plan.
+
+    Gate projection: the operator's `feature array<float>` column is
+    unpacked to 8 primitive DOUBLE columns (float32 -> float64 widening is
+    exact and engine-identical) because the driver's canonicalizer cannot
+    sort/hash list cells. The array-typed operator itself is unchanged."""
     from openaip_yaixm_to_geojson_spark.operators.multimodal import (
         extract_features,
         synth_media,
     )
 
-    return extract_features(synth_media(spark, 500))
+    feats = extract_features(synth_media(spark, 500))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[F.col("feature")[j].cast("double").alias(f"f{j}") for j in range(8)],
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -91,7 +91,10 @@ def convert_blocks(
             seq = seq_def.get("seq")
             name = f"{block['name']} {seq}" if seq is not None else block["name"]
             cls = seq_def.get("class") or block.get("class")
-            rules = seq_def.get("rules") or block.get("rules")
+            # JS `sequenceRules || baseRules`: [] is truthy in JS, so an
+            # explicit empty rules list on the sequence SUPPRESSES base
+            # rules; only a missing/null key inherits them.
+            rules = seq_def["rules"] if seq_def.get("rules") is not None else block.get("rules")
             mapped_type, mapped_class, activity = map_class_and_type(
                 block.get("type"), block.get("localtype"), cls, rules
             )

@@ -147,14 +147,16 @@ def convert_airspaces(
     """
     rows = explode_sequences(airspaces)
 
-    # JS `seq.class || base.class` semantics (reference :249-258): empty
-    # string / empty array are falsy and fall back — plain coalesce would
-    # keep them and diverge from the reference and the convert_local twin.
+    # JS `seq.class || base.class` semantics (reference
+    # airspace-converter.ts:255-256): an empty STRING is falsy and falls
+    # back, but an empty ARRAY is truthy — `rules: []` on a sequence
+    # suppresses the base rules rather than inheriting them. So class falls
+    # back on empty-or-null, rules only on null.
     seq_class = F.when(
         F.length(F.col("sequence.class")) > 0, F.col("sequence.class")
     ).otherwise(F.col("base_class"))
     seq_rules = F.when(
-        F.size(F.col("sequence.rules")) > 0, F.col("sequence.rules")
+        F.col("sequence.rules").isNotNull(), F.col("sequence.rules")
     ).otherwise(F.col("base_rules"))
     mapped = map_class_and_type(F.col("base_type"), F.col("localtype"), seq_class, seq_rules)
 

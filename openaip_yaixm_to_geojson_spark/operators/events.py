@@ -41,7 +41,9 @@ def event_type_windows(events: DataFrame, window_seconds: int = 3600) -> DataFra
         .groupBy("window_start", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("v").cast("decimal(38,2)").alias("total_value"),
+            # DECIMAL sum (exact, order-independent) then one deterministic
+            # IEEE rounding to DOUBLE so gate harnesses hash a primitive.
+            F.sum("v").cast("decimal(38,2)").cast("double").alias("total_value"),
         )
     )
 

@@ -6,7 +6,10 @@ specialty operators.
 Float policy: per-row double arithmetic (price * (1 - discount)) is
 deterministic, but a cross-row SUM of doubles depends on reduction order —
 so every hash-compared money aggregate casts the per-row double to DECIMAL
-first and sums exactly (same contract as operators/events.py).
+first and sums exactly (same contract as operators/events.py). The final
+output column is then cast DECIMAL -> DOUBLE: one deterministic IEEE-754
+rounding of an exact value, identical in Spark and DuckDB, so the gate
+harness hashes a primitive instead of an engine-specific Decimal repr.
 """
 
 from __future__ import annotations
@@ -27,11 +30,15 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -57,7 +64,12 @@ def segment_revenue_topk(
     )
     return (
         joined.groupBy("o_orderkey", "o_orderpriority")
-        .agg(F.sum("dp").cast("decimal(38,6)").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .agg(F.sum("dp").cast("decimal(38,6)").alias("revenue_dec"))
+        .orderBy(F.col("revenue_dec").desc(), F.col("o_orderkey").asc())
         .limit(k)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+        )
     )

@@ -207,22 +207,25 @@ FROM s GROUP BY key, sid"""
 
 def sql_pricing_summary() -> str:
     return """SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
 
 def sql_segment_revenue_topk(segment: str = "BUILDING", k: int = 10) -> str:
-    return f"""SELECT o_orderkey, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
-FROM customer JOIN orders ON o_custkey = c_custkey
-              JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = '{segment}'
-GROUP BY o_orderkey, o_orderpriority
-ORDER BY revenue DESC, o_orderkey ASC
-LIMIT {k}"""
+    return f"""WITH agg AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue_dec
+  FROM customer JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = '{segment}'
+  GROUP BY o_orderkey, o_orderpriority
+  ORDER BY revenue_dec DESC, o_orderkey ASC
+  LIMIT {k}
+)
+SELECT o_orderkey, o_orderpriority, CAST(revenue_dec AS DOUBLE) AS revenue FROM agg"""
 
 
 def sql_events_sessions(gap_seconds: int = 1800) -> str:
@@ -249,7 +252,8 @@ def sql_event_type_windows(window_seconds: int = 3600) -> str:
   FROM events
 )
 SELECT e - e % {window_seconds} AS window_start, event_type,
-       COUNT(*) AS n_events, CAST(SUM(v) AS DECIMAL(38,2)) AS total_value
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
 FROM ev GROUP BY 1, 2"""
 
 
@@ -926,8 +930,10 @@ def sql_multimodal_features(n: int = 500) -> str:
     feature_terms = []
     for j in range(8):
         s = " + ".join(f"ascii(substring(p, {j * 5 + k + 1}, 1))" for k in range(5))
-        feature_terms.append(f"CAST(({s}) / CAST(5.0 AS DOUBLE) AS FLOAT)")
-    feature = "[" + ", ".join(feature_terms) + "]"
+        # float32 value widened exactly back to DOUBLE — mirrors the gate
+        # query unpacking feature[j]::double (primitive, hashable output).
+        feature_terms.append(f"CAST(CAST(({s}) / CAST(5.0 AS DOUBLE) AS FLOAT) AS DOUBLE) AS f{j}")
+    features = ",\n       ".join(feature_terms)
     return f"""
 WITH m AS (
   SELECT UNNEST(generate_series(0, {n - 1})) AS media_id
@@ -938,7 +944,9 @@ p AS (
          {payload} AS p
   FROM m
 )
-SELECT media_id, kind, CAST(length(p) AS INTEGER) AS n_bytes, {feature} AS feature FROM p"""
+SELECT media_id, kind, CAST(length(p) AS INTEGER) AS n_bytes,
+       {features}
+FROM p"""
 
 
 def sql_fingerprint() -> str:

@@ -26,6 +26,11 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # The streaming<->batch sessionization contract (epoch arithmetic on
+        # Arrow-delivered timestamps) assumes UTC; enforce it rather than
+        # inheriting the host JVM timezone, which would shift session bounds
+        # (and distort gaps across DST) on non-UTC hosts.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))

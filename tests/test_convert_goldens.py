@@ -141,6 +141,58 @@ def test_unkink_selfpinned_goldens(spark):
         assert sf["valid"] and sf["fixed"], name
 
 
+def test_sequence_empty_rules_suppresses_base(spark):
+    """JS `sequenceRules || baseRules` truthiness (reference
+    airspace-converter.ts:256): an EMPTY rules array on a sequence is
+    truthy in JS, so `rules: []` SUPPRESSES the base rules — no NOTAM flag,
+    no remarks, no RULE_TYPES-driven type override — while a sequence with
+    no rules key at all inherits them. Both the Spark pipeline and the
+    local twin must agree."""
+    from pyspark.sql import functions as F
+
+    from openaip_yaixm_to_geojson_spark.functions.convert_local import convert_blocks
+    from openaip_yaixm_to_geojson_spark.operators.convert import convert_airspaces
+    from openaip_yaixm_to_geojson_spark.sources.yaixm import airspaces_from_records
+
+    boundary = [{"circle": {"radius": "2 nm", "centre": "525747N 0003337W"}}]
+    block = {
+        "name": "RULES FALSY CASE",
+        "id": "rules-falsy-case",
+        "type": "CTA",
+        "class": "D",
+        "rules": ["TMZ", "NOTAM"],
+        "geometry": [
+            {"seq": 1, "upper": "2500 ft", "lower": "SFC", "boundary": boundary,
+             "rules": []},
+            {"seq": 2, "upper": "2500 ft", "lower": "SFC", "boundary": boundary},
+        ],
+    }
+
+    feats = (
+        convert_airspaces(airspaces_from_records(spark, [block]))
+        .orderBy("seq_idx")
+        .select("name", "type", "class", "activatedByNotam", "remarks")
+        .collect()
+    )
+    local = convert_blocks([block])
+    assert len(feats) == len(local) == 2
+
+    # seq 1: explicit [] wins over base rules -> nothing rule-derived
+    assert feats[0]["activatedByNotam"] is False
+    assert feats[0]["remarks"] is None
+    assert feats[0]["type"] == "CTA"  # TMZ override suppressed
+    # seq 2: no rules key -> inherits ["TMZ", "NOTAM"]
+    assert feats[1]["activatedByNotam"] is True
+    assert feats[1]["remarks"] == "TMZ, NOTAM"
+    assert feats[1]["type"] == "TMZ"  # RULE_TYPES override applies
+
+    for row, lf in zip(feats, local):
+        assert row["activatedByNotam"] == lf["activatedByNotam"]
+        assert row["remarks"] == lf["remarks"]
+        assert row["type"] == lf["type"]
+        assert row["class"] == lf["class"]
+
+
 def test_ndjson_sink_matches_collector(spark, tmp_path):
     """Distributed ndjson sink (executor-side to_json, no collect) agrees
     with the driver-side FeatureCollection on every feature's identity,
