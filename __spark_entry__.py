@@ -347,13 +347,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Blocked exact-Jaccard validation path. Block key = shingle count
-    bucket of 8 (the default identical-count blocking is vacuous on this
-    corpus — no two docs share an exact shingle count)."""
+    """Blocked exact-Jaccard validation path using the operator's default
+    block key (shingle-count bucket of 8 — the oracle mirrors it)."""
     from openaip_yaixm_to_geojson_spark.operators.dedup import ngram_jaccard_pairs
 
-    block = F.floor(F.size(F.col("shingles")) / F.lit(8)).cast("int")
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, block_on=block)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
 def q_simhash_pairs(spark, sf_dir):

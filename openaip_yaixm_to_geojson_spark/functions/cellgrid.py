@@ -190,6 +190,23 @@ def _rect_fully_inside_ring(bounds: tuple[float, float, float, float], ring_xy: 
             u = ((sx1 - ex1) * d1y - (sy1 - ey1) * d1x) / denom
         if ((denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)).any():
             return False
+        # conservative collinear-overlap case: a polygon edge parallel to
+        # AND lying exactly on this rectangle side (both endpoints outside
+        # the rect, else the vertex-inside clause already fired) is boundary
+        # contact — a `full` verdict would skip PIP for points on it.
+        par = denom == 0
+        if par.any():
+            collinear = par & (((sx1 - ex1) * d1y - (sy1 - ey1) * d1x) == 0)
+            collinear &= (d1x != 0) | (d1y != 0)  # ignore degenerate edges
+            if collinear.any():
+                overlap_x = np.maximum(np.minimum(ex1, ex2), min(sx1, sx2)) <= np.minimum(
+                    np.maximum(ex1, ex2), max(sx1, sx2)
+                )
+                overlap_y = np.maximum(np.minimum(ey1, ey2), min(sy1, sy2)) <= np.minimum(
+                    np.maximum(ey1, ey2), max(sy1, sy2)
+                )
+                if (collinear & overlap_x & overlap_y).any():
+                    return False
     return True
 
 

@@ -248,14 +248,25 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_on: Column | None = None,
 ) -> DataFrame:
-    """Direct n-gram Jaccard similarity for pairs sharing a blocking key
-    (defaults to identical shingle count — cheap and symmetric); exact
-    verification path used to validate the LSH variant."""
+    """Direct n-gram Jaccard similarity for pairs sharing a blocking key;
+    exact verification path used to validate the LSH variant.
+
+    The default block is a shingle-count BUCKET (width 8): an
+    identical-count key is near-vacuous on real corpora (few docs share an
+    exact shingle count, so nothing is compared) while coarse buckets keep
+    genuinely similar docs — whose shingle counts are close — in the same
+    block. Doc lengths cluster, so any length-derived key is skew-prone at
+    scale; pass `block_on` (e.g. a MinHash band key) when the corpus has a
+    heavy modal length."""
     docs = documents.select(
         F.col(key_col).alias("key"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).where(F.size("shingles") > 0)
-    block = block_on if block_on is not None else F.size("shingles")
+    block = (
+        block_on
+        if block_on is not None
+        else F.floor(F.size("shingles") / F.lit(8)).cast("int")
+    )
     docs = docs.withColumn("block", block)
     a = docs.alias("a")
     b = docs.alias("b")
@@ -288,9 +299,10 @@ def duplicate_clusters(
     cut by localCheckpoint. `documents` (optional) adds isolated docs as
     singleton clusters.
 
-    Returns (key, cluster_id). If a component's diameter exceeds
-    `max_iters` (pathological chains — raise it for such graphs), the
-    labels returned are the best-so-far partial propagation; every round
+    Returns (key, cluster_id). Convergence is a hard contract: if the last
+    round still changed labels (a component's diameter exceeds `max_iters`
+    — pathological chain graphs), the function RAISES rather than return
+    silently-partial labels; raise `max_iters` for such graphs. Every round
     reaching a fixpoint returns early, so normal near-dup graphs converge
     in a handful of rounds."""
     edges = pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
@@ -321,7 +333,11 @@ def duplicate_clusters(
         if updated.where(F.col("new_cluster_id") != F.col("cluster_id")).isEmpty():
             return updated.select("key", F.col("cluster_id"))
         labels = updated.select("key", F.col("new_cluster_id").alias("cluster_id"))
-    return labels
+    raise RuntimeError(
+        f"duplicate_clusters did not converge within max_iters={max_iters} "
+        "rounds (a component's diameter exceeds the budget); partial labels "
+        "would be silently wrong — raise max_iters for long-chain graphs"
+    )
 
 
 # hex digit sets with bit j set (j = 0 is the LEAST significant bit of the

@@ -26,14 +26,39 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str = "cell", n_bucket
 
     Drops any previous incarnation first: with the default in-memory
     catalog a table directory can survive from an earlier session without
-    a catalog entry, and saveAsTable refuses such orphan locations."""
+    a catalog entry, and saveAsTable refuses such orphan locations. The
+    location to clear is the catalog's reported one when the table is
+    registered; only for true orphans (directory with no catalog entry) is
+    it derived from the warehouse dir, with the uri scheme stripped via
+    urlparse (never str.replace, which would mangle 'file:' mid-path), and
+    only file-scheme locations are ever rmtree'd."""
     import shutil
+    from urllib.parse import unquote, urlparse
 
     spark = df.sparkSession
+
+    def _local_path(uri: str) -> str | None:
+        parsed = urlparse(uri)
+        if parsed.scheme in ("", "file"):
+            return unquote(parsed.path) or uri
+        return None
+
+    location = None
+    if spark.catalog.tableExists(table):
+        rows = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .where(F.col("col_name") == "Location")
+            .collect()
+        )
+        if rows:
+            location = _local_path(rows[0]["data_type"])
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    location = os.path.join(warehouse.replace("file:", ""), table.lower())
-    if os.path.exists(location):
+    if location is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh_path = _local_path(warehouse)
+        if wh_path is not None:
+            location = os.path.join(wh_path, table.lower())
+    if location is not None and os.path.exists(location):
         shutil.rmtree(location, ignore_errors=True)
     (
         df.write.mode("overwrite")

@@ -307,6 +307,23 @@ def test_duplicate_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
 
 
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    """A chain longer than max_iters must RAISE, not return silently-partial
+    labels (min-label propagation needs ~diameter rounds); the same graph
+    converges fine with a sufficient budget."""
+    import pytest
+
+    from openaip_yaixm_to_geojson_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "key_a bigint, key_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iters=2).collect()
+    got = {r["key"]: r["cluster_id"] for r in duplicate_clusters(chain, max_iters=12).collect()}
+    assert got == {k: 1 for k in range(1, 10)}
+
+
 def test_deterministic_sample(spark):
     """Same keep-set on re-run and across fractions (bucket monotonicity):
     the 10% sample is a subset of the 25% sample, sizes are in range."""

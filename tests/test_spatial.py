@@ -363,6 +363,35 @@ def test_compact_cover_equivalence(polygons):
             assert len(compact) * 4 < len(cellgrid.cover(ring, res_max))
 
 
+def test_collinear_edge_not_marked_full():
+    """A polygon edge exactly collinear with a cell border (vertices beyond
+    the cell corners) is boundary contact: the cell must NOT be classified
+    `full` (full cells skip the exact PIP refine)."""
+    from openaip_yaixm_to_geojson_spark.functions import cellgrid
+
+    res = 6
+    # pick a res-6 cell and build a rectangle whose bottom edge runs exactly
+    # along the cell's top border but extends past both corners, and whose
+    # body covers the cell entirely otherwise — corners of the cell are
+    # inside the rectangle, no vertex inside the cell, one collinear edge.
+    cell = cellgrid.encode(0.0, 45.0, res)
+    lo, la, hi, ha = cellgrid.cell_bounds(cell)
+    ring = np.array(
+        [
+            [lo - 1.0, ha],  # collinear with the TOP border of the cell
+            [hi + 1.0, ha],
+            [hi + 1.0, la - 5.0],
+            [lo - 1.0, la - 5.0],
+            [lo - 1.0, ha],
+        ]
+    )
+    assert not cellgrid._rect_fully_inside_ring((lo, la, hi, ha), ring)
+    # sanity: nudging that edge strictly above the border makes it full
+    ring_clear = ring.copy()
+    ring_clear[ring_clear[:, 1] == ha, 1] = ha + 0.5
+    assert cellgrid._rect_fully_inside_ring((lo, la, hi, ha), ring_clear)
+
+
 def test_spatial_join_compact_matches(spark, polygons, pages_pdf):
     from openaip_yaixm_to_geojson_spark.operators.spatial import spatial_join_compact
     from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
