@@ -138,6 +138,18 @@ def q_knn(spark, sf_dir):
     return knn_ring_expansion(pages, fixture_polygons()).select("url", "poly_id", "dist_sq")
 
 
+def q_knn_table(spark, sf_dir):
+    """Polygon-TABLE kNN: vertex index built by distributed explode +
+    codegen cell encode, exact fallback over the vertex table — nothing
+    polygon-shaped on the driver (the 100-TB shape; same oracle as knn)."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_ring_expansion_table
+    from openaip_yaixm_to_geojson_spark.operators.spatial import polygons_to_df
+
+    pages = pages_from_documents(spark, sf_dir)
+    polys_df = polygons_to_df(spark, fixture_polygons())
+    return knn_ring_expansion_table(pages, polys_df).select("url", "poly_id", "dist_sq")
+
+
 def q_tile_doc_counts(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir)
     return tile_doc_counts(pages, DEFAULT_TILE_RES)
@@ -383,6 +395,22 @@ def q_spatial_join_compact(spark, sf_dir):
     )
 
 
+def q_spatial_join_compact_table(spark, sf_dir):
+    """Compact-cover join with the polygon side a TABLE end to end
+    (distributed pandas-UDF compaction + explode, rings attached by join) —
+    nothing polygon-shaped on the driver; same rows as every other mode."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        polygons_to_df,
+        spatial_join_compact_table,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    polys_df = polygons_to_df(spark, fixture_polygons())
+    return spatial_join_compact_table(pages, polys_df).select(
+        "url", "poly_id", "airspace_name", "airspace_type", "airspace_class"
+    )
+
+
 def q_spatial_join_bucketed(spark, sf_dir):
     """Zero-exchange co-located join: pages and cover pre-bucketed on
     `cell`, sort-merge join uses the bucket layout (no shuffle of either
@@ -549,8 +577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_table": q_spatial_join_table,
         "spatial_join_bucketed": q_spatial_join_bucketed,
         "spatial_join_compact": q_spatial_join_compact,
+        "spatial_join_compact_table": q_spatial_join_compact_table,
         "join_count_by_airspace": q_join_count_by_airspace,
         "knn": q_knn,
+        "knn_table": q_knn_table,
         "knn_bruteforce": q_knn_bruteforce,
         "tile_doc_counts": q_tile_doc_counts,
         "tile_class_rollup": q_tile_class_rollup,
@@ -598,8 +628,10 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_table": oracle.sql_spatial_join(),
         "spatial_join_bucketed": oracle.sql_spatial_join(),
         "spatial_join_compact": oracle.sql_spatial_join(),
+        "spatial_join_compact_table": oracle.sql_spatial_join(),
         "join_count_by_airspace": oracle.sql_join_count_by_airspace(),
         "knn": oracle.sql_knn(),
+        "knn_table": oracle.sql_knn(),
         "knn_bruteforce": oracle.sql_knn(),
         "tile_doc_counts": oracle.sql_tile_doc_counts(),
         "tile_class_rollup": oracle.sql_tile_class_rollup(),

@@ -105,6 +105,56 @@ def vertex_index_df(spark: SparkSession, polygons: list[dict[str, Any]], res: in
     return spark.createDataFrame(pdf)
 
 
+def vertex_index_from_table(polygons_df: DataFrame, res: int = KNN_RES) -> DataFrame:
+    """Distributed vertex index from a polygons TABLE: explode the ring
+    column (closing duplicate dropped), encode cells with the codegen cell
+    expression — no UDF, no driver materialization, so the polygon side can
+    be millions of rows (the same scale fix spatial_join_distributed made
+    for the cover)."""
+    pts = polygons_df.select(
+        F.col("poly_id").cast("int").alias("poly_id"),
+        F.explode(F.slice(F.col("ring"), F.lit(1), F.size(F.col("ring")) - 1)).alias("pt"),
+    ).select(
+        "poly_id",
+        F.col("pt")[0].alias("vlon"),
+        F.col("pt")[1].alias("vlat"),
+    )
+    return pts.select(
+        cellgrid.cell_id_col(F.col("vlon"), F.col("vlat"), res).alias("vcell"),
+        "poly_id",
+        "vlon",
+        "vlat",
+    )
+
+
+def knn_bruteforce_distributed(pages: DataFrame, vindex: DataFrame) -> DataFrame:
+    """Exact nearest-vertex scan with the vertex side as a TABLE: broadcast
+    the (small) page tail against every vertex partition, then one min-by
+    aggregation. Used as the ring-expansion fallback when polygons are a
+    DataFrame; O(tail x vertices) work data-parallel over the vertex set."""
+    tail = pages.select("url", "lat", "lon")
+    d2 = (F.col("lon") - F.col("vlon")) * (F.col("lon") - F.col("vlon")) + (
+        F.col("lat") - F.col("vlat")
+    ) * (F.col("lat") - F.col("vlat"))
+    return (
+        vindex.crossJoin(F.broadcast(tail))
+        .select("url", "lat", "lon", "poly_id", d2.alias("d2"))
+        .groupBy("url")
+        .agg(
+            F.first("lat").alias("lat"),
+            F.first("lon").alias("lon"),
+            F.min(F.struct(F.col("d2"), F.col("poly_id"))).alias("_b"),
+        )
+        .select(
+            "url",
+            "lat",
+            "lon",
+            F.col("_b.poly_id").alias("poly_id"),
+            F.col("_b.d2").alias("dist_sq"),
+        )
+    )
+
+
 def knn_ring_expansion(
     pages: DataFrame,
     polygons: list[dict[str, Any]],
@@ -132,6 +182,47 @@ def knn_ring_expansion(
     spark = pages.sparkSession
     vindex = vertex_index_df(spark, polygons, res)
     n_vertices = sum(len(p["ring"]) - 1 for p in polygons)
+
+    def fallback(tail: DataFrame) -> DataFrame:
+        return knn_bruteforce(tail.select("url", "lat", "lon"), polygons).select(*OUT_COLS)
+
+    return _expansion_loop(pages, vindex, n_vertices, res, windows, fallback)
+
+
+def knn_ring_expansion_table(
+    pages: DataFrame,
+    polygons_df: DataFrame,
+    res: int = KNN_RES,
+    windows: tuple[tuple[int, int], ...] = ((0, 1), (2, 15)),
+) -> DataFrame:
+    """Ring-expansion kNN with the polygon side as a TABLE end to end: the
+    vertex index is built by a distributed explode + codegen cell encode
+    (vertex_index_from_table) and the exact-fallback tail scans the vertex
+    TABLE (knn_bruteforce_distributed) — nothing polygon-shaped touches the
+    driver, so the polygon side scales to millions of rows. Same rows as
+    `knn_ring_expansion` (tie-break and guarantee logic shared)."""
+    vindex = vertex_index_from_table(polygons_df, res).localCheckpoint()
+    n_vertices = vindex.count()  # tiny job on the (small) vertex table
+
+    def fallback(tail: DataFrame) -> DataFrame:
+        return knn_bruteforce_distributed(tail, vindex).select(*OUT_COLS)
+
+    return _expansion_loop(pages, vindex, n_vertices, res, windows, fallback)
+
+
+def _expansion_loop(
+    pages: DataFrame,
+    vindex: DataFrame,
+    n_vertices: int,
+    res: int,
+    windows: tuple[tuple[int, int], ...],
+    fallback,
+) -> DataFrame:
+    """Shared ring-expansion driver loop (see knn_ring_expansion docstring):
+    vindex is (vcell, poly_id, vlon, vlat) from either the driver-list or
+    the distributed table builder; `fallback(tail)` performs the exact scan
+    for pages unresolved past the last window."""
+    spark = pages.sparkSession
     size = cellgrid.cell_size_deg(res)
 
     pending = (
@@ -203,9 +294,7 @@ def knn_ring_expansion(
 
     if pending is not None and not pending.isEmpty():
         # pages with nothing within max_rounds rings: exact fallback scan
-        finalized.append(
-            knn_bruteforce(pending.select("url", "lat", "lon"), polygons).select(*OUT_COLS)
-        )
+        finalized.append(fallback(pending))
 
     out = finalized[0]
     for df in finalized[1:]:

@@ -120,7 +120,7 @@ def polygon_cover_distributed(polygons_df: DataFrame, res: int = DEFAULT_JOIN_RE
     )
 
 
-def pip_filter_with_ring(candidates: DataFrame) -> DataFrame:
+def make_pip_ring_udf():
     """Winding-number refine when the ring is a COLUMN (distributed polygon
     table) rather than a driver-held dict: one vectorized PIP call per
     polygon group inside each Arrow batch; the ring is decoded once per
@@ -139,6 +139,11 @@ def pip_filter_with_ring(candidates: DataFrame) -> DataFrame:
             out[mask] = points_in_ring_winding(lon_np[mask], lat_np[mask], ring_np)
         return pd.Series(out)
 
+    return pip
+
+
+def pip_filter_with_ring(candidates: DataFrame) -> DataFrame:
+    pip = make_pip_ring_udf()
     return candidates.where(pip(F.col("lon"), F.col("lat"), F.col("poly_id"), F.col("ring")))
 
 
@@ -334,6 +339,77 @@ def spatial_join_compact(
     out_cols = ["url", "lat", "lon", "poly_id", "airspace_name", "airspace_type", "airspace_class"]
     out_cols += [c for c in keep_cols if c not in out_cols]
     keep = F.col("full") | pip(F.col("lon"), F.col("lat"), F.col("poly_id"))
+    return candidates.where(keep).select(*out_cols)
+
+
+def compact_cover_distributed(
+    polygons_df: DataFrame, res_min: int = 10, res_max: int = DEFAULT_JOIN_RES
+) -> DataFrame:
+    """Distributed quadtree-compacted cover: one pandas-UDF compaction per
+    polygon row + explode — the polygons-TABLE twin of compact_cover_df, so
+    the polygon side can be millions of rows. Identical (cell, full) set to
+    cellgrid.cover_compact per polygon."""
+    entry_type = T.ArrayType(
+        T.StructType(
+            [T.StructField("cell", T.LongType()), T.StructField("full", T.BooleanType())]
+        )
+    )
+
+    @F.pandas_udf(entry_type)
+    def compact_cells(rings: pd.Series) -> pd.Series:
+        out = []
+        for ring in rings:
+            ring_np = np.vstack([np.asarray(pt, dtype=np.float64) for pt in ring])
+            out.append(
+                [
+                    {"cell": int(cell), "full": bool(full)}
+                    for cell, full in cellgrid.cover_compact(ring_np, res_min, res_max)
+                ]
+            )
+        return pd.Series(out)
+
+    return polygons_df.select(
+        F.explode(compact_cells(F.col("ring"))).alias("_e"),
+        "poly_id",
+        "airspace_name",
+        "airspace_type",
+        "airspace_class",
+    ).select(
+        F.col("_e.cell").alias("cell"),
+        F.col("_e.full").alias("full"),
+        "poly_id",
+        "airspace_name",
+        "airspace_type",
+        "airspace_class",
+    )
+
+
+def spatial_join_compact_table(
+    pages: DataFrame,
+    polygons_df: DataFrame,
+    res_min: int = 10,
+    res_max: int = DEFAULT_JOIN_RES,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """spatial_join_compact with the polygon side as a TABLE end to end:
+    compacted cover via distributed pandas-UDF compaction + explode, PIP
+    rings attached by a poly_id join — nothing polygon-shaped on the
+    driver. `full`-cell candidates skip the PIP refine exactly like the
+    driver-list variant; same rows as spatial_join."""
+    cover = compact_cover_distributed(polygons_df, res_min, res_max).select(
+        "cell", "full", "poly_id"
+    )
+    levels = [
+        cellgrid.cell_id_col(F.col("lon"), F.col("lat"), r) for r in range(res_min, res_max + 1)
+    ]
+    cells = pages.withColumn("cell", F.explode(F.array(*levels)))
+    candidates = cells.join(F.broadcast(cover), "cell").join(
+        F.broadcast(polygons_df), "poly_id"
+    )
+    pip = make_pip_ring_udf()
+    out_cols = ["url", "lat", "lon", "poly_id", "airspace_name", "airspace_type", "airspace_class"]
+    out_cols += [c for c in keep_cols if c not in out_cols]
+    keep = F.col("full") | pip(F.col("lon"), F.col("lat"), F.col("poly_id"), F.col("ring"))
     return candidates.where(keep).select(*out_cols)
 
 

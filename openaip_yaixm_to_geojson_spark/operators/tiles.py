@@ -97,3 +97,14 @@ def polygon_raster(spark: SparkSession, polygons: list[dict[str, Any]], res: int
                 }
             )
     return spark.createDataFrame(rows, "tile_id bigint, poly_id int, airspace_class string")
+
+
+def polygon_raster_table(polygons_df: DataFrame, res: int = DEFAULT_TILE_RES) -> DataFrame:
+    """polygon_raster with the polygon side as a TABLE: rasterization runs
+    through the distributed polyfill (pandas-UDF cover + explode), so
+    millions of polygons rasterize data-parallel with no driver loop."""
+    from .spatial import polygon_cover_distributed
+
+    return polygon_cover_distributed(polygons_df, res).select(
+        F.col("cell").alias("tile_id"), "poly_id", "airspace_class"
+    )

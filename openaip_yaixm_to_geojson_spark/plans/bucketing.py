@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import cellgrid
-from ..operators.spatial import DEFAULT_JOIN_RES, make_pip_udf, polygon_cover_df
+from ..operators.spatial import (
+    DEFAULT_JOIN_RES,
+    make_pip_udf,
+    polygon_cover_distributed,
+    polygons_to_df,
+)
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str = "cell", n_buckets: int = 16) -> None:
@@ -78,7 +83,12 @@ def bucketed_pages(spark: SparkSession, pages: DataFrame, table: str = "pages_bu
 
 def bucketed_cover(spark: SparkSession, polygons, table: str = "cover_bucketed",
                    res: int = DEFAULT_JOIN_RES, n_buckets: int = 16) -> DataFrame:
-    cover = polygon_cover_df(spark, polygons, res)
+    """Cover table built through the DISTRIBUTED polyfill (pandas-UDF cover
+    + explode), so the polygon side never loops on the driver; `polygons`
+    may be a fixture-style list (converted to a table) or a polygons
+    DataFrame already."""
+    polys_df = polygons if isinstance(polygons, DataFrame) else polygons_to_df(spark, polygons)
+    cover = polygon_cover_distributed(polys_df, res)
     write_bucketed(cover, table, "cell", n_buckets)
     return spark.table(table)
 

@@ -76,7 +76,70 @@ def test_geojson_validator_flags_problems():
     bad["features"][0]["geometry"]["coordinates"] = [[[0, 0], [1, 0], [0, 0]]]
     problems = validate_feature_collection(bad)
     assert any("NOT_A_TYPE" in p for p in problems)
-    assert any("< 4" in p for p in problems)
+    # full-schema message is "is too short"; structural subset says "< 4"
+    assert any(("< 4" in p) or ("too short" in p) for p in problems)
+    # the structural fallback must flag the same two defects
+    from openaip_yaixm_to_geojson_spark.functions.validate_geojson import (
+        validate_structural,
+    )
+
+    sp = validate_structural(bad)
+    assert any("NOT_A_TYPE" in p for p in sp) and any("< 4" in p for p in sp)
+
+
+def test_schema_parity_with_reference_file(spark):
+    """The embedded OUTPUT_SCHEMA is semantically identical to the
+    reference's actual Ajv schema file (annotation keywords aside), and a
+    real converted FeatureCollection passes BOTH under full draft 2020-12
+    validation (reference compiles it with Ajv2020,
+    airspace-converter.ts:146-166, applies at :215-224)."""
+    import pytest
+
+    jsonschema = pytest.importorskip("jsonschema")
+    ref_path = "/root/reference/src/schemas/geojson-schema.json"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference schema file not available")
+    with open(ref_path) as fh:
+        ref_schema = json.load(fh)
+
+    from openaip_yaixm_to_geojson_spark.functions.validate_geojson import (
+        OUTPUT_SCHEMA,
+        validate_with_json_schema,
+    )
+
+    def strip(x):
+        if isinstance(x, dict):
+            return {
+                k: strip(v) for k, v in x.items() if k not in ("description", "example", "$id")
+            }
+        if isinstance(x, list):
+            return [strip(v) for v in x]
+        return x
+
+    assert strip(ref_schema) == strip(OUTPUT_SCHEMA)
+    jsonschema.Draft202012Validator.check_schema(OUTPUT_SCHEMA)
+
+    from openaip_yaixm_to_geojson_spark.operators.convert import (
+        convert_airspaces,
+        features_to_geojson,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.yaixm import (
+        airspaces_from_records,
+        services_from_records,
+    )
+
+    blocks = []
+    for case in ["with-service", "circle", "multi-sequence", "pill-shaped"]:
+        blocks.extend(FIXTURES[case]["airspace"])
+    fc = features_to_geojson(
+        convert_airspaces(
+            airspaces_from_records(spark, blocks),
+            services=services_from_records(spark, FIXTURES["service"]["service"]),
+            fix_geometries=True,
+        )
+    )
+    assert validate_with_json_schema(fc) == []
+    assert validate_with_json_schema(fc, ref_schema) == []
 
 
 def test_cli_smoke(spark, tmp_path):

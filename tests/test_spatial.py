@@ -363,6 +363,23 @@ def test_compact_cover_equivalence(polygons):
             assert len(compact) * 4 < len(cellgrid.cover(ring, res_max))
 
 
+def test_polygon_raster_table_matches_driver(spark, polygons):
+    """The distributed raster path (polyfill UDF over a polygons TABLE)
+    produces the identical (tile, poly) set to the driver-loop builder."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import polygons_to_df
+    from openaip_yaixm_to_geojson_spark.operators.tiles import (
+        polygon_raster,
+        polygon_raster_table,
+    )
+
+    driver = {(r["tile_id"], r["poly_id"]) for r in polygon_raster(spark, polygons).collect()}
+    table = {
+        (r["tile_id"], r["poly_id"])
+        for r in polygon_raster_table(polygons_to_df(spark, polygons)).collect()
+    }
+    assert driver == table and len(driver) > 0
+
+
 def test_collinear_edge_not_marked_full():
     """A polygon edge exactly collinear with a cell border (vertices beyond
     the cell corners) is boundary contact: the cell must NOT be classified
