@@ -155,11 +155,21 @@ def knn_bruteforce_distributed(pages: DataFrame, vindex: DataFrame) -> DataFrame
     )
 
 
+# fast-path gates: below these, the exact vectorized scan beats the
+# expansion loop's 2+ driver barriers. The page-count probe uses
+# limit(N+1).count() — a CollectLimit that early-exits after N+1 rows, so
+# the gate costs O(threshold) regardless of table size (a full count()
+# here would add a whole-table job at 100 TB).
+SMALL_INPUT_ROWS = 100_000
+SMALL_INDEX_VERTICES = 10_000
+
+
 def knn_ring_expansion(
     pages: DataFrame,
     polygons: list[dict[str, Any]],
     res: int = KNN_RES,
     windows: tuple[tuple[int, int], ...] = ((0, 1), (2, 15)),
+    small_input_rows: int = SMALL_INPUT_ROWS,
 ) -> DataFrame:
     """(url, poly_id, dist_sq) via iterative cell-ring expansion.
 
@@ -180,8 +190,17 @@ def knn_ring_expansion(
     instead of broadcasting either way.
     """
     spark = pages.sparkSession
-    vindex = vertex_index_df(spark, polygons, res)
     n_vertices = sum(len(p["ring"]) - 1 for p in polygons)
+
+    # tiny-input fast path: same rows (knn_bruteforce shares the tie-break
+    # contract and is gate-verified against the same oracle), no loop
+    # barriers. Set small_input_rows=0 to force the expansion path.
+    if small_input_rows and n_vertices <= SMALL_INDEX_VERTICES:
+        probe = pages.select("url").limit(small_input_rows + 1).count()
+        if probe <= small_input_rows:
+            return knn_bruteforce(pages.select("url", "lat", "lon"), polygons).select(*OUT_COLS)
+
+    vindex = vertex_index_df(spark, polygons, res)
 
     def fallback(tail: DataFrame) -> DataFrame:
         return knn_bruteforce(tail.select("url", "lat", "lon"), polygons).select(*OUT_COLS)
@@ -203,6 +222,12 @@ def knn_ring_expansion_table(
     `knn_ring_expansion` (tie-break and guarantee logic shared)."""
     vindex = vertex_index_from_table(polygons_df, res).localCheckpoint()
     n_vertices = vindex.count()  # tiny job on the (small) vertex table
+
+    # same tiny-input fast path as the driver-list variant
+    if n_vertices <= SMALL_INDEX_VERTICES:
+        probe = pages.select("url").limit(SMALL_INPUT_ROWS + 1).count()
+        if probe <= SMALL_INPUT_ROWS:
+            return knn_bruteforce_distributed(pages, vindex).select(*OUT_COLS)
 
     def fallback(tail: DataFrame) -> DataFrame:
         return knn_bruteforce_distributed(tail, vindex).select(*OUT_COLS)

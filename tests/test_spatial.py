@@ -82,11 +82,19 @@ def test_knn_ring_expansion_matches_bruteforce(spark, polygons):
     from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
 
     pages = pages_from_documents(spark, SF_DIR)
-    ring = {r["url"]: (r["poly_id"], r["dist_sq"]) for r in knn_ring_expansion(pages, polygons).collect()}
+    # small_input_rows=0 forces the expansion loop (the default would take
+    # the tiny-input brute-force fast path and test nothing)
+    ring = {
+        r["url"]: (r["poly_id"], r["dist_sq"])
+        for r in knn_ring_expansion(pages, polygons, small_input_rows=0).collect()
+    }
     brute = {r["url"]: (r["poly_id"], r["dist_sq"]) for r in knn_bruteforce(pages, polygons).collect()}
     assert set(ring) == set(brute)
     mismatches = {u: (ring[u], brute[u]) for u in brute if ring[u] != brute[u]}
     assert not mismatches, list(mismatches.items())[:5]
+    # the fast path (default gates) returns the identical mapping
+    fast = {r["url"]: (r["poly_id"], r["dist_sq"]) for r in knn_ring_expansion(pages, polygons).collect()}
+    assert fast == brute
 
 
 def test_tile_rollup_counts(spark, polygons):
@@ -146,7 +154,7 @@ def test_knn_fallback_bruteforce_path(spark, polygons):
     # falls through to the brute-force fallback
     ring = {
         r["url"]: (r["poly_id"], r["dist_sq"])
-        for r in knn_ring_expansion(pages, polygons, windows=((0, 0),)).collect()
+        for r in knn_ring_expansion(pages, polygons, windows=((0, 0),), small_input_rows=0).collect()
     }
     brute = {r["url"]: (r["poly_id"], r["dist_sq"]) for r in knn_bruteforce(pages, polygons).collect()}
     assert ring == brute and len(ring) == 40
@@ -161,7 +169,7 @@ def test_knn_shuffle_join_past_broadcast_threshold(spark, polygons, monkeypatch)
     pages = pages_from_documents(spark, SF_DIR).limit(40)
     ring = {
         r["url"]: (r["poly_id"], r["dist_sq"])
-        for r in knn_mod.knn_ring_expansion(pages, polygons).collect()
+        for r in knn_mod.knn_ring_expansion(pages, polygons, small_input_rows=0).collect()
     }
     brute = {r["url"]: (r["poly_id"], r["dist_sq"]) for r in knn_mod.knn_bruteforce(pages, polygons).collect()}
     assert ring == brute
