@@ -17,8 +17,20 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# planes x dim (or centroids x dim) terms beyond this budget would be
+# unrolled into a codegen expression tree of tens of thousands of literal
+# nodes (compile-time + interpreted-fallback risk at dim ~1536); switch to
+# the Arrow-batched NumPy kernel instead. The kernel reproduces the
+# expression fold BIT-FOR-BIT: per-plane products are summed with cumsum
+# (a strict left fold — np.sum/matmul use pairwise/BLAS orders that round
+# differently near sign boundaries).
+EXPR_UNROLL_MAX_TERMS = 4096
+
 
 def dot_double(a: Column, b: Column) -> Column:
     """Dot product as a strict LEFT-FOLD double sum.
@@ -110,6 +122,45 @@ def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def _fold_dots_np(mat: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """(rows, dim) x (k, dim) -> (rows, k) dot products where each dot is a
+    STRICT LEFT FOLD over the dim axis (cumsum's last element), bit-identical
+    to the `aggregate`-expression fold and the DuckDB list_reduce oracle.
+    np.sum/@ would use pairwise/BLAS reduction orders that can flip signs
+    near zero and change bucket assignment."""
+    out = np.empty((mat.shape[0], weights.shape[0]), dtype=np.float64)
+    for i, w in enumerate(weights):
+        out[:, i] = np.cumsum(mat * w[None, :], axis=1)[:, -1]
+    return out
+
+
+def _stack_vectors(vec: pd.Series) -> np.ndarray:
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in vec])
+
+
+def lsh_bucket_udf_col(vec: Column, planes: np.ndarray) -> Column:
+    """Arrow-batched twin of lsh_bucket_col for high-dim embeddings: one
+    NumPy kernel per batch instead of planes x dim unrolled literals.
+    Bit-identical buckets (left-fold dots, see _fold_dots_np)."""
+    planes64 = planes.astype(np.float64)
+    bit_weights = (1 << np.arange(len(planes64))).astype(np.int64)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vec_s: pd.Series) -> pd.Series:
+        dots = _fold_dots_np(_stack_vectors(vec_s), planes64)
+        return pd.Series(((dots >= 0).astype(np.int64) @ bit_weights).astype("int32"))
+
+    return bucket(vec)
+
+
+def bucket_assign_col(vec: Column, planes: np.ndarray) -> Column:
+    """LSH bucket id: codegen expressions while planes x dim stays under
+    EXPR_UNROLL_MAX_TERMS, the Arrow kernel beyond (dim ~1536 embeddings)."""
+    if planes.size <= EXPR_UNROLL_MAX_TERMS:
+        return lsh_bucket_col(vec, planes)
+    return lsh_bucket_udf_col(vec, planes)
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -136,8 +187,8 @@ def lsh_ann_topk(
         # plan-build free of Spark jobs
         dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
-    corpus = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
-    probes = queries.withColumn("bucket", lsh_bucket_col(F.col("qvec"), planes))
+    corpus = embeddings.withColumn("bucket", bucket_assign_col(F.col(vec_col), planes))
+    probes = queries.withColumn("bucket", bucket_assign_col(F.col("qvec"), planes))
     if multiprobe:
         neighbours = F.array(
             F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
@@ -207,6 +258,60 @@ def ivf_assign_col(vec: Column, centroids: np.ndarray) -> Column:
     return best["cid"].cast("int")
 
 
+def ivf_assign_udf_col(vec: Column, centroids: np.ndarray) -> Column:
+    """Arrow-batched twin of ivf_assign_col: np.argmax's first-occurrence
+    rule matches the expression fold's strict `>` (earliest maximum wins),
+    over the same left-fold dots."""
+    cents64 = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vec_s: pd.Series) -> pd.Series:
+        dots = _fold_dots_np(_stack_vectors(vec_s), cents64)
+        return pd.Series(np.argmax(dots, axis=1).astype("int32"))
+
+    return assign(vec)
+
+
+def ivf_assign_any_col(vec: Column, centroids: np.ndarray) -> Column:
+    if centroids.size <= EXPR_UNROLL_MAX_TERMS:
+        return ivf_assign_col(vec, centroids)
+    return ivf_assign_udf_col(vec, centroids)
+
+
+def _ivf_probe_cids_expr(qvec: Column, centroids: np.ndarray, n_probes: int) -> Column:
+    qdots = F.array(
+        *[
+            F.struct((-d).alias("nd"), F.lit(i).alias("cid"))
+            for i, d in enumerate(_centroid_dots(qvec, centroids))
+        ]
+    )
+    return F.transform(F.slice(F.sort_array(qdots), 1, n_probes), lambda s: s["cid"])
+
+
+def _ivf_probe_cids_udf(qvec: Column, centroids: np.ndarray, n_probes: int) -> Column:
+    """Arrow twin of the probe-list expression: sort by (-dot, cid) — same
+    key as sort_array over struct(nd, cid) — and keep the first n_probes."""
+    cents64 = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(qvec_s: pd.Series) -> pd.Series:
+        dots = _fold_dots_np(_stack_vectors(qvec_s), cents64)
+        cids = np.arange(dots.shape[1])
+        out = []
+        for row in dots:
+            order = np.lexsort((cids, -row))[:n_probes]
+            out.append(order.astype("int32"))
+        return pd.Series(out)
+
+    return probe(qvec)
+
+
+def ivf_probe_cids_col(qvec: Column, centroids: np.ndarray, n_probes: int) -> Column:
+    if centroids.size <= EXPR_UNROLL_MAX_TERMS:
+        return _ivf_probe_cids_expr(qvec, centroids, n_probes)
+    return _ivf_probe_cids_udf(qvec, centroids, n_probes)
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -231,18 +336,10 @@ def ivf_ann_topk(
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     cents = ivf_centroids(dim, n_centroids)
-    corpus = embeddings.withColumn("cid", ivf_assign_col(F.col(vec_col), cents))
+    corpus = embeddings.withColumn("cid", ivf_assign_any_col(F.col(vec_col), cents))
     # query probe lists: top-n_probes centroids by dot desc, centroid-id asc
-    qdots = F.array(
-        *[
-            F.struct((-d).alias("nd"), F.lit(i).alias("cid"))
-            for i, d in enumerate(_centroid_dots(F.col("qvec"), cents))
-        ]
-    )
-    probes = (
-        queries.withColumn("_p", F.slice(F.sort_array(qdots), 1, n_probes))
-        .withColumn("cid", F.explode(F.transform(F.col("_p"), lambda s: s["cid"])))
-        .drop("_p")
+    probes = queries.withColumn(
+        "cid", F.explode(ivf_probe_cids_col(F.col("qvec"), cents, n_probes))
     )
     scored = (
         corpus.alias("e")
@@ -286,7 +383,7 @@ def embedding_neardup_pairs(
         if dim is None:
             dim = len(embeddings.select(vec_col).first()[0])
         planes = hyperplanes(dim, n_planes)
-        cols.append(lsh_bucket_col(F.col(vec_col), planes).alias("bucket"))
+        cols.append(bucket_assign_col(F.col(vec_col), planes).alias("bucket"))
     bucketed = embeddings.select(*cols)
     a = bucketed.alias("a")
     b = bucketed.alias("b")

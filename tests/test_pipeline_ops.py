@@ -98,6 +98,76 @@ def test_lsh_ann_recall(spark):
     assert recall >= 0.6, f"ANN recall too low: {recall}"
 
 
+def test_ann_udf_kernels_match_expressions(spark):
+    """The Arrow-batched bucket/assign/probe kernels (high-dim path past
+    EXPR_UNROLL_MAX_TERMS) are BIT-IDENTICAL to the unrolled-expression
+    fold: same left-fold dots (cumsum), same tie rules."""
+    from openaip_yaixm_to_geojson_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = sim.hyperplanes(64, 8)
+    cents = sim.ivf_centroids(64, 16)
+    got = emb.select(
+        "vec_id",
+        sim.lsh_bucket_col(F.col("embedding"), planes).alias("b_expr"),
+        sim.lsh_bucket_udf_col(F.col("embedding"), planes).alias("b_udf"),
+        sim.ivf_assign_col(F.col("embedding"), cents).alias("c_expr"),
+        sim.ivf_assign_udf_col(F.col("embedding"), cents).alias("c_udf"),
+        sim._ivf_probe_cids_expr(F.col("embedding"), cents, 4).alias("p_expr"),
+        sim._ivf_probe_cids_udf(F.col("embedding"), cents, 4).alias("p_udf"),
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["b_expr"] == r["b_udf"], r["vec_id"]
+        assert r["c_expr"] == r["c_udf"], r["vec_id"]
+        assert list(r["p_expr"]) == list(r["p_udf"]), r["vec_id"]
+
+
+def test_ann_high_dim_uses_udf_path(spark):
+    """dim 1536 (planes x dim and centroids x dim both past the unroll
+    budget) runs end to end through the Arrow kernels: valid top-k shape,
+    deterministic across two runs, and a planted near-duplicate pair is
+    found by the LSH near-dup path."""
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.operators.similarity import (
+        EXPR_UNROLL_MAX_TERMS,
+        embedding_neardup_pairs,
+        ivf_ann_topk,
+        lsh_ann_topk,
+        queries_from_embeddings,
+    )
+
+    dim, n = 1536, 60
+    assert 8 * dim > EXPR_UNROLL_MAX_TERMS and 16 * dim > EXPR_UNROLL_MAX_TERMS
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[1] = vecs[0] + rng.normal(scale=1e-3, size=dim).astype(np.float32)  # planted near-dup
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id int, embedding array<float>",
+    )
+    queries = queries_from_embeddings(emb, n=3)
+    lsh = lsh_ann_topk(emb, queries, k=3, n_planes=8, dim=dim).collect()
+    ivf = ivf_ann_topk(emb, queries, k=3, n_centroids=16, n_probes=8, dim=dim).collect()
+    for rows in (lsh, ivf):
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert per_q and all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    again = lsh_ann_topk(emb, queries, k=3, n_planes=8, dim=dim).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, lsh))
+    # query 0's top hit must be the planted near-duplicate vector 1
+    top = {r["rank"]: r["vec_id"] for r in lsh if r["query_id"] == 0}
+    assert top[1] == 1
+    pairs = {
+        (r["key_a"], r["key_b"])
+        for r in embedding_neardup_pairs(emb, cosine_threshold=0.99, dim=dim).collect()
+    }
+    assert (0, 1) in pairs
+
+
 def test_langid_and_quality(spark, docs):
     from openaip_yaixm_to_geojson_spark.operators.text import analyze_documents
 
