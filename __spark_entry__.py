@@ -545,6 +545,48 @@ def q_rolling_fingerprint(spark, sf_dir):
     )
 
 
+def q_html_extract_text(spark, sf_dir):
+    """HTML -> text extraction over binary payloads (input_hint shape):
+    script/style stripped, tags to spaces, entities decoded, whitespace
+    collapsed — all JVM regexp expressions, no Python on the fact table."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        extract_text_col,
+        synth_html_pages,
+    )
+
+    pages = synth_html_pages(spark, sf_dir)
+    return pages.select("doc_id", extract_text_col(F.col("html")).alias("extracted"))
+
+
+def q_html_paragraphs(spark, sf_dir):
+    """Per-<p>-block extraction with in-document order (posexplode)."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        extract_paragraphs,
+        synth_html_pages,
+    )
+
+    return extract_paragraphs(synth_html_pages(spark, sf_dir))
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (RefinedWeb/CCNet line-dedup shape):
+    one shuffle on the paragraph digest, smallest owner + copy count."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        extract_paragraphs,
+        paragraph_dedup,
+        synth_html_pages,
+    )
+
+    return paragraph_dedup(extract_paragraphs(synth_html_pages(spark, sf_dir)))
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-host rollup (page count / language diversity / text bytes)."""
+    from openaip_yaixm_to_geojson_spark.operators.web import host_stats
+
+    return host_stats(pages_from_documents(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end to end: synthetic binary media table ->
     bounded mapInPandas feature extraction. The deterministic fake decode
@@ -616,6 +658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "sample": q_sample,
         "corpus_clean": q_corpus_clean,
+        "html_extract_text": q_html_extract_text,
+        "html_paragraphs": q_html_paragraphs,
+        "paragraph_dedup": q_paragraph_dedup,
+        "host_stats": q_host_stats,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -667,5 +713,9 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": oracle.sql_rolling_fingerprint(),
         "sample": oracle.sql_sample(),
         "corpus_clean": oracle.sql_corpus_clean(),
+        "html_extract_text": oracle.sql_html_extract_text(),
+        "html_paragraphs": oracle.sql_html_paragraphs(),
+        "paragraph_dedup": oracle.sql_paragraph_dedup(),
+        "host_stats": oracle.sql_host_stats(),
         "multimodal_features": oracle.sql_multimodal_features(),
     }

@@ -1,0 +1,131 @@
+"""Web-page text operators: HTML -> text extraction, paragraph-level
+dedup, URL/host analysis.
+
+The input_hint's pages carry `html binary` + `text string` with a
+byte-identity invariant on extracted text — these are the operators a
+Common-Crawl-style training-data pipeline runs between the WARC scan and
+the dedup/quality stages. Everything here is built-in expressions
+(regexp_replace / regexp_extract_all / split on the JVM — no Python on the
+fact table), and every regex/arithmetic step is shared verbatim with the
+DuckDB oracle (Java regex and RE2 agree on the subset used: lazy
+quantifiers, (?s), explicit whitespace classes; NO backreferences — RE2
+lacks them, so script/style stripping is two passes).
+
+Whitespace note: Java's \\s includes \\x0B, RE2's does not — the explicit
+class WS_CLASS keeps both engines identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# shared regex vocabulary (Java regex == RE2 for these)
+PAT_SCRIPT = r"(?s)<script[^>]*>.*?</script>"
+PAT_STYLE = r"(?s)<style[^>]*>.*?</style>"
+PAT_TAG = r"<[^>]*>"
+WS_CLASS = r"[ \t\n\r\f]+"
+PAT_PARAGRAPH = r"(?s)<p[^>]*>(.*?)</p>"
+# minimal entity set; &amp; must decode LAST or it would double-decode
+ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+PAT_HOST = r"^[a-z]+://([^/]+)"
+
+
+def strip_markup_col(html_text: Column) -> Column:
+    """script/style blocks out, tags -> spaces, entities decoded,
+    whitespace collapsed + trimmed."""
+    s = F.regexp_replace(html_text, PAT_SCRIPT, "")
+    s = F.regexp_replace(s, PAT_STYLE, "")
+    s = F.regexp_replace(s, PAT_TAG, " ")
+    for ent, ch in ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.regexp_replace(s, WS_CLASS, " ")
+    return F.trim(s)
+
+
+def extract_text_col(html_bin: Column) -> Column:
+    """binary html -> extracted text (utf-8 decode + strip_markup_col)."""
+    return strip_markup_col(F.decode(html_bin, "utf-8"))
+
+
+def extract_paragraphs(pages: DataFrame, html_col: str = "html", key_col: str = "url") -> DataFrame:
+    """One row per <p> block: (key, para_idx, paragraph) with the paragraph
+    content markup-stripped. posexplode keeps the in-document order."""
+    html_text = F.decode(F.col(html_col), "utf-8")
+    nosrc = F.regexp_replace(F.regexp_replace(html_text, PAT_SCRIPT, ""), PAT_STYLE, "")
+    paras = F.regexp_extract_all(nosrc, F.lit(PAT_PARAGRAPH), 1)
+    return pages.select(
+        F.col(key_col).alias("key"), F.posexplode(paras).alias("para_idx", "raw")
+    ).select("key", "para_idx", strip_markup_col(F.col("raw")).alias("paragraph"))
+
+
+def paragraph_dedup(paragraphs: DataFrame, min_len: int = 1) -> DataFrame:
+    """Paragraph-level exact dedup (the RefinedWeb/CCNet line-dedup shape):
+    group identical normalized paragraphs by md5, keep the smallest owner
+    key and the copy count. One shuffle on the digest with map-side
+    partials; paragraphs below `min_len` chars are noise and dropped."""
+    return (
+        paragraphs.where(F.length("paragraph") >= min_len)
+        .groupBy(F.md5("paragraph").alias("para_hash"))
+        .agg(
+            F.min("key").alias("owner"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def url_host_col(url: Column) -> Column:
+    return F.regexp_extract(url, PAT_HOST, 1)
+
+
+def host_stats(pages: DataFrame) -> DataFrame:
+    """Per-host rollup: page count, distinct languages, total text bytes —
+    the standard per-domain quality/quota view. One shuffle, map-side
+    partials; hosts follow a Zipf at CC scale, so downstream consumers
+    should treat the biggest hosts as skew keys (AQE handles the agg;
+    joins against this table broadcast — it is tiny relative to pages)."""
+    return (
+        pages.select(url_host_col(F.col("url")).alias("host"), "lang", F.length("text").alias("nb"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("nb").alias("text_bytes"),
+        )
+    )
+
+
+# --- deterministic synthetic html (gate scaffolding) -----------------------
+
+
+def html_wrap_sql(dialect: str) -> str:
+    """SQL building a deterministic html payload around a document's text —
+    title + one script + one style block + two <p> paragraphs split at a
+    fixed char offset, with an entity-encoded marker exercising the decode
+    path. Identical string in Spark and DuckDB (concat/substring are
+    1-based in both)."""
+    cast = "CAST(doc_id AS STRING)" if dialect == "spark" else "CAST(doc_id AS VARCHAR)"
+    p1 = "substring(text, 1, 120)"
+    p2 = "substring(text, 121, 1000000)"
+    return (
+        "concat('<html><head><title>Doc ', "
+        + cast
+        + ", '</title><script>var x = 1 &amp;&amp; 2;</script>"
+        + "<style>p { color: red; }</style></head><body>"
+        + "<p class=\"lead\">', "
+        + p1
+        + ", '</p>\n<p>', "
+        + p2
+        + ", ' &lt;end&gt;</p></body></html>')"
+    )
+
+
+def synth_html_pages(spark, sf_dir: str) -> DataFrame:
+    """documents -> (url, html binary) with the deterministic wrap."""
+    from ..sources.pages import url_sql
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(
+        f"SELECT {url_sql('spark')} AS url, doc_id, text, lang, "
+        f"encode({html_wrap_sql('spark')}, 'utf-8') AS html FROM documents"
+    )

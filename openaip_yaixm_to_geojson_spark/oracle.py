@@ -954,3 +954,74 @@ def sql_fingerprint() -> str:
         "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint "
         "FROM documents"
     )
+
+
+# ---------------------------------------------------------------------------
+# web operators (operators/web.py twins)
+# ---------------------------------------------------------------------------
+
+
+def _strip_markup_sql(expr: str) -> str:
+    """Same pipeline as web.strip_markup_col, same regex constants (shared
+    module-level strings; RE2 == Java regex for this subset)."""
+    from .operators.web import ENTITIES, PAT_SCRIPT, PAT_STYLE, PAT_TAG, WS_CLASS
+
+    s = f"regexp_replace({expr}, '{PAT_SCRIPT}', '', 'g')"
+    s = f"regexp_replace({s}, '{PAT_STYLE}', '', 'g')"
+    s = f"regexp_replace({s}, '{PAT_TAG}', ' ', 'g')"
+    for ent, ch in ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{ch_sql}')"
+    return f"trim(regexp_replace({s}, '{WS_CLASS}', ' ', 'g'))"
+
+
+def _html_docs_with() -> str:
+    from .operators.web import html_wrap_sql
+
+    return f"h AS (SELECT doc_id, {html_wrap_sql('duckdb')} AS html_text FROM documents)"
+
+
+def sql_html_extract_text() -> str:
+    return f"""WITH {_html_docs_with()}
+SELECT doc_id, {_strip_markup_sql('html_text')} AS extracted FROM h"""
+
+
+def _paragraphs_with() -> str:
+    from .operators.web import PAT_PARAGRAPH, PAT_SCRIPT, PAT_STYLE
+    from .sources.pages import url_sql
+
+    nosrc = (
+        f"regexp_replace(regexp_replace(html_text, '{PAT_SCRIPT}', '', 'g'),"
+        f" '{PAT_STYLE}', '', 'g')"
+    )
+    return f"""{_html_docs_with()},
+hp AS (SELECT {url_sql('duckdb')} AS key,
+              regexp_extract_all({nosrc}, '{PAT_PARAGRAPH}', 1) AS paras
+       FROM h JOIN documents USING (doc_id)),
+paras AS (
+  SELECT key,
+         CAST(unnest(range(len(paras))) AS INTEGER) AS para_idx,
+         {_strip_markup_sql('unnest(paras)')} AS paragraph
+  FROM hp
+)"""
+
+
+def sql_html_paragraphs() -> str:
+    return f"WITH {_paragraphs_with()} SELECT key, para_idx, paragraph FROM paras"
+
+
+def sql_paragraph_dedup(min_len: int = 1) -> str:
+    return f"""WITH {_paragraphs_with()}
+SELECT md5(paragraph) AS para_hash, MIN(key) AS owner, COUNT(*) AS n_copies
+FROM paras WHERE length(paragraph) >= {min_len} GROUP BY 1"""
+
+
+def sql_host_stats() -> str:
+    from .operators.web import PAT_HOST
+
+    return f"""WITH {pages_with()}
+SELECT regexp_extract(url, '{PAT_HOST}', 1) AS host,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(length(text)) AS BIGINT) AS text_bytes
+FROM pages GROUP BY 1"""

@@ -54,6 +54,28 @@ def stream_spatial_join(
     )
 
 
+def stream_spatial_join_table(
+    pages_stream: DataFrame, polygons_df: DataFrame, res: int = DEFAULT_JOIN_RES
+) -> DataFrame:
+    """Polygon-TABLE twin of stream_spatial_join: a stream-static join
+    against the distributed polyfill cover (pandas-UDF cover + explode) and
+    the ring-attach by poly_id — no driver-held polygon list, so the static
+    side scales exactly like the batch spatial_join_distributed path."""
+    from ..operators.spatial import make_pip_ring_udf, polygon_cover_distributed
+
+    cover = polygon_cover_distributed(polygons_df, res).select("cell", "poly_id")
+    cells = pages_stream.withColumn(
+        "cell", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), res)
+    )
+    pip = make_pip_ring_udf()
+    candidates = cells.join(F.broadcast(cover), "cell").join(
+        F.broadcast(polygons_df), "poly_id"
+    )
+    return candidates.where(
+        pip(F.col("lon"), F.col("lat"), F.col("poly_id"), F.col("ring"))
+    ).select("url", "warc_ts", "poly_id", "airspace_name", "airspace_class", "lat", "lon")
+
+
 def stream_tile_counts(
     joined: DataFrame,
     tile_res: int = DEFAULT_TILE_RES,

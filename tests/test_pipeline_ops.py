@@ -168,6 +168,35 @@ def test_ann_high_dim_uses_udf_path(spark):
     assert (0, 1) in pairs
 
 
+def test_html_extraction_semantics(spark):
+    """script/style bodies vanish, tags become spaces, entities decode in
+    the order that keeps &amp;lt; -> &lt; (no double decode), whitespace
+    collapses, paragraph rows keep document order."""
+    from pyspark.sql import functions as F
+
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        extract_paragraphs,
+        extract_text_col,
+        paragraph_dedup,
+    )
+
+    html = (
+        "<html><head><title>T</title><script>alert('x')</script>"
+        "<style>b{}</style></head><body><p>first &amp; A&#39;s &amp;lt;tag&amp;gt;</p>"
+        "<p>second\t\n line</p><p>first &amp; A&#39;s &amp;lt;tag&amp;gt;</p></body></html>"
+    )
+    pages = spark.createDataFrame([("u1", html.encode())], "url string, html binary")
+    out = pages.select(extract_text_col(F.col("html")).alias("t")).collect()[0]["t"]
+    assert "alert" not in out and "b{}" not in out
+    assert out == "T first & A's &lt;tag&gt; second line first & A's &lt;tag&gt;"
+    paras = extract_paragraphs(pages).orderBy("para_idx").collect()
+    assert [p["para_idx"] for p in paras] == [0, 1, 2]
+    assert paras[0]["paragraph"] == paras[2]["paragraph"] == "first & A's &lt;tag&gt;"
+    assert paras[1]["paragraph"] == "second line"
+    dedup = {r["para_hash"]: r for r in paragraph_dedup(extract_paragraphs(pages)).collect()}
+    assert sorted(r["n_copies"] for r in dedup.values()) == [1, 2]
+
+
 def test_langid_and_quality(spark, docs):
     from openaip_yaixm_to_geojson_spark.operators.text import analyze_documents
 

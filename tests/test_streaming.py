@@ -41,6 +41,33 @@ def test_stream_join_matches_batch(spark, polygons, tmp_path):
     assert spark.read.parquet(out_dir).count() == len(got)
 
 
+def test_stream_join_table_matches_batch(spark, polygons, tmp_path):
+    """Polygon-TABLE streaming join (stream-static, distributed cover) ==
+    the batch join rows."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        polygons_to_df,
+        spatial_join,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+    from openaip_yaixm_to_geojson_spark.streaming.pages_stream import (
+        run_available_now,
+        stream_pages,
+        stream_spatial_join_table,
+    )
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    in_dir = str(tmp_path / "in")
+    pages.select("url", "warc_ts", "text", "lang", "lat", "lon").write.parquet(in_dir)
+    joined = stream_spatial_join_table(
+        stream_pages(spark, in_dir), polygons_to_df(spark, polygons)
+    )
+    out_dir = str(tmp_path / "out")
+    run_available_now(joined, out_dir, str(tmp_path / "ckpt"))
+    got = {(r["url"], r["poly_id"]) for r in spark.read.parquet(out_dir).collect()}
+    expected = {(r["url"], r["poly_id"]) for r in spatial_join(pages, polygons).collect()}
+    assert got == expected and len(got) > 0
+
+
 def test_stream_windowed_tile_counts(spark, polygons, tmp_path):
     from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
     from openaip_yaixm_to_geojson_spark.streaming.pages_stream import (
