@@ -587,6 +587,18 @@ def q_host_stats(spark, sf_dir):
     return host_stats(pages_from_documents(spark, sf_dir))
 
 
+def q_tile_xyz_export(spark, sf_dir):
+    """Web-Mercator XYZ tile export (slippy-map / Bing quadkey view):
+    per-tile doc counts + language diversity at z=11. Codegen tile encode
+    on the fact table; the quadkey string is built per-tile after the
+    aggregation. Hash-gated — the geotag lattice proof in
+    operators/tiles.py makes the ln/tan floor cross-engine stable, and the
+    oracle derives ytile independently via boundary-latitude intervals."""
+    from openaip_yaixm_to_geojson_spark.operators.tiles import tile_xyz_export
+
+    return tile_xyz_export(pages_from_documents(spark, sf_dir), z=11)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end to end: synthetic binary media table ->
     bounded mapInPandas feature extraction. The deterministic fake decode
@@ -627,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_doc_counts": q_tile_doc_counts,
         "tile_class_rollup": q_tile_class_rollup,
         "tile_zoom_rollup": q_tile_zoom_rollup,
+        "tile_xyz_export": q_tile_xyz_export,
         "text_passthrough": q_text_passthrough,
         "sessionize": q_sessionize,
         "events_sessions": q_events_sessions,
@@ -682,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_doc_counts": oracle.sql_tile_doc_counts(),
         "tile_class_rollup": oracle.sql_tile_class_rollup(),
         "tile_zoom_rollup": oracle.sql_tile_zoom_rollup(),
+        "tile_xyz_export": oracle.sql_tile_xyz_export(),
         "text_passthrough": oracle.sql_text_passthrough(),
         "sessionize": oracle.sql_sessionize(),
         "events_sessions": oracle.sql_events_sessions(),

@@ -82,6 +82,96 @@ def tile_zoom_rollup(tiles: DataFrame, levels: int = 1) -> DataFrame:
     )
 
 
+# --- Web-Mercator XYZ export (slippy-map tiles / Bing quadkeys) -------------
+#
+# Why this is hash-gateable despite ln/tan: xtile and the quadkey are pure
+# shared arithmetic (bit-identical in Spark and DuckDB). ytile involves
+# ln/tan, whose JVM (java.lang.Math) and libm results can differ by ulps —
+# but the synthetic geotag lattice is FINITE (5 md5 hex chars -> weighted
+# sum mod span, sources/pages.py), and enumerating every possible latitude
+# shows the pre-floor mercator value stays >= 4.4e-6 tile units away from
+# every integer boundary for z <= 12 (~1e9 x the ulp error), so floor() can
+# never disagree across engines. tests/test_spatial.py pins this margin.
+# The oracle still derives ytile independently (boundary-latitude interval
+# containment, no transcendentals at query time).
+MERCATOR_MAX_GATED_Z = 12
+
+
+def xtile_sql(lon_expr: str, z: int) -> str:
+    """Shared-dialect Web-Mercator x tile: floor((lon+180)/360 * 2^z).
+    Every term DOUBLE; identical doubles in Spark and DuckDB, so exact
+    boundary hits (the lon lattice does produce some) floor identically."""
+    n = 1 << z
+    return (
+        f"CAST(floor(({lon_expr} + CAST(180 AS DOUBLE)) / CAST(360 AS DOUBLE)"
+        f" * CAST({n} AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def ytile_sql(lat_expr: str, z: int) -> str:
+    """Web-Mercator y tile: floor((1 - asinh(tan(lat))/pi)/2 * 2^z), written
+    as ln(tan+sec) since DuckDB lacks asinh. JVM-vs-libm safe for z <= 12
+    (see module note above)."""
+    if z > MERCATOR_MAX_GATED_Z:
+        raise ValueError(f"z={z} exceeds the verified cross-engine parity budget ({MERCATOR_MAX_GATED_Z})")
+    n = 1 << z
+    return (
+        f"CAST(floor((CAST(1 AS DOUBLE) - ln(tan(radians({lat_expr}))"
+        f" + CAST(1 AS DOUBLE) / cos(radians({lat_expr}))) / pi())"
+        f" / CAST(2 AS DOUBLE) * CAST({n} AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def quadkey_sql(x_expr: str, y_expr: str, z: int, dialect: str) -> str:
+    """Bing quadkey string (z digits, level order): digit_k = x_bit + 2*y_bit
+    at level k. Integer-exact shared arithmetic: bits extracted with
+    floor(v / 2^k) % 2 (int/double division is exact below 2^53; tile ids
+    at z <= 12 are < 4096). Pass COLUMN NAMES, not full expressions — Spark
+    re-evaluates duplicated subtrees (no subexpression elimination)."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    digits = []
+    for k in range(z - 1, -1, -1):
+        p = float(1 << k)
+        d = (
+            f"(CAST(floor({x_expr} / {p}) AS BIGINT) % 2"
+            f" + 2 * (CAST(floor({y_expr} / {p}) AS BIGINT) % 2))"
+        )
+        digits.append(f"CAST({d} AS {cast})")
+    return "concat(" + ", ".join(digits) + ")"
+
+
+def tile_xyz_export(pages: DataFrame, z: int = 11) -> DataFrame:
+    """Slippy-map tile export: per-XYZ-tile document counts, language
+    diversity, and text volume, keyed by (zoom, x, y) + quadkey. The tile
+    encode is a codegen'd column expression on the fact table (no UDF, no
+    driver work); the single shuffle is the map-side-partial groupBy on
+    (xtile, ytile); the quadkey is computed AFTER aggregation so its z
+    string ops run per-tile, not per-document."""
+    xy = pages.select(
+        "lang",
+        F.length("text").alias("nb"),
+        F.expr(xtile_sql("lon", z)).alias("xtile"),
+        F.expr(ytile_sql("lat", z)).alias("ytile"),
+    )
+    return (
+        xy.groupBy("xtile", "ytile")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("nb").alias("total_chars"),
+        )
+        .select(
+            F.lit(z).alias("zoom"),
+            "xtile",
+            "ytile",
+            F.expr(quadkey_sql("xtile", "ytile", z, "spark")).alias("quadkey"),
+            "doc_count",
+            "n_langs",
+            "total_chars",
+        )
+    )
+
+
 def polygon_raster(spark: SparkSession, polygons: list[dict[str, Any]], res: int = DEFAULT_TILE_RES) -> DataFrame:
     """Vector -> raster: rasterize polygons onto the tile grid (one row per
     covering tile per polygon). The inverse direction (raster -> vector) is

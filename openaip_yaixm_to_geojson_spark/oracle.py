@@ -1025,3 +1025,58 @@ SELECT regexp_extract(url, '{PAT_HOST}', 1) AS host,
        COUNT(DISTINCT lang) AS n_langs,
        CAST(SUM(length(text)) AS BIGINT) AS text_bytes
 FROM pages GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Web-Mercator XYZ tile export (operators/tiles.py twin)
+# ---------------------------------------------------------------------------
+
+
+def _mercator_y_intervals(z: int) -> str:
+    """VALUES table of (ytile, lat_lo, lat_hi): ytile = y iff
+    lat in (lat_lo, lat_hi], with boundary latitudes
+    atan(sinh(pi*(1 - 2y/2^z))) emitted as exact double literals. This
+    derives ytile with pure comparisons — no ln/tan at query time — so it
+    is both an independent recomputation of the engine's floor(formula)
+    and immune to libm-vs-JVM ulp drift (the geotag lattice never comes
+    within 4e-6 tile units of a boundary for z <= 12; see
+    operators/tiles.py). Rows cover the synthetic clusters' lat range."""
+    import math
+
+    from .sources.pages import _CLUSTERS
+
+    n = 1 << z
+
+    def f(lat: float) -> float:  # exact-math tile row (pre-floor)
+        r = math.radians(lat)
+        return (1 - math.asinh(math.tan(r)) / math.pi) / 2 * n
+
+    lat_min = min(float(c[0]) for c in _CLUSTERS) - 0.01
+    lat_max = max(float(c[0]) + c[1] / 1e5 for c in _CLUSTERS) + 0.01
+    y_lo = int(math.floor(f(lat_max)))  # f is decreasing in lat
+    y_hi = int(math.floor(f(lat_min)))
+
+    def lat_of(y: int) -> float:
+        return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / n))))
+
+    rows = [
+        f"({y},{_dbl(lat_of(y + 1))},{_dbl(lat_of(y))})" for y in range(y_lo, y_hi + 1)
+    ]
+    return "(VALUES " + ",".join(rows) + ") AS yb(ytile, lat_lo, lat_hi)"
+
+
+def sql_tile_xyz_export(z: int = 11) -> str:
+    from .operators.tiles import quadkey_sql, xtile_sql
+
+    return f"""WITH {pages_with()},
+xy AS (
+  SELECT p.lang, LENGTH(p.text) AS nb, {xtile_sql('p.lon', z)} AS xtile, yb.ytile
+  FROM pages p JOIN {_mercator_y_intervals(z)}
+    ON p.lat > yb.lat_lo AND p.lat <= yb.lat_hi
+)
+SELECT {z} AS zoom, xtile, ytile,
+       {quadkey_sql('xtile', 'ytile', z, 'duckdb')} AS quadkey,
+       COUNT(*) AS doc_count,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(nb) AS BIGINT) AS total_chars
+FROM xy GROUP BY xtile, ytile"""

@@ -426,3 +426,51 @@ def test_spatial_join_compact_matches(spark, polygons, pages_pdf):
         (r["url"], r["poly_id"]) for r in spatial_join_compact(pages, polygons).collect()
     }
     assert got == brute_force_join(pages_pdf, polygons)
+
+
+def test_mercator_lattice_margin_and_quadkey(spark):
+    """The proof that tile_xyz_export can be hash-gated: enumerate EVERY
+    latitude the md5 geotag lattice can produce (5 hex-char ascii weighted
+    sums mod span per cluster) and assert the pre-floor mercator value
+    never comes near an integer tile boundary at the gated zooms — JVM
+    Math and libm differ by ulps, so a >1e-7-tile margin means floor()
+    agrees across engines. Also pins quadkey digits against the classic
+    bit-interleave definition."""
+    from openaip_yaixm_to_geojson_spark.operators.tiles import (
+        MERCATOR_MAX_GATED_Z,
+        quadkey_sql,
+        tile_xyz_export,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.pages import _CLUSTERS
+
+    ascii_vals = np.array([ord(c) for c in "0123456789abcdef"], dtype=np.int64)
+    sums = np.zeros(1, dtype=np.int64)
+    for w in (10**8, 10**6, 10**4, 100, 1):
+        sums = (sums[:, None] + ascii_vals[None, :] * w).ravel()
+    for z in (11, MERCATOR_MAX_GATED_Z):
+        n = 1 << z
+        for base_lat, lat_span, _base_lon, _lon_span, _w in _CLUSTERS:
+            lats = np.unique(float(base_lat) + (sums % lat_span).astype(float) / 1e5)
+            pre = (1 - np.log(np.tan(np.radians(lats)) + 1 / np.cos(np.radians(lats))) / np.pi) / 2 * n
+            margin = np.abs(pre - np.round(pre)).min()
+            assert margin > 1e-7, (z, base_lat, margin)
+
+    # quadkey digits == interleaved bits (Bing definition), via Spark eval
+    z = 5
+    rows = [(x, y) for x in (0, 5, 19, 31) for y in (0, 7, 22, 31)]
+    df = spark.createDataFrame(rows, "xtile bigint, ytile bigint")
+    got = {
+        (r["xtile"], r["ytile"]): r["qk"]
+        for r in df.selectExpr(
+            "xtile", "ytile", f"{quadkey_sql('xtile', 'ytile', z, 'spark')} AS qk"
+        ).collect()
+    }
+    for x, y in rows:
+        expect = "".join(
+            str(((x >> k) & 1) + 2 * ((y >> k) & 1)) for k in range(z - 1, -1, -1)
+        )
+        assert got[(x, y)] == expect
+
+    # z above the verified budget must refuse rather than silently flap
+    with pytest.raises(ValueError):
+        tile_xyz_export(spark.createDataFrame([], "lon double, lat double, text string, lang string"), z=13)
