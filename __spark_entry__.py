@@ -599,6 +599,58 @@ def q_tile_xyz_export(spark, sf_dir):
     return tile_xyz_export(pages_from_documents(spark, sf_dir), z=11)
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization over deterministically messy URLs: scheme /
+    host-case / www / default-port / trailing-slash / tracking-param /
+    fragment normalization, all JVM regexp + array expressions."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        synth_messy_urls,
+        url_canonicalize,
+    )
+
+    return url_canonicalize(synth_messy_urls(spark, sf_dir)).select(
+        "doc_id", "url", "canonical_url"
+    )
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """Crawl-frontier dedup on the canonical URL: one shuffle on the
+    canonical key, variant count + smallest raw URL representative."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        canonical_url_dedup,
+        synth_messy_urls,
+    )
+
+    return canonical_url_dedup(synth_messy_urls(spark, sf_dir))
+
+
+def q_host_cap(spark, sf_dir):
+    """Per-host document quota: keep <= 3 pages per host by deterministic
+    md5(url) order (parallelism-independent, unlike arrival order)."""
+    from openaip_yaixm_to_geojson_spark.operators.web import host_cap
+
+    return host_cap(pages_from_documents(spark, sf_dir), cap=3)
+
+
+def q_ngram_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition: duplicate-2-gram and
+    top-2-gram fractions via relational explode + groupBy (no per-row
+    quadratic array scans)."""
+    from openaip_yaixm_to_geojson_spark.operators.text import ngram_repetition
+
+    return ngram_repetition(_docs(spark, sf_dir), n=2)
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: documents sharing any word 8-gram with
+    the benchmark subset (doc_id % 101 == 0 stands in for an eval set);
+    md5 gram keys through a broadcast semi-join shape."""
+    from openaip_yaixm_to_geojson_spark.operators.text import contamination
+
+    docs = _docs(spark, sf_dir)
+    return contamination(docs, docs.where(F.col("doc_id") % 101 == 0), n=8)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end to end: synthetic binary media table ->
     bounded mapInPandas feature extraction. The deterministic fake decode
@@ -675,6 +727,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_paragraphs": q_html_paragraphs,
         "paragraph_dedup": q_paragraph_dedup,
         "host_stats": q_host_stats,
+        "url_canonicalize": q_url_canonicalize,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "host_cap": q_host_cap,
+        "ngram_repetition": q_ngram_repetition,
+        "contamination": q_contamination,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -731,5 +788,10 @@ def oracle_sql() -> dict[str, str]:
         "html_paragraphs": oracle.sql_html_paragraphs(),
         "paragraph_dedup": oracle.sql_paragraph_dedup(),
         "host_stats": oracle.sql_host_stats(),
+        "url_canonicalize": oracle.sql_url_canonicalize(),
+        "url_canonical_dedup": oracle.sql_url_canonical_dedup(),
+        "host_cap": oracle.sql_host_cap(),
+        "ngram_repetition": oracle.sql_ngram_repetition(),
+        "contamination": oracle.sql_contamination(),
         "multimodal_features": oracle.sql_multimodal_features(),
     }

@@ -135,6 +135,85 @@ def deterministic_sample(
     return documents.where(sample_hash_col(F.col(key_col)) < threshold)
 
 
+def _word_ngrams_col(text: Column, n: int) -> Column:
+    """Word n-grams as an array column: words joined by single spaces,
+    gram i = words[i..i+n-1] (1-based element_at). Guarded for short docs —
+    Spark's sequence(1, 0) counts DOWN ([1, 0]), it is not empty — so docs
+    with fewer than n words yield an empty array, not garbage grams."""
+    words = F.split(F.trim(text), r"\s+")
+    k = F.size(words) - F.lit(n - 1)
+    # slice+array_join, NOT n element_at calls: expressions referenced in a
+    # higher-order lambda re-inline per element (no subexpression
+    # elimination), so element_at would re-run the split n times per gram;
+    # slice runs it once per gram — the floor without materializing words
+    grams = F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(words, i, n), " "))
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition(
+    documents: DataFrame, n: int = 2, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: total / distinct
+    word n-grams, the modal n-gram's count, and the duplicate / top-gram
+    fractions quality filters threshold on.
+
+    Scale shape: RELATIONAL (explode -> two map-side-partial groupBys keyed
+    by doc), not per-row array self-scans — the array version is O(grams^2)
+    per document and melts on long documents, this is O(grams log grams)
+    and spillable. Fractions are a single division of two exact BIGINTs,
+    bit-identical across engines. Documents shorter than n words have no
+    grams and drop out (inner semantics, documented)."""
+    grams = documents.select(
+        F.col(key_col).alias("key"), F.explode(_word_ngrams_col(F.col(text_col), n)).alias("gram")
+    )
+    per_gram = grams.groupBy("key", "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_gram.groupBy("key").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    n_grams_d = F.col("n_grams").cast("double")
+    return agg.select(
+        "key",
+        "n_grams",
+        "n_distinct",
+        "top_count",
+        ((F.col("n_grams") - F.col("n_distinct")).cast("double") / n_grams_d).alias("dup_fraction"),
+        (F.col("top_count").cast("double") / n_grams_d).alias("top_fraction"),
+    )
+
+
+def contamination(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with an eval/benchmark set (the standard pre-training hygiene
+    join). Returns (key, n_shared_grams) for contaminated documents only.
+
+    Scale shape: grams are md5-hashed so only 32-char keys travel through
+    the join; the benchmark side is distinct-deduped and broadcast (eval
+    sets are tiny next to the corpus — thousands of docs vs billions); the
+    per-document dedup (array_distinct) happens before the explode so the
+    fact-side explode carries no within-doc duplicates."""
+    def gram_hashes(df: DataFrame, key: str) -> DataFrame:
+        return df.select(
+            F.col(key).alias("key"),
+            F.explode(F.array_distinct(_word_ngrams_col(F.col(text_col), n))).alias("gram"),
+        ).select("key", F.md5("gram").alias("gram_hash"))
+
+    bench = gram_hashes(benchmark, key_col).select("gram_hash").distinct()
+    return (
+        gram_hashes(documents, key_col)
+        .join(F.broadcast(bench), "gram_hash")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def analyze_documents(documents: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     ws_tokens, bpe_tokens = token_count_cols(text)

@@ -95,7 +95,123 @@ def host_stats(pages: DataFrame) -> DataFrame:
     )
 
 
+# --- URL canonicalization + per-host quotas ---------------------------------
+#
+# Canonical form (documented choices, applied in this order):
+#   fragment dropped; http -> https; host lowercased; leading "www." dropped;
+#   default ports :80/:443 dropped; trailing slash dropped; tracking query
+#   params (utm_*, fbclid, gclid) dropped, other params kept in order; "?"
+#   dropped when no params survive. All regexp/array expressions on the JVM;
+#   the DuckDB twin (oracle._canonical_url_cte) shares these pattern
+#   constants verbatim (RE2 == Java regex for this subset; replacement
+#   group syntax is the one dialect difference: $1 vs \1).
+PAT_FRAGMENT = r"#.*$"
+PAT_HTTP_SCHEME = r"^http://"
+PAT_QUERY = r"\?.*$"
+PAT_QS_EXTRACT = r"\?(.*)$"
+PAT_AUTHORITY = r"^https://([^/]+)"
+PAT_AUTHORITY_STRIP = r"^https://[^/]+"
+PAT_WWW = r"^https://www\."
+# group 3 (/ or end) always participates — RE2 lacks lookahead, and a
+# non-participating group's replacement semantics differ across engines;
+# it also stops ':80' from eating the front of ':8080'
+PAT_DEFAULT_PORT = r"^(https://[^/:]+):(80|443)(/|$)"
+PAT_TRAILING_SLASH = r"/$"
+
+
+def _keep_param(p: Column) -> Column:
+    """Tracking-parameter predicate, via exact prefix compares (LIKE's `_`
+    is a wildcard, so 'utm_%' would also match 'utmX')."""
+    return (
+        (F.substring(p, 1, 4) != "utm_")
+        & (F.substring(p, 1, 7) != "fbclid=")
+        & (F.substring(p, 1, 6) != "gclid=")
+        & (p != "")
+    )
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical URL column (see module comment for the exact rules)."""
+    u = F.regexp_replace(F.regexp_replace(url, PAT_FRAGMENT, ""), PAT_HTTP_SCHEME, "https://")
+    base = F.regexp_replace(u, PAT_QUERY, "")
+    # lowercase the authority only (paths stay case-sensitive)
+    base = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(base, PAT_AUTHORITY, 1)),
+        F.regexp_replace(base, PAT_AUTHORITY_STRIP, ""),
+    )
+    base = F.regexp_replace(base, PAT_WWW, "https://")
+    base = F.regexp_replace(base, PAT_DEFAULT_PORT, "$1$3")
+    base = F.regexp_replace(base, PAT_TRAILING_SLASH, "")
+    joined = F.array_join(F.filter(F.split(F.regexp_extract(u, PAT_QS_EXTRACT, 1), "&"), _keep_param), "&")
+    return F.concat(
+        base, F.when(F.length(joined) > 0, F.concat(F.lit("?"), joined)).otherwise(F.lit(""))
+    )
+
+
+def url_canonicalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    return pages.withColumn("canonical_url", canonical_url_col(F.col(url_col)))
+
+
+def canonical_url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Exact dedup on the canonical URL (the crawl-frontier/recrawl dedup
+    every web pipeline runs before content dedup): one shuffle on the
+    canonical key, smallest raw URL kept as representative."""
+    return (
+        url_canonicalize(pages, url_col)
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_variants"), F.min(url_col).alias("representative"))
+    )
+
+
+def host_cap(pages: DataFrame, cap: int = 3) -> DataFrame:
+    """Per-host document quota (per-domain frequency capping): keep at most
+    `cap` pages per host, chosen by md5(url) order so the SAME pages
+    survive at any parallelism, on re-runs, and in the DuckDB oracle —
+    never by arrival order, which is partition-dependent.
+
+    Scale shape: one shuffle partitioning by host; row_number only needs a
+    per-host sort. Hosts are Zipf-skewed at CC scale — the window sort of a
+    monster host is a single-task sort of that host's rows (spillable, not
+    quadratic); if a host exceeds a task's comfortable spill size, pre-prune
+    with a per-partition partial top-cap before the window."""
+    from pyspark.sql import Window
+
+    ranked = pages.select(url_host_col(F.col("url")).alias("host"), "url").withColumn(
+        "host_rank", F.row_number().over(Window.partitionBy("host").orderBy(F.md5("url")))
+    )
+    return ranked.where(F.col("host_rank") <= cap)
+
+
 # --- deterministic synthetic html (gate scaffolding) -----------------------
+
+
+def messy_url_sql(dialect: str) -> str:
+    """SQL building a deterministically 'messy' URL per document — scheme /
+    www / host-case / default-port / trailing-slash / tracking-param /
+    fragment variants keyed off doc_id residues, with the path collapsed to
+    doc_id % 50 so several messy URLs share one canonical form (making the
+    canonical dedup non-trivial). Identical string in Spark and DuckDB."""
+    t = "STRING" if dialect == "spark" else "VARCHAR"
+    return (
+        "concat("
+        "CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END, "
+        "CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END, "
+        "CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END, "
+        "'.example', "
+        "CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END, "
+        f"'/pages/', CAST(doc_id % 50 AS {t}), "
+        "CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END, "
+        f"CASE WHEN doc_id % 11 = 0 THEN concat('?page=', CAST(doc_id % 5 AS {t}), '&utm_source=feed') "
+        "WHEN doc_id % 2 = 1 THEN '?utm_campaign=x&gclid=abc123' ELSE '' END, "
+        "CASE WHEN doc_id % 3 = 1 THEN '#section2' ELSE '' END)"
+    )
+
+
+def synth_messy_urls(spark, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, url) with the deterministic messy wrap."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(f"SELECT doc_id, {messy_url_sql('spark')} AS url FROM documents")
 
 
 def html_wrap_sql(dialect: str) -> str:

@@ -1080,3 +1080,113 @@ SELECT {z} AS zoom, xtile, ytile,
        COUNT(DISTINCT lang) AS n_langs,
        CAST(SUM(nb) AS BIGINT) AS total_chars
 FROM xy GROUP BY xtile, ytile"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization / host quotas (operators/web.py twins)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_url_ctes() -> str:
+    """Messy-url generation + canonicalization as DuckDB CTEs, sharing the
+    pattern constants with web.canonical_url_col verbatim. DuckDB's
+    regexp_replace replaces the FIRST match only — every pattern here is
+    anchored or end-anchored so first == all; replacement group syntax is
+    the one dialect difference (\\1 here, $1 in Java)."""
+    from .operators.web import (
+        PAT_AUTHORITY,
+        PAT_AUTHORITY_STRIP,
+        PAT_DEFAULT_PORT,
+        PAT_FRAGMENT,
+        PAT_HTTP_SCHEME,
+        PAT_QS_EXTRACT,
+        PAT_QUERY,
+        PAT_TRAILING_SLASH,
+        PAT_WWW,
+        messy_url_sql,
+    )
+
+    keep = (
+        "p -> substring(p, 1, 4) <> 'utm_' AND substring(p, 1, 7) <> 'fbclid='"
+        " AND substring(p, 1, 6) <> 'gclid=' AND p <> ''"
+    )
+    base = (
+        f"concat('https://', lower(regexp_extract(base0, '{PAT_AUTHORITY}', 1)),"
+        f" regexp_replace(base0, '{PAT_AUTHORITY_STRIP}', ''))"
+    )
+    base = f"regexp_replace({base}, '{PAT_WWW}', 'https://')"
+    base = f"regexp_replace({base}, '{PAT_DEFAULT_PORT}', '\\1\\3')"
+    base = f"regexp_replace({base}, '{PAT_TRAILING_SLASH}', '')"
+    return f"""m AS (SELECT doc_id, {messy_url_sql('duckdb')} AS url FROM documents),
+u AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(url, '{PAT_FRAGMENT}', ''), '{PAT_HTTP_SCHEME}', 'https://') AS nofrag
+      FROM m),
+b AS (SELECT doc_id, url,
+             regexp_replace(nofrag, '{PAT_QUERY}', '') AS base0,
+             array_to_string(list_filter(string_split(regexp_extract(nofrag, '{PAT_QS_EXTRACT}', 1), '&'), {keep}), '&') AS kept
+      FROM u),
+c AS (SELECT doc_id, url,
+             concat({base}, CASE WHEN length(kept) > 0 THEN concat('?', kept) ELSE '' END) AS canonical_url
+      FROM b)"""
+
+
+def sql_url_canonicalize() -> str:
+    return f"WITH {_canonical_url_ctes()} SELECT doc_id, url, canonical_url FROM c"
+
+
+def sql_url_canonical_dedup() -> str:
+    return (
+        f"WITH {_canonical_url_ctes()} "
+        "SELECT canonical_url, COUNT(*) AS n_variants, MIN(url) AS representative "
+        "FROM c GROUP BY 1"
+    )
+
+
+def sql_host_cap(cap: int = 3) -> str:
+    from .operators.web import PAT_HOST
+
+    return f"""WITH {pages_with()},
+r AS (
+  SELECT regexp_extract(url, '{PAT_HOST}', 1) AS host, url,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY regexp_extract(url, '{PAT_HOST}', 1) ORDER BY md5(url)
+         ) AS INTEGER) AS host_rank
+  FROM pages
+)
+SELECT host, url, host_rank FROM r WHERE host_rank <= {cap}"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram repetition / decontamination (operators/text.py twins)
+# ---------------------------------------------------------------------------
+
+
+def _ngrams_list_sql(n: int) -> str:
+    """Word n-gram list over `words` (1-based list indexing): empty when the
+    document has fewer than n words (range(1, <=1) is already empty)."""
+    gram = "concat_ws(' ', " + ", ".join(f"words[i + {j}]" for j in range(n)) + ")"
+    return f"list_transform(range(1, greatest(len(words) - {n - 1}, 0) + 1), i -> {gram})"
+
+
+def sql_ngram_repetition(n: int = 2) -> str:
+    return f"""WITH w AS (SELECT doc_id AS key, {_WORDS} AS words FROM documents),
+g AS (SELECT key, unnest({_ngrams_list_sql(n)}) AS gram FROM w),
+pg AS (SELECT key, gram, COUNT(*) AS c FROM g GROUP BY key, gram),
+a AS (
+  SELECT key, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_count
+  FROM pg GROUP BY key
+)
+SELECT key, n_grams, n_distinct, top_count,
+       CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_fraction,
+       CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_fraction
+FROM a"""
+
+
+def sql_contamination(n: int = 8, bench_mod: int = 101) -> str:
+    grams = _ngrams_list_sql(n)
+    return f"""WITH w AS (SELECT doc_id AS key, {_WORDS} AS words FROM documents),
+cg AS (SELECT key, md5(unnest(list_distinct({grams}))) AS gram_hash FROM w),
+gset AS (SELECT DISTINCT gram_hash FROM cg WHERE key % {bench_mod} = 0)
+SELECT key, COUNT(*) AS n_shared_grams
+FROM cg JOIN gset USING (gram_hash) GROUP BY key"""

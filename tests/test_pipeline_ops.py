@@ -459,3 +459,63 @@ def test_events_operators(spark):
     stats = {r["event_type"]: r for r in props_k_stats(ev).collect()}
     assert sum(r["n_events"] for r in stats.values()) == n
     assert all(r["k_min"] <= r["k_max"] for r in stats.values())
+
+
+def test_url_canonicalization_rules(spark):
+    from openaip_yaixm_to_geojson_spark.operators.web import url_canonicalize
+
+    cases = {
+        "http://www.EXAMPLE.org:80/A/B/?utm_source=x&page=2&gclid=z#frag":
+            "https://example.org/A/B?page=2",
+        "https://Example.org:443/path": "https://example.org/path",
+        "https://example.org/path/": "https://example.org/path",
+        "https://example.org/?utm_campaign=only": "https://example.org",
+        "https://example.org/p?a=1&b=2": "https://example.org/p?a=1&b=2",
+        # path case preserved; non-default port preserved
+        "http://example.org:8080/CaseSensitive": "https://example.org:8080/CaseSensitive",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["canonical_url"] for r in url_canonicalize(df).collect()}
+    assert got == cases
+
+
+def test_host_cap_deterministic_across_parallelism(spark):
+    from openaip_yaixm_to_geojson_spark.operators.web import host_cap
+
+    rows = [(f"https://h{i % 4}.example/p{i}",) for i in range(40)]
+    one = spark.createDataFrame(rows, "url string").repartition(1)
+    many = spark.createDataFrame(list(reversed(rows)), "url string").repartition(16)
+    kept1 = {(r["host"], r["url"], r["host_rank"]) for r in host_cap(one, cap=3).collect()}
+    kept2 = {(r["host"], r["url"], r["host_rank"]) for r in host_cap(many, cap=3).collect()}
+    assert kept1 == kept2 and len(kept1) == 12  # 4 hosts x cap 3
+
+
+def test_ngram_repetition_counts(spark):
+    from openaip_yaixm_to_geojson_spark.operators.text import ngram_repetition
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "all words here are distinct"), (2, "single")],
+        "doc_id bigint, text string",
+    )
+    out = {r["key"]: r for r in ngram_repetition(df, n=2).collect()}
+    assert out[0]["n_grams"] == 4 and out[0]["n_distinct"] == 2
+    assert out[0]["dup_fraction"] == 0.5 and out[0]["top_fraction"] == 0.5
+    assert out[1]["dup_fraction"] == 0.0 and out[1]["top_count"] == 1
+    assert 2 not in out  # fewer than n words -> no grams -> drops out
+
+
+def test_contamination_planted_overlap(spark):
+    from openaip_yaixm_to_geojson_spark.operators.text import contamination
+
+    shared = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [
+            (0, f"prefix words then {shared} and a tail"),
+            (1, "totally unrelated content with no benchmark overlap at all here"),
+            (2, shared),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, f"intro {shared} outro")], "doc_id bigint, text string")
+    got = {r["key"]: r["n_shared_grams"] for r in contamination(corpus, bench, n=8).collect()}
+    assert set(got) == {0, 2} and got[2] == 1 and got[0] >= 1
