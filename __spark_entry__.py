@@ -599,6 +599,14 @@ def q_tile_xyz_export(spark, sf_dir):
     return tile_xyz_export(pages_from_documents(spark, sf_dir), z=11)
 
 
+def q_tile_vector_export(spark, sf_dir):
+    """Raster -> vector tile export: per-tile aggregates + exact-arithmetic
+    bbox columns (the numeric form a GeoJSON sink serializes)."""
+    from openaip_yaixm_to_geojson_spark.operators.tiles import tile_vector_export
+
+    return tile_vector_export(pages_from_documents(spark, sf_dir))
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization over deterministically messy URLs: scheme /
     host-case / www / default-port / trailing-slash / tracking-param /
@@ -692,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_class_rollup": q_tile_class_rollup,
         "tile_zoom_rollup": q_tile_zoom_rollup,
         "tile_xyz_export": q_tile_xyz_export,
+        "tile_vector_export": q_tile_vector_export,
         "text_passthrough": q_text_passthrough,
         "sessionize": q_sessionize,
         "events_sessions": q_events_sessions,
@@ -753,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_class_rollup": oracle.sql_tile_class_rollup(),
         "tile_zoom_rollup": oracle.sql_tile_zoom_rollup(),
         "tile_xyz_export": oracle.sql_tile_xyz_export(),
+        "tile_vector_export": oracle.sql_tile_vector_export(),
         "text_passthrough": oracle.sql_text_passthrough(),
         "sessionize": oracle.sql_sessionize(),
         "events_sessions": oracle.sql_events_sessions(),

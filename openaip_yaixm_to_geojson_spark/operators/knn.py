@@ -220,7 +220,16 @@ def knn_ring_expansion_table(
     TABLE (knn_bruteforce_distributed) — nothing polygon-shaped touches the
     driver, so the polygon side scales to millions of rows. Same rows as
     `knn_ring_expansion` (tie-break and guarantee logic shared)."""
-    vindex = vertex_index_from_table(polygons_df, res).localCheckpoint()
+    # coalesce before checkpointing: the vertex index inherits the polygons
+    # table's partitioning, which can be far wider than the index warrants
+    # (a 64-part polygons scan would otherwise spawn 64 near-empty tasks in
+    # EVERY expansion round); capping at defaultParallelism keeps rounds at
+    # cluster width without a shuffle
+    vindex = (
+        vertex_index_from_table(polygons_df, res)
+        .coalesce(pages.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
     n_vertices = vindex.count()  # tiny job on the (small) vertex table
 
     # same tiny-input fast path as the driver-list variant

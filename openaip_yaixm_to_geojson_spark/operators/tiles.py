@@ -82,6 +82,33 @@ def tile_zoom_rollup(tiles: DataFrame, levels: int = 1) -> DataFrame:
     )
 
 
+def tile_vector_export(pages: DataFrame, res: int = DEFAULT_TILE_RES) -> DataFrame:
+    """Raster -> vector export: per-tile aggregates with the tile's bbox
+    attached as numeric columns (a GeoJSON sink serializes these into
+    Polygon rings; numbers stay numeric here because float->string
+    formatting is engine-specific while the bounds arithmetic is exact).
+
+    Exactness: cell size 360/2^res is dyadic, x <= 2^res, so
+    x * size - 180 is integer-times-dyadic arithmetic — bit-identical in
+    Spark, DuckDB and NumPy (same guarantee cell encode relies on). The
+    bbox attach is per-TILE (post-aggregation), adding nothing to the
+    fact-table scan."""
+    size = 360.0 / float(1 << res)
+    mask = F.lit(cellgrid._SHIFT - 1)
+    x = F.col("tile_id").bitwiseAND(mask)
+    y = F.shiftright(F.col("tile_id"), 29).bitwiseAND(mask)
+    return tile_doc_counts(pages, res).select(
+        "tile_id",
+        (x.cast("double") * F.lit(size) - F.lit(180.0)).alias("min_lon"),
+        (y.cast("double") * F.lit(size) - F.lit(90.0)).alias("min_lat"),
+        ((x + 1).cast("double") * F.lit(size) - F.lit(180.0)).alias("max_lon"),
+        ((y + 1).cast("double") * F.lit(size) - F.lit(90.0)).alias("max_lat"),
+        "doc_count",
+        "n_langs",
+        "total_chars",
+    )
+
+
 # --- Web-Mercator XYZ export (slippy-map tiles / Bing quadkeys) -------------
 #
 # Why this is hash-gateable despite ln/tan: xtile and the quadkey are pure

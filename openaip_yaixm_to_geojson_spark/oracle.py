@@ -1190,3 +1190,25 @@ cg AS (SELECT key, md5(unnest(list_distinct({grams}))) AS gram_hash FROM w),
 gset AS (SELECT DISTINCT gram_hash FROM cg WHERE key % {bench_mod} = 0)
 SELECT key, COUNT(*) AS n_shared_grams
 FROM cg JOIN gset USING (gram_hash) GROUP BY key"""
+
+
+def sql_tile_vector_export(res: int = DEFAULT_TILE_RES) -> str:
+    """tiles.tile_vector_export twin: identical dyadic bounds arithmetic
+    (integer decode via % and //, CAST-to-DOUBLE multiply by the exact
+    size literal)."""
+    S = 536870912  # 2^29
+    size = _dbl(360.0 / float(1 << res))
+    return f"""WITH {pages_with()},
+t AS (
+  SELECT {cell_id_sql('lon', 'lat', res)} AS tile_id,
+         COUNT(*) AS doc_count, COUNT(DISTINCT lang) AS n_langs,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+  FROM pages GROUP BY 1
+)
+SELECT tile_id,
+       CAST(tile_id % {S} AS DOUBLE) * {size} - CAST(180 AS DOUBLE) AS min_lon,
+       CAST((tile_id // {S}) % {S} AS DOUBLE) * {size} - CAST(90 AS DOUBLE) AS min_lat,
+       CAST(tile_id % {S} + 1 AS DOUBLE) * {size} - CAST(180 AS DOUBLE) AS max_lon,
+       CAST((tile_id // {S}) % {S} + 1 AS DOUBLE) * {size} - CAST(90 AS DOUBLE) AS max_lat,
+       doc_count, n_langs, total_chars
+FROM t"""

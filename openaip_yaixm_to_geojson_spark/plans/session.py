@@ -20,10 +20,13 @@ def build_session(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    # master="cluster": leave the master to the launcher (spark-submit
+    # --master / cluster manager); anything else pins it here.
+    if master != "cluster":
+        builder = builder.master(master or f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
-        .config("spark.sql.adaptive.enabled", "true")
+        builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # The streaming<->batch sessionization contract (epoch arithmetic on

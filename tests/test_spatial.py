@@ -474,3 +474,21 @@ def test_mercator_lattice_margin_and_quadkey(spark):
     # z above the verified budget must refuse rather than silently flap
     with pytest.raises(ValueError):
         tile_xyz_export(spark.createDataFrame([], "lon double, lat double, text string, lang string"), z=13)
+
+
+def test_tile_vector_export_bounds_match_cellgrid(spark):
+    """The SQL-expression bbox decode must equal the Python cell_bounds
+    kernel exactly (same dyadic arithmetic)."""
+    from openaip_yaixm_to_geojson_spark.functions import cellgrid
+    from openaip_yaixm_to_geojson_spark.operators.tiles import (
+        DEFAULT_TILE_RES,
+        tile_vector_export,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    out = tile_vector_export(pages_from_documents(spark, SF_DIR)).collect()
+    assert out
+    for r in out:
+        exp = cellgrid.cell_bounds(r["tile_id"])
+        assert (r["min_lon"], r["min_lat"], r["max_lon"], r["max_lat"]) == exp
+        assert cellgrid.decode(r["tile_id"])[0] == DEFAULT_TILE_RES
