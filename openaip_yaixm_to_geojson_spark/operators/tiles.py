@@ -171,9 +171,11 @@ def tile_xyz_export(pages: DataFrame, z: int = 11) -> DataFrame:
     """Slippy-map tile export: per-XYZ-tile document counts, language
     diversity, and text volume, keyed by (zoom, x, y) + quadkey. The tile
     encode is a codegen'd column expression on the fact table (no UDF, no
-    driver work); the single shuffle is the map-side-partial groupBy on
-    (xtile, ytile); the quadkey is computed AFTER aggregation so its z
-    string ops run per-tile, not per-document."""
+    driver work); the exact count_distinct(lang) plans as the standard
+    two-phase distinct aggregate — a map-side partial on (x, y, lang), then
+    a second tiles-sized shuffle — both exchanges move pre-aggregated
+    rows, never documents; the quadkey is computed AFTER aggregation so
+    its z string ops run per-tile, not per-document."""
     xy = pages.select(
         "lang",
         F.length("text").alias("nb"),

@@ -171,10 +171,11 @@ def host_cap(pages: DataFrame, cap: int = 3) -> DataFrame:
     never by arrival order, which is partition-dependent.
 
     Scale shape: one shuffle partitioning by host; row_number only needs a
-    per-host sort. Hosts are Zipf-skewed at CC scale — the window sort of a
-    monster host is a single-task sort of that host's rows (spillable, not
-    quadratic); if a host exceeds a task's comfortable spill size, pre-prune
-    with a per-partition partial top-cap before the window."""
+    per-host sort. Hosts are Zipf-skewed at CC scale, but the rank-limit
+    filter lets Spark insert WindowGroupLimit BELOW the exchange (visible
+    in PLANS.md): every map task pre-prunes to its local top-cap per host,
+    so at most cap * map_tasks rows per host ever shuffle — a monster host
+    costs its reducer a merge of pre-pruned runs, not a full sort."""
     from pyspark.sql import Window
 
     ranked = pages.select(url_host_col(F.col("url")).alias("host"), "url").withColumn(

@@ -148,7 +148,13 @@ def synth_pages(spark: SparkSession, n: int, with_payload: bool = True) -> DataF
     if with_payload:
         df = (
             df.withColumn("text", F.concat(F.lit("synthetic page body for "), F.col("url")))
-            .withColumn("lang", F.element_at(F.array(*[F.lit(x) for x in ["en", "de", "fr", "es", "it"]]), (F.xxhash64("url") % 5 + 5) % 5 + 1))
+            .withColumn(
+                "lang",
+                F.element_at(
+                    F.array(*[F.lit(x) for x in ["en", "de", "fr", "es", "it"]]),
+                    ((F.xxhash64("url") % 5 + 5) % 5 + 1).cast("int"),
+                ),
+            )
             .withColumn("warc_ts", F.timestamp_seconds(F.lit(1704067200) + F.xxhash64("url") % 31536000))
             .withColumn("html", F.encode(F.col("text"), "utf-8"))
         )
