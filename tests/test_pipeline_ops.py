@@ -519,3 +519,50 @@ def test_contamination_planted_overlap(spark):
     bench = spark.createDataFrame([(100, f"intro {shared} outro")], "doc_id bigint, text string")
     got = {r["key"]: r["n_shared_grams"] for r in contamination(corpus, bench, n=8).collect()}
     assert set(got) == {0, 2} and got[2] == 1 and got[0] >= 1
+
+
+def test_url_canonicalization_idempotent_and_invariant(spark):
+    """Fixed-point + invariants over a seeded messy-URL grammar: applying
+    canonicalization to its own output changes nothing, and every output
+    satisfies the documented canonical form."""
+    import random
+    import re
+
+    from openaip_yaixm_to_geojson_spark.operators.web import url_canonicalize
+
+    rng = random.Random(20260816)
+    urls = []
+    for i in range(200):
+        scheme = rng.choice(["http://", "https://"])
+        www = rng.choice(["", "www.", "WWW."])
+        host = rng.choice(["Example.org", "sub.DOMAIN.example", "x-y.example"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/A/b", f"/p{i}/", "/p%20q"])
+        params = rng.sample(
+            ["utm_source=a", "utm_medium=b", "gclid=zz", "fbclid=ff", "page=2", "q=Spark", "a="],
+            k=rng.randint(0, 4),
+        )
+        query = "?" + "&".join(params) if params else ""
+        frag = rng.choice(["", "#top", "#s/2?x=1"])
+        urls.append(scheme + www + host + port + path + query + frag)
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = url_canonicalize(df).select(F.col("canonical_url").alias("url")).collect()
+    canon1 = [r["url"] for r in once]
+    twice = url_canonicalize(
+        spark.createDataFrame([(u,) for u in canon1], "url string")
+    ).collect()
+    assert [r["canonical_url"] for r in twice] == [r["url"] for r in twice]  # fixed point
+
+    for u in canon1:
+        assert u.startswith("https://") and "#" not in u
+        authority = re.match(r"https://([^/?]*)", u).group(1)
+        assert authority == authority.lower() and not authority.startswith("www.")
+        assert not authority.endswith(":80") and not authority.endswith(":443")
+        base = u.split("?", 1)[0]
+        assert not base.endswith("/")
+        if "?" in u:
+            qs = u.split("?", 1)[1]
+            assert qs != ""
+            for p in qs.split("&"):
+                assert not p.startswith(("utm_", "fbclid=", "gclid="))
