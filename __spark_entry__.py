@@ -193,6 +193,49 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(events, gap_seconds=500_000)
 
 
+def q_events_asof(spark, sf_dir):
+    """Backward as-of join (each click matched to the user's most recent
+    view): union + carry-forward window in the engine, verified against
+    DuckDB's NATIVE ASOF JOIN — two independent execution strategies."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        asof_join,
+        events_from_dir,
+    )
+
+    ev = events_from_dir(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
+    return asof_join(left, right).select(
+        "event_id",
+        "user_id",
+        # parquet ts is TIMESTAMP_NTZ; the cast interprets it as UTC wall
+        # time (session tz pinned), matching DuckDB's epoch_us on naive ts
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "matched_event_id",
+        "matched_value",
+    )
+
+
+def q_events_interval_join(spark, sf_dir):
+    """Interval containment join (every event matched back to its gap
+    session): bucket-binned equi-join in the engine, verified against
+    DuckDB's native BETWEEN join (IEJoin) — independent strategies."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        events_from_dir,
+        interval_join,
+        user_sessions,
+    )
+
+    ev = events_from_dir(spark, sf_dir)
+    sessions = user_sessions(ev).select("key", "session_start", "session_end")
+    points = ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("key"),
+        F.unix_timestamp("ts").alias("t"),
+    )
+    return interval_join(points, sessions)
+
+
 def q_tpch_pricing_summary(spark, sf_dir):
     from openaip_yaixm_to_geojson_spark.operators.relational import pricing_summary, table
 
@@ -706,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_windows": q_events_windows,
         "events_json": q_events_json,
+        "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_segment_topk": q_tpch_segment_topk,
         "ceiling_parse": q_ceiling_parse,
@@ -768,6 +813,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": oracle.sql_events_sessions(),
         "events_windows": oracle.sql_event_type_windows(),
         "events_json": oracle.sql_props_k_stats(),
+        "events_asof": oracle.sql_events_asof(),
+        "events_interval_join": oracle.sql_events_interval_join(),
         "tpch_pricing_summary": oracle.sql_pricing_summary(),
         "tpch_segment_topk": oracle.sql_segment_revenue_topk(),
         "ceiling_parse": oracle.sql_ceiling_parse(),

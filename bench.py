@@ -120,6 +120,15 @@ def main() -> None:
         lambda: cosine_topk(emb, queries_from_embeddings(emb, n=5), k=3).count(),
     )
 
+    from openaip_yaixm_to_geojson_spark.operators.events import asof_join
+    from openaip_yaixm_to_geojson_spark.operators.tiles import tile_xyz_export
+
+    timed("tile_xyz", lambda: tile_xyz_export(pages, z=11).count())
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
+    timed("events_asof", lambda: asof_join(clicks, views).count())
+
     result = {
         "metric": "spatial_join_tile_rollup_wall",
         "value": round(headline_sec, 3),

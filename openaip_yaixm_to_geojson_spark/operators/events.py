@@ -63,3 +63,122 @@ def props_k_stats(events: DataFrame) -> DataFrame:
             F.count_distinct("k").alias("k_distinct"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    on: str = "ts",
+    value_cols: tuple[str, ...] = ("event_id", "value"),
+    allow_equal: bool = True,
+) -> DataFrame:
+    """Backward as-of join: each left row matched to the most recent right
+    row of the same `by` key with right.on <= left.on (strictly < when
+    allow_equal=False) — pandas merge_asof / kdb aj semantics. Spark has no
+    native as-of join; a naive range join explodes to O(left x right) per
+    key. The distributed formulation here is union + carry-forward: tag
+    both sides, sort within key, LAST(ignorenulls) over an unbounded-
+    preceding window carries the latest right payload onto every left row.
+    ONE shuffle on the key, per-key sort only (spillable), no range
+    explosion, no Python.
+
+    Determinism: right rows tying on (by, on) are pre-deduped to the
+    greatest first value column (matching the oracle's explicit tie rule —
+    DuckDB's native ASOF JOIN, which independently verifies this operator,
+    leaves duplicate-timestamp picks undefined).
+
+    Output: every left column, plus matched_<col> for each right value
+    column (NULL when no right row precedes). The matched_* columns all
+    come from the SAME right row (they are null on exactly the same tagged
+    rows, so each LAST picks from the identical latest non-null row)."""
+    from pyspark.sql import Window
+
+    lead_val = value_cols[0]
+    dedup_w = Window.partitionBy(by, on).orderBy(F.desc(lead_val))
+    r = (
+        right.select(by, on, *value_cols)
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    left_cols = left.columns
+    tagged_r = r.select(
+        F.col(by),
+        F.col(on),
+        F.lit(1).alias("_is_r"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in (by, on)],
+    )
+    tagged_l = left.select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("_is_r"),
+        *[F.lit(None).cast(r.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+        *[F.col(c) for c in left_cols if c not in (by, on)],
+    )
+    # at equal `on`: right before left = non-strict (<=); left before
+    # right = strict (<). The trailing _rv_<lead> term only orders right
+    # rows among themselves (deduped above — kept for stable plans).
+    is_r_order = F.desc("_is_r") if allow_equal else F.asc("_is_r")
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on), is_r_order, F.col(f"_rv_{lead_val}"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        "*",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"matched_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("_is_r") == 0).select(
+        *left_cols, *[f"matched_{c}" for c in value_cols]
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    by: str = "key",
+    ts_col: str = "t",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range/interval containment join (point.t BETWEEN interval.start AND
+    interval.end, same key) via time-bucket binning — the 1-D analogue of
+    the engine's cell-cover spatial join. Spark plans a raw BETWEEN join as
+    a per-key theta join (O(points x intervals)); binning turns it into an
+    equi-join: each interval registers under every bucket it overlaps
+    (explode on the SMALL side), each point probes exactly one bucket, and
+    the exact BETWEEN filter runs on candidates only. One shuffle each side
+    on (key, bucket).
+
+    Bucket sizing is the usual bin-join tradeoff: long intervals explode
+    across many buckets, tiny buckets multiply the interval side — pick
+    near the median interval length (mixed scales would split per-scale
+    like the quadtree-compact spatial cover). Bucket keys are pure integer
+    arithmetic (t - t % bucket), so the DuckDB oracle (which executes the
+    same query as a native IEJoin — an independent strategy) sees identical
+    semantics. Points inside overlapping intervals match each one."""
+    b = F.lit(int(bucket_seconds))
+    pt_bucket = (F.col(ts_col) - F.col(ts_col) % b).alias("_bucket")
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.col(start_col) - F.col(start_col) % b,
+                F.col(end_col) - F.col(end_col) % b,
+                b,
+            )
+        ),
+    )
+    return (
+        points.select("*", pt_bucket)
+        .join(iv, [by, "_bucket"])
+        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("_bucket")
+    )

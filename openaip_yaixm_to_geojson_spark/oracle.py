@@ -1212,3 +1212,43 @@ SELECT tile_id,
        CAST((tile_id // {S}) % {S} + 1 AS DOUBLE) * {size} - CAST(90 AS DOUBLE) AS max_lat,
        doc_count, n_langs, total_chars
 FROM t"""
+
+
+def sql_events_asof(left_type: str = "click", right_type: str = "view") -> str:
+    """events.asof_join twin via DuckDB's NATIVE ASOF JOIN — a genuinely
+    independent execution strategy (DuckDB plans a specialized asof
+    operator; the engine uses union + carry-forward windows). Right rows
+    tying on (user_id, ts) are pre-deduped to the greatest event_id, the
+    operator's documented tie rule (native ASOF leaves duplicate picks
+    undefined)."""
+    return f"""WITH r0 AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = '{right_type}'
+),
+rd AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = '{left_type}')
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       rd.event_id AS matched_event_id, rd.value AS matched_value
+FROM l ASOF LEFT JOIN rd ON l.user_id = rd.user_id AND l.ts >= rd.ts"""
+
+
+def sql_events_interval_join(gap_seconds: int = 1800) -> str:
+    """events.interval_join twin: sessions rebuilt with the lag+counter
+    formulation, then a native BETWEEN containment join (DuckDB plans an
+    IEJoin — independently verifying the engine's bucket-binned
+    equi-join)."""
+    return f"""WITH ev AS (
+  SELECT event_id, CAST(user_id AS VARCHAR) AS key, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+),
+m AS (
+  SELECT key, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY key ORDER BY t) > {gap_seconds}
+              THEN 1 ELSE 0 END AS ns
+  FROM ev
+),
+s AS (SELECT key, t, SUM(ns) OVER (PARTITION BY key ORDER BY t) AS sid FROM m),
+sess AS (SELECT key, MIN(t) AS session_start, MAX(t) AS session_end FROM s GROUP BY key, sid)
+SELECT p.event_id, p.key, p.t, se.session_start, se.session_end
+FROM ev p JOIN sess se
+  ON p.key = se.key AND p.t BETWEEN se.session_start AND se.session_end"""

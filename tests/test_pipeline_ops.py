@@ -566,3 +566,70 @@ def test_url_canonicalization_idempotent_and_invariant(spark):
             assert qs != ""
             for p in qs.split("&"):
                 assert not p.startswith(("utm_", "fbclid=", "gclid="))
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """The union+carry-forward formulation must reproduce pandas
+    merge_asof (backward) exactly, including the no-match and equal-ts
+    cases, in both allow_equal modes."""
+    import pandas as pd
+
+    from openaip_yaixm_to_geojson_spark.operators.events import asof_join
+
+    rng_rows_l = [(i, i % 7, (i * 37) % 100) for i in range(80)]
+    rng_rows_r = [(1000 + i, i % 7, (i * 23) % 100, float(i)) for i in range(60)]
+    left = spark.createDataFrame(rng_rows_l, "event_id bigint, user_id bigint, ts bigint")
+    right = spark.createDataFrame(
+        rng_rows_r, "event_id bigint, user_id bigint, ts bigint, value double"
+    ).select("user_id", "ts", "event_id", "value")
+
+    lp = pd.DataFrame(rng_rows_l, columns=["event_id", "user_id", "ts"]).sort_values("ts", kind="stable")
+    rp = (
+        pd.DataFrame(rng_rows_r, columns=["r_event_id", "user_id", "ts", "value"])
+        # mirror the operator's tie rule: greatest lead value per (key, ts)
+        .sort_values(["user_id", "ts", "r_event_id"])
+        .groupby(["user_id", "ts"], as_index=False)
+        .last()
+        .sort_values("ts", kind="stable")
+    )
+    for allow_equal in (True, False):
+        got = {
+            r["event_id"]: (r["matched_event_id"], r["matched_value"])
+            for r in asof_join(left, right, allow_equal=allow_equal).collect()
+        }
+        exp_df = pd.merge_asof(
+            lp, rp, on="ts", by="user_id", allow_exact_matches=allow_equal
+        )
+        for _, row in exp_df.iterrows():
+            exp = (
+                (None, None)
+                if pd.isna(row["r_event_id"])
+                else (int(row["r_event_id"]), float(row["value"]))
+            )
+            assert got[int(row["event_id"])] == exp, (allow_equal, row["event_id"])
+        assert len(got) == len(lp)
+
+
+def test_interval_join_boundaries_and_overlap(spark):
+    from openaip_yaixm_to_geojson_spark.operators.events import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 500), (3, "a", 501), (4, "b", 100), (5, "a", 7300)],
+        "event_id bigint, key string, t bigint",
+    )
+    intervals = spark.createDataFrame(
+        # overlapping intervals for key a; boundary hits at both ends;
+        # key b has no interval covering t=100
+        [("a", 100, 500), ("a", 450, 7300), ("b", 200, 300)],
+        "key string, session_start bigint, session_end bigint",
+    )
+    got = {
+        (r["event_id"], r["session_start"])
+        for r in interval_join(points, intervals, bucket_seconds=600).collect()
+    }
+    assert got == {
+        (1, 100),            # start boundary inclusive
+        (2, 100), (2, 450),  # overlap region -> both intervals
+        (3, 450),
+        (5, 450),            # end boundary inclusive, interval spans many buckets
+    }
