@@ -726,6 +726,19 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling through the real mapInPandas plumbing (bounded
+    Arrow batches in, exploded frame rows out); the deterministic fake
+    frame grab is substring arithmetic the DuckDB oracle recomputes
+    byte-for-byte."""
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        sample_frames,
+        synth_media,
+    )
+
+    return sample_frames(synth_media(spark, 500), every_k=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_cells": q_page_cells,
@@ -787,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "contamination": q_contamination,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -851,4 +865,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_repetition": oracle.sql_ngram_repetition(),
         "contamination": oracle.sql_contamination(),
         "multimodal_features": oracle.sql_multimodal_features(),
+        "multimodal_frames": oracle.sql_multimodal_frames(),
     }

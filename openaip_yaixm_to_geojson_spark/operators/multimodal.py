@@ -126,3 +126,112 @@ def real_image_decoder(payload: bytes, kind: str) -> np.ndarray:
         "is not installed in this environment; pass decoder=None for the "
         "deterministic fake or install a codec and wire it here"
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("px_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for an image decode: payload bytes cycled
+    into an (height, width) uint8 'image'."""
+    return np.resize(np.frombuffer(payload, dtype=np.uint8), (height, width))
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    decoder: Callable[[bytes, int, int], np.ndarray] | None = None,
+) -> DataFrame:
+    """Area-average (block-mean) image resize over mapInPandas.
+
+    The decode step is stubbed (deterministic fake pixels from the payload
+    bytes — no codec libs in this container; a real decoder is a
+    one-argument swap), but the resize MATH is real, vectorized NumPy:
+    reshape to (out_h, bh, out_w, bw) blocks and mean over the block axes.
+    Source dims must divide evenly by the target (raises otherwise —
+    honest subset, not silent interpolation). Only `image` rows produce
+    output; Arrow batches stay bounded because each row's pixel buffer is
+    width x height bytes, never the whole partition."""
+    decode = decoder or _fake_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "image" or payload is None:
+                    continue
+                w, h = int(meta["width"]), int(meta["height"])
+                if w % out_w or h % out_h:
+                    raise ValueError(
+                        f"block-mean resize needs divisible dims: {w}x{h} -> {out_w}x{out_h}"
+                    )
+                px = decode(payload, w, h).astype(np.float64)
+                blocks = px.reshape(out_h, h // out_h, out_w, w // out_w)
+                small = blocks.mean(axis=(1, 3))
+                rows.append(
+                    (
+                        mid,
+                        out_w,
+                        out_h,
+                        np.rint(small).astype(np.uint8).tobytes(),
+                        float(small.mean()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "out_w", "out_h", "resized", "px_mean"])
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.StringType(), True),
+    ]
+)
+
+
+def _fake_frame(payload: bytes, frame_idx: int) -> str:
+    """Deterministic stand-in for a video frame grab: an 8-byte slice at a
+    frame-dependent offset (payloads are ASCII, so the slice decodes).
+    Pure substring arithmetic — the DuckDB oracle recomputes it exactly."""
+    off = (frame_idx * 7) % (len(payload) - 8)
+    return payload[off : off + 8].decode("ascii")
+
+
+def sample_frames(
+    media: DataFrame,
+    every_k: int = 4,
+    extractor: Callable[[bytes, int], str] | None = None,
+) -> DataFrame:
+    """Frame sampling over mapInPandas: every k-th frame index of each
+    `video` row (0, k, 2k, ... below meta.n_frames) becomes one output row
+    with the extracted frame. Extraction is the stubbed deterministic fake
+    by default (real codec = one-argument swap; the Spark plan — bounded
+    Arrow batches in, exploded frame rows out — does not move)."""
+    extract = extractor or _fake_frame
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "video" or payload is None:
+                    continue
+                for i in range(0, int(meta["n_frames"]), every_k):
+                    rows.append((mid, i, extract(payload, i)))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

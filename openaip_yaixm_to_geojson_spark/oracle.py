@@ -1252,3 +1252,20 @@ sess AS (SELECT key, MIN(t) AS session_start, MAX(t) AS session_end FROM s GROUP
 SELECT p.event_id, p.key, p.t, se.session_start, se.session_end
 FROM ev p JOIN sess se
   ON p.key = se.key AND p.t BETWEEN se.session_start AND se.session_end"""
+
+
+def sql_multimodal_frames(n: int = 500, every_k: int = 4, n_frames: int = 16) -> str:
+    """multimodal.sample_frames twin in pure SQL: rebuild the synthetic
+    payload STRING ('payload-' || md5(id)), video rows are id % 3 == 2
+    (element_at over [image, audio, video] at id % 3 + 1), frame slice =
+    8 chars at offset (idx * 7) % (len - 8). The Spark side runs the real
+    mapInPandas plumbing; this verifies its values byte-for-byte."""
+    return f"""WITH m AS (
+  SELECT range AS media_id,
+         concat('payload-', md5(CAST(range AS VARCHAR))) AS p
+  FROM range({n}) WHERE range % 3 = 2
+),
+f AS (SELECT media_id, unnest(range(0, {n_frames}, {every_k})) AS frame_idx, p FROM m)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       substring(p, CAST((frame_idx * 7) % (length(p) - 8) AS INTEGER) + 1, 8) AS frame
+FROM f"""

@@ -633,3 +633,46 @@ def test_interval_join_boundaries_and_overlap(spark):
         (3, 450),
         (5, 450),            # end boundary inclusive, interval spans many buckets
     }
+
+
+def test_resize_images_block_mean(spark):
+    """The mapInPandas resize must equal a direct NumPy block-mean on the
+    same fake pixels; non-divisible targets refuse loudly."""
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        _fake_pixels,
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    out = {r["media_id"]: r for r in resize_images(media, out_w=8, out_h=8).collect()}
+    rows = media.where(F.col("kind") == "image").collect()
+    assert len(out) == len(rows) > 0
+    for r in rows:
+        px = _fake_pixels(bytes(r["payload"]), r["meta"]["width"], r["meta"]["height"]).astype(float)
+        expect = px.reshape(8, 8, 8, 8).mean(axis=(1, 3))
+        got = out[r["media_id"]]
+        assert got["px_mean"] == expect.mean()
+        assert bytes(got["resized"]) == np.rint(expect).astype(np.uint8).tobytes()
+
+    with pytest.raises(Exception, match="divisible"):
+        resize_images(media, out_w=7, out_h=8).collect()
+
+
+def test_sample_frames_indices_and_content(spark):
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    got = sample_frames(media, every_k=4).collect()
+    videos = {r["media_id"]: bytes(r["payload"]) for r in media.where(F.col("kind") == "video").collect()}
+    assert {r["media_id"] for r in got} == set(videos)
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+        payload = videos[r["media_id"]]
+        off = (r["frame_idx"] * 7) % (len(payload) - 8)
+        assert r["frame"] == payload[off : off + 8].decode("ascii")
+    assert all(sorted(v) == [0, 4, 8, 12] for v in by_media.values())
