@@ -84,3 +84,81 @@ def run_pipeline(
         lambda: tile_zoom_rollup(out["tile_counts"].drop("n_langs"), levels=2),
     )
     return out
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    quality_min: float = 0.7,
+    sample_fraction: float = 0.5,
+    stop_after: str | None = None,
+) -> dict[str, DataFrame]:
+    """The training-data twin of run_pipeline: documents -> analyze
+    (langid/quality/tokens/fingerprint) -> exact dedup (fingerprint
+    survivor rows) -> corpus (quality floor + deterministic sample) ->
+    per-language stats, every stage a checkpointed parquet table with
+    per-partition lineage, resumable mid-job. Quality fields are flattened
+    to plain columns at the storage boundary (columnar-friendly, and the
+    lineage hash canonicalizes primitives).
+
+    Text passes through byte-identical: only FILTERS and projections touch
+    rows after the analyze stage (the input_hint invariant holds through
+    every stored stage)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.text import analyze_documents, sample_hash_col
+
+    runner = StageRunner(spark, checkpoint_dir)
+    out: dict[str, DataFrame] = {}
+
+    def build_analyzed() -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = analyze_documents(docs)
+        return a.select(
+            *docs.columns,
+            "lang_pred",
+            F.col("quality.quality_score").alias("quality_score"),
+            F.col("quality.mean_word_len").alias("mean_word_len"),
+            "n_tokens_ws",
+            "n_tokens_bpe",
+            "fingerprint",
+        )
+
+    out["analyzed"] = runner.run("analyzed", build_analyzed)
+    if stop_after == "analyzed":
+        return out
+
+    def build_deduped() -> DataFrame:
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        return (
+            out["analyzed"]
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    out["deduped"] = runner.run("deduped", build_deduped)
+    if stop_after == "deduped":
+        return out
+
+    threshold = int(round(sample_fraction * 1_000_000))
+    out["corpus"] = runner.run(
+        "corpus",
+        lambda: out["deduped"]
+        .where(F.col("quality_score") >= quality_min)
+        .where(sample_hash_col(F.col("doc_id")) < threshold),
+    )
+
+    out["corpus_stats"] = runner.run(
+        "corpus_stats",
+        lambda: out["corpus"]
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_ws").alias("total_tokens_ws"),
+            F.sum("n_tokens_bpe").alias("total_tokens_bpe"),
+        ),
+    )
+    return out

@@ -310,3 +310,42 @@ def test_malformed_yaml_document_quarantines(spark):
     q = {r["doc_id"]: r for r in quarantine.collect()}
     assert "yaml parse error" in q["broken"]["error"] and q["broken"]["block_idx"] == -1
     assert "not a mapping" in q["scalar"]["error"]
+
+
+def test_corpus_pipeline_resume_and_byte_identity(spark, tmp_path):
+    """Training-data pipeline as resumable stages: kill after the analyze
+    stage, resume, stage hashes stable; text stays byte-identical from the
+    raw table into every stored stage; dedup + filters only remove rows."""
+    SF_DIR = "/root/testdata/sf0.001"
+    from openaip_yaixm_to_geojson_spark.plans.checkpoint import StageRunner
+    from openaip_yaixm_to_geojson_spark.plans.pipeline import run_corpus_pipeline
+
+    ckpt = str(tmp_path / "corpus_ckpt")
+    partial = run_corpus_pipeline(spark, SF_DIR, ckpt, stop_after="analyzed")
+    assert set(partial) == {"analyzed"}
+    runner = StageRunner(spark, ckpt)
+    h_analyzed = runner.content_hash("analyzed")
+
+    full = run_corpus_pipeline(spark, SF_DIR, ckpt)
+    assert set(full) == {"analyzed", "deduped", "corpus", "corpus_stats"}
+    assert runner.content_hash("analyzed") == h_analyzed  # resumed, not rebuilt
+    for stage in full:
+        assert runner.manifest(stage)["status"] == "complete"
+
+    raw = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    n_analyzed = full["analyzed"].count()
+    n_deduped = full["deduped"].count()
+    n_corpus = full["corpus"].count()
+    assert n_analyzed == len(raw) and n_analyzed >= n_deduped >= n_corpus > 0
+    for row in full["corpus"].select("doc_id", "text").collect():
+        assert row["text"] == raw[row["doc_id"]]
+    stats = {r["lang_pred"]: r["n_docs"] for r in full["corpus_stats"].collect()}
+    assert sum(stats.values()) == n_corpus
+
+    # second full run over the same checkpoint: all four hashes stable
+    again = run_corpus_pipeline(spark, SF_DIR, ckpt)
+    for stage in again:
+        assert runner.content_hash(stage) == StageRunner(spark, ckpt).content_hash(stage)
