@@ -692,6 +692,14 @@ def q_ngram_repetition(spark, sf_dir):
     return ngram_repetition(_docs(spark, sf_dir), n=2)
 
 
+def q_ngram_repetition_local(spark, sf_dir):
+    """Shuffle-free twin of ngram_repetition (sorted-array fold per row,
+    zero Exchange in the plan) — same rows, same oracle."""
+    from openaip_yaixm_to_geojson_spark.operators.text import ngram_repetition_local
+
+    return ngram_repetition_local(_docs(spark, sf_dir), n=2)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: documents sharing any word 8-gram with
     the benchmark subset (doc_id % 101 == 0 stands in for an eval set);
@@ -798,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "host_cap": q_host_cap,
         "ngram_repetition": q_ngram_repetition,
+        "ngram_repetition_local": q_ngram_repetition_local,
         "contamination": q_contamination,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -863,6 +872,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_dedup": oracle.sql_url_canonical_dedup(),
         "host_cap": oracle.sql_host_cap(),
         "ngram_repetition": oracle.sql_ngram_repetition(),
+        "ngram_repetition_local": oracle.sql_ngram_repetition(),
         "contamination": oracle.sql_contamination(),
         "multimodal_features": oracle.sql_multimodal_features(),
         "multimodal_frames": oracle.sql_multimodal_frames(),

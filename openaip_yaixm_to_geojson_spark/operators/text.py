@@ -183,6 +183,73 @@ def ngram_repetition(
     )
 
 
+def ngram_repetition_local(
+    documents: DataFrame, n: int = 2, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shuffle-FREE twin of ngram_repetition: identical output, computed
+    per row with a sorted-array fold instead of explode + groupBy.
+
+    array_sort groups equal grams adjacently (O(g log g) per document,
+    inside codegen), then one aggregate() fold counts distinct grams
+    (run boundaries) and the modal gram's count (longest run). At corpus
+    scale this is the winner: ngram_repetition shuffles every gram twice
+    (grams ~ tokens, so the shuffle is corpus-sized); this variant touches
+    the fact table once and shuffles NOTHING. The relational form remains
+    for pathological single-document sizes — a row's gram array must fit
+    a task, while explode + groupBy spills arbitrarily."""
+    grams = _word_ngrams_col(F.col(text_col), n)
+    zero = F.lit(0).cast("bigint")
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("maxrun"),
+        zero.alias("dist"),
+        zero.alias("tot"),
+    )
+
+    def step(acc, g):
+        same = acc["prev"].isNotNull() & (acc["prev"] == g)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            (acc["dist"] + F.when(same, zero).otherwise(F.lit(1).cast("bigint"))).alias("dist"),
+            (acc["tot"] + 1).alias("tot"),
+        )
+
+    def finish(acc):
+        # all six outputs computed inside the fold's finish lambda: the
+        # array, the sort and the fold each appear exactly ONCE in the
+        # plan, however many output fields are projected from the struct
+        tot_d = acc["tot"].cast("double")
+        return F.struct(
+            acc["tot"].alias("n_grams"),
+            acc["dist"].alias("n_distinct"),
+            acc["maxrun"].alias("top_count"),
+            ((acc["tot"] - acc["dist"]).cast("double") / tot_d).alias("dup_fraction"),
+            (acc["maxrun"].cast("double") / tot_d).alias("top_fraction"),
+        )
+
+    # pre-filter on the CHEAP word count, never on a fold output: a filter
+    # referencing _r gets pushed below the project and re-inlines the whole
+    # fold into its condition (3 evaluations per row, measured); with the
+    # independent predicate the sort+fold appears exactly once in the plan
+    short = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
+    folded = documents.where(short).select(
+        F.col(key_col).alias("key"),
+        F.aggregate(F.array_sort(grams), acc0, step, finish).alias("_r"),
+    )
+    return folded.select(
+        "key",
+        "_r.n_grams",
+        "_r.n_distinct",
+        "_r.top_count",
+        "_r.dup_fraction",
+        "_r.top_fraction",
+    )
+
+
 def contamination(
     documents: DataFrame,
     benchmark: DataFrame,

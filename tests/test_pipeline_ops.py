@@ -676,3 +676,28 @@ def test_sample_frames_indices_and_content(spark):
         off = (r["frame_idx"] * 7) % (len(payload) - 8)
         assert r["frame"] == payload[off : off + 8].decode("ascii")
     assert all(sorted(v) == [0, 4, 8, 12] for v in by_media.values())
+
+
+def test_ngram_repetition_local_matches_relational(spark, docs):
+    """The shuffle-free sorted-fold variant must equal the relational
+    explode+groupBy on every field, and its plan must contain no Exchange
+    and exactly one fold."""
+    from openaip_yaixm_to_geojson_spark.operators.text import (
+        ngram_repetition,
+        ngram_repetition_local,
+    )
+
+    extra = spark.createDataFrame(
+        [(10, "a b a b a"), (11, "x"), (12, "  "), (13, "z z z z z z")],
+        "doc_id bigint, text string",
+    )
+    data = docs.unionByName(extra)
+    rel = {r["key"]: tuple(r)[1:] for r in ngram_repetition(data, n=2).collect()}
+    loc = {r["key"]: tuple(r)[1:] for r in ngram_repetition_local(data, n=2).collect()}
+    assert rel == loc and 11 not in loc and 12 not in loc
+
+    # plan over a single (non-union) input: zero shuffles, the sort+fold
+    # appears exactly once (a fold-referencing filter would re-inline it)
+    plan = ngram_repetition_local(docs, n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("aggregate(") == 1
