@@ -83,10 +83,13 @@ def asof_join(
     ONE shuffle on the key, per-key sort only (spillable), no range
     explosion, no Python.
 
-    Determinism: right rows tying on (by, on) are pre-deduped to the
-    greatest first value column (matching the oracle's explicit tie rule —
-    DuckDB's native ASOF JOIN, which independently verifies this operator,
-    leaves duplicate-timestamp picks undefined).
+    Determinism: right rows tying on (by, on) resolve to the greatest
+    first value column — not by a separate dedup pass (which would cost
+    its own Exchange + Window on (by, on)) but by the carry-forward
+    window's own sort order: the greatest-lead right row sorts LAST within
+    the tie, so LAST(ignorenulls) picks it. DuckDB's native ASOF JOIN
+    (the oracle) leaves duplicate-timestamp picks undefined, so it
+    pre-dedupes explicitly to the same rule.
 
     Output: every left column, plus matched_<col> for each right value
     column (NULL when no right row precedes). The matched_* columns all
@@ -95,13 +98,7 @@ def asof_join(
     from pyspark.sql import Window
 
     lead_val = value_cols[0]
-    dedup_w = Window.partitionBy(by, on).orderBy(F.desc(lead_val))
-    r = (
-        right.select(by, on, *value_cols)
-        .withColumn("_rn", F.row_number().over(dedup_w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    r = right.select(by, on, *value_cols)
 
     left_cols = left.columns
     tagged_r = r.select(
@@ -119,8 +116,8 @@ def asof_join(
         *[F.col(c) for c in left_cols if c not in (by, on)],
     )
     # at equal `on`: right before left = non-strict (<=); left before
-    # right = strict (<). The trailing _rv_<lead> term only orders right
-    # rows among themselves (deduped above — kept for stable plans).
+    # right = strict (<). The trailing _rv_<lead> term orders tying right
+    # rows among themselves — greatest lead value sorts last and wins.
     is_r_order = F.desc("_is_r") if allow_equal else F.asc("_is_r")
     w = (
         Window.partitionBy(by)

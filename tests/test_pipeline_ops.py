@@ -578,6 +578,9 @@ def test_asof_join_matches_pandas_merge_asof(spark):
 
     rng_rows_l = [(i, i % 7, (i * 37) % 100) for i in range(80)]
     rng_rows_r = [(1000 + i, i % 7, (i * 23) % 100, float(i)) for i in range(60)]
+    # duplicate right (key, ts) pairs: the tie must resolve to the greatest
+    # lead value (event_id) without a dedicated dedup pass
+    rng_rows_r += [(2000, 3, 50, 777.0), (2001, 3, 50, 888.0), (1999, 3, 50, 666.0)]
     left = spark.createDataFrame(rng_rows_l, "event_id bigint, user_id bigint, ts bigint")
     right = spark.createDataFrame(
         rng_rows_r, "event_id bigint, user_id bigint, ts bigint, value double"
