@@ -216,6 +216,17 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_pivot(spark, sf_dir):
+    """Wide transform: per-user event-type counts pivoted to columns with
+    an explicit values list (no schema-discovery job) + exact total."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        events_from_dir,
+        events_pivot,
+    )
+
+    return events_pivot(events_from_dir(spark, sf_dir))
+
+
 def q_events_interval_join(spark, sf_dir):
     """Interval containment join (every event matched back to its gap
     session): bucket-binned equi-join in the engine, verified against
@@ -772,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
+        "events_pivot": q_events_pivot,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_segment_topk": q_tpch_segment_topk,
         "ceiling_parse": q_ceiling_parse,
@@ -838,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": oracle.sql_props_k_stats(),
         "events_asof": oracle.sql_events_asof(),
         "events_interval_join": oracle.sql_events_interval_join(),
+        "events_pivot": oracle.sql_events_pivot(),
         "tpch_pricing_summary": oracle.sql_pricing_summary(),
         "tpch_segment_topk": oracle.sql_segment_revenue_topk(),
         "ceiling_parse": oracle.sql_ceiling_parse(),

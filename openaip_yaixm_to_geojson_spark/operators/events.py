@@ -179,3 +179,37 @@ def interval_join(
         .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
         .drop("_bucket")
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(events: DataFrame, types: tuple[str, ...] = EVENT_TYPES) -> DataFrame:
+    """Wide transform: one row per user with per-event-type counts pivoted
+    to columns plus the exact total value. The pivot VALUES are passed
+    explicitly — without them Spark runs an extra distinct-collect job
+    over the fact table just to discover the column set (and the output
+    schema would depend on the data, which a stored table must not).
+    Single map-side-partial shuffle on user_id; value sum is DECIMAL-exact
+    then cast once to DOUBLE at the output boundary (oracle determinism
+    rule)."""
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(types))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+    )
+    # total = sum of the per-type DECIMAL sums: a fixed-order addition of
+    # exact decimals, so still order-independent; one aggregation, no
+    # second pass or join over the fact table
+    total = sum(
+        (F.coalesce(F.col(f"{t}_v"), F.lit(0).cast("decimal(18,2)")) for t in types),
+        F.lit(0).cast("decimal(18,2)"),
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
+        total.cast("decimal(38,2)").cast("double").alias("total_value"),
+    )

@@ -1269,3 +1269,18 @@ f AS (SELECT media_id, unnest(range(0, {n_frames}, {every_k})) AS frame_idx, p F
 SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
        substring(p, CAST((frame_idx * 7) % (length(p) - 8) AS INTEGER) + 1, 8) AS frame
 FROM f"""
+
+
+def sql_events_pivot() -> str:
+    """events.events_pivot twin via conditional aggregation (the portable
+    spelling of PIVOT); DECIMAL-exact value sum cast once to DOUBLE."""
+    from .operators.events import EVENT_TYPES
+
+    cols = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""SELECT user_id,
+       {cols},
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id"""
