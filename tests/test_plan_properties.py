@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the scale-critical plan properties the
+engine's docstrings claim (broadcast fact-side joins, column pruning,
+shuffle counts, rank-limit pushdown) asserted against the actual executed
+plans, so a refactor that silently degrades a plan fails loudly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    return pages_from_documents(spark, SF_DIR)
+
+
+def test_spatial_join_broadcasts_and_never_shuffles_facts(spark, pages):
+    from openaip_yaixm_to_geojson_spark.functions.convert_local import fixture_polygons
+    from openaip_yaixm_to_geojson_spark.operators.spatial import spatial_join
+
+    plan = plan_of(spatial_join(pages, fixture_polygons()))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # zero fact shuffles
+
+
+def test_contamination_scan_prunes_columns(spark):
+    from openaip_yaixm_to_geojson_spark.operators.text import contamination
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(contamination(docs, docs.where(F.col("doc_id") % 101 == 0)))
+    # the parquet scan must read only the two needed columns
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "lang" not in plan.split("ReadSchema")[1][:200]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_host_cap_pushes_rank_limit_below_exchange(spark, pages):
+    from openaip_yaixm_to_geojson_spark.operators.web import host_cap
+
+    plan = plan_of(host_cap(pages, cap=3))
+    # WindowGroupLimit appears twice: partial (map side, before the
+    # exchange) and final — at most cap rows per host shuffle per map task
+    assert plan.count("WindowGroupLimit") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tile_xyz_export_shuffles_only_tiles(spark, pages):
+    from openaip_yaixm_to_geojson_spark.operators.tiles import tile_xyz_export
+
+    plan = plan_of(tile_xyz_export(pages, z=11))
+    # two-phase distinct aggregate = exactly two exchanges, both keyed on
+    # tile coordinates (pre-aggregated rows), none on the fact table
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "ArrowEvalPython" not in plan  # codegen only, no Python
+
+
+def test_asof_join_single_exchange_single_window(spark):
+    from openaip_yaixm_to_geojson_spark.operators.events import asof_join
+
+    left = spark.createDataFrame([(0, 1, 10)], "event_id bigint, user_id bigint, ts bigint")
+    right = spark.createDataFrame(
+        [(1, 1, 5, 1.0)], "event_id bigint, user_id bigint, ts bigint, value double"
+    ).select("user_id", "ts", "event_id", "value")
+    plan = plan_of(asof_join(left, right))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_interval_join_explodes_interval_side_only(spark):
+    from openaip_yaixm_to_geojson_spark.operators.events import interval_join
+
+    pts = spark.createDataFrame([(0, "a", 10)], "event_id bigint, key string, t bigint")
+    ivs = spark.createDataFrame(
+        [("a", 0, 100)], "key string, session_start bigint, session_end bigint"
+    )
+    plan = plan_of(interval_join(pts, ivs))
+    assert plan.count("Generate explode") == 1  # intervals explode, points never
+    assert "BroadcastNestedLoopJoin" not in plan  # binning defeated the theta join
+    assert "CartesianProduct" not in plan
