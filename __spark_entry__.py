@@ -745,6 +745,20 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (3 synchronous iterations) over a derived
+    link graph: float PageRank can't be hash-gated (summation order), the
+    scaled-BIGINT recurrence can. One join + one aggregation per round;
+    the oracle unrolls the same recurrence as CTEs."""
+    from openaip_yaixm_to_geojson_spark.operators.graph import (
+        pagerank_int,
+        synth_link_graph,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return pagerank_int(docs, synth_link_graph(docs), iters=3)
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Video frame sampling through the real mapInPandas plumbing (bounded
     Arrow batches in, exploded frame rows out); the deterministic fake
@@ -822,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "pagerank": q_pagerank,
     }
 
 
@@ -889,4 +904,5 @@ def oracle_sql() -> dict[str, str]:
         "contamination": oracle.sql_contamination(),
         "multimodal_features": oracle.sql_multimodal_features(),
         "multimodal_frames": oracle.sql_multimodal_frames(),
+        "pagerank": oracle.sql_pagerank_int(),
     }

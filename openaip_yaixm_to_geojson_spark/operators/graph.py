@@ -1,0 +1,91 @@
+"""Graph operators over derived link graphs.
+
+`duplicate_clusters` (operators/dedup.py) covers unweighted connected
+components; this module adds weighted iterative propagation — PageRank —
+in INTEGER arithmetic: floating-point PageRank can never be hash-gated
+(the per-target contribution sum's value depends on reduction order), but
+with ranks as scaled BIGINTs, integer-division contributions and exact
+integer sums, every iteration is bit-identical in Spark, DuckDB and
+anything else. The damping update is the classic 0.85 expressed as
+integer ops: rank' = 0.15 * SCALE + (85 * sum(contrib)) div 100.
+
+Scale posture: each iteration is one equi-join (ranks onto edges by src)
+plus one map-side-partial groupBy on dst — the standard distributed
+PageRank shape. Ranks are localCheckpoint()ed per round to cut the
+growing lineage (same reasoning as dedup.duplicate_clusters). SCALE=1e6
+keeps 85 * N * SCALE inside int64 for sandbox corpus sizes; a
+trillion-document run would move the accumulator to DECIMAL(38,0) —
+still exact, same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 1_000_000
+
+# deterministic synthetic out-links per document (3 per node, self-loops
+# possible and kept). The first two affine maps are bijections (uniform
+# in-degree); `src % 10` funnels every node into ten hub targets, giving
+# the in-degree skew that makes ranks non-constant — and makes the hubs
+# genuine skew keys for the per-dst aggregation, which AQE handles.
+# Shared verbatim with the DuckDB oracle (dialect-identical arithmetic).
+LINK_RULES_SQL = ("(src * 7 + 1) % n", "(src * 13 + 2) % n", "src % 10")
+
+
+def synth_link_graph(documents: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """(src, dst) edges derived purely from doc ids via LINK_RULES_SQL.
+    N comes from a broadcast 1-row count aggregate, not a driver collect,
+    so the derivation stays declarative at any scale."""
+    n_df = documents.agg(F.count(F.lit(1)).alias("n"))
+    dsts = F.array(*[F.expr(rule) for rule in LINK_RULES_SQL])
+    return (
+        documents.select(F.col(key_col).alias("src"))
+        .crossJoin(F.broadcast(n_df))
+        .select("src", F.explode(dsts).alias("dst"))
+    )
+
+
+def pagerank_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-exact PageRank after `iters` synchronous iterations.
+
+    rank_0 = SCALE for every node; each round every node sends
+    rank div out_degree along each out-edge, and
+    rank' = (15 * SCALE) div 100 + (85 * sum(incoming)) div 100.
+    All BIGINT — the gate hashes exact values. Nodes without in-links hold
+    the damping floor. Per round: one join + one aggregation."""
+    base = F.lit(15 * RANK_SCALE // 100).cast("bigint")
+
+    ids = nodes.select(F.col(key_col).alias("id"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # out-degree attached once; re-used every round (small vs the fact join)
+    edges_deg = (
+        edges.join(deg, "src").select("src", "dst", "out_deg").localCheckpoint()
+    )
+
+    ranks = ids.select("id", F.lit(RANK_SCALE).cast("bigint").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
+            # `div`, never `/`: SQL `/` on BIGINTs is DOUBLE division, which
+            # stops being exact past 2^53 — integer division never does
+            .select("dst", F.expr("rank div out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = (
+            ids.join(contrib, ids["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                F.coalesce(F.col("incoming"), F.lit(0).cast("bigint")).alias("inc"),
+            )
+            .select("id", (base + F.expr("(85 * inc) div 100")).cast("bigint").alias("rank"))
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("id").alias(key_col), F.col("rank").alias("rank_int"))

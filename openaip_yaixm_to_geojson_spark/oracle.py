@@ -1284,3 +1284,42 @@ def sql_events_pivot() -> str:
        {cols},
        CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
 FROM events GROUP BY user_id"""
+
+
+def sql_pagerank_int(iters: int = 3) -> str:
+    """graph.pagerank_int twin: the same integer-exact recurrence with the
+    iterations UNROLLED as CTEs (r0 -> r1 -> ... -> rN). Edge derivation
+    mirrors graph.synth_link_graph's formula; all arithmetic is BIGINT
+    `//` division and exact integer sums, so the hash compare is exact."""
+    from .operators.graph import LINK_RULES_SQL, RANK_SCALE
+
+    base = 15 * RANK_SCALE // 100
+    dsts = ", ".join(LINK_RULES_SQL)
+    parts = [
+        f"""nn AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT src, unnest([{dsts}]) AS dst
+  FROM (SELECT doc_id AS src FROM documents) CROSS JOIN nn
+),
+ed AS (
+  SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS out_deg FROM e
+),
+r0 AS (SELECT doc_id AS id, CAST({RANK_SCALE} AS BIGINT) AS rank FROM documents)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""c{i} AS (
+  SELECT ed.dst, SUM(r{i}.rank // ed.out_deg) AS incoming
+  FROM ed JOIN r{i} ON ed.src = r{i}.id GROUP BY ed.dst
+),
+r{i + 1} AS (
+  SELECT r0.id,
+         CAST({base} + (85 * COALESCE(c{i}.incoming, 0)) // 100 AS BIGINT) AS rank
+  FROM r0 LEFT JOIN c{i} ON r0.id = c{i}.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id AS doc_id, rank AS rank_int FROM r{iters}"
+    )

@@ -704,3 +704,34 @@ def test_ngram_repetition_local_matches_relational(spark, docs):
     plan = ngram_repetition_local(docs, n=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("aggregate(") == 1
+
+
+def test_pagerank_int_matches_numpy_recurrence(spark):
+    """The distributed integer PageRank must equal a direct NumPy
+    evaluation of the same recurrence, and in-link-heavy nodes must
+    outrank in-link-free ones (which hold the damping floor)."""
+    from openaip_yaixm_to_geojson_spark.operators.graph import (
+        RANK_SCALE,
+        pagerank_int,
+        synth_link_graph,
+    )
+
+    n, iters = 40, 3
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges_df = synth_link_graph(docs)
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    got = {r["doc_id"]: r["rank_int"] for r in pagerank_int(docs, edges_df, iters=iters).collect()}
+
+    out_deg = {}
+    for s, _d in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = {i: RANK_SCALE for i in range(n)}
+    for _ in range(iters):
+        incoming = {i: 0 for i in range(n)}
+        for s, d in edges:
+            incoming[d] += rank[s] // out_deg[s]
+        rank = {i: 15 * RANK_SCALE // 100 + (85 * incoming[i]) // 100 for i in range(n)}
+    assert got == rank
+    # hub nodes (src % 10 targets) must outrank the damping-floor nodes
+    assert max(got.values()) > min(got.values())
+    assert max(got, key=got.get) < 10
