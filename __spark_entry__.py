@@ -745,6 +745,27 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_lang_median_chars(spark, sf_dir):
+    """Exact per-language median document length as an order statistic
+    (interpolated percentiles are float-divergent across engines; the
+    exact element hash-gates cleanly)."""
+    from openaip_yaixm_to_geojson_spark.operators.text import lang_median_chars
+
+    return lang_median_chars(_docs(spark, sf_dir))
+
+
+def q_sample_complement(spark, sf_dir):
+    """Set-op coverage: documents EXCEPT the deterministic sample. The
+    oracle recomputes the complement as a direct predicate, so the EXCEPT
+    path is verified against independent logic."""
+    from openaip_yaixm_to_geojson_spark.operators.text import deterministic_sample
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id").exceptAll(
+        deterministic_sample(docs, fraction=0.25).select("doc_id")
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Integer-exact PageRank (3 synchronous iterations) over a derived
     link graph: float PageRank can't be hash-gated (summation order), the
@@ -837,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "pagerank": q_pagerank,
+        "lang_median_chars": q_lang_median_chars,
+        "sample_complement": q_sample_complement,
     }
 
 
@@ -905,4 +928,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": oracle.sql_multimodal_features(),
         "multimodal_frames": oracle.sql_multimodal_frames(),
         "pagerank": oracle.sql_pagerank_int(),
+        "lang_median_chars": oracle.sql_lang_median_chars(),
+        "sample_complement": oracle.sql_sample_complement(),
     }

@@ -1323,3 +1323,27 @@ r{i + 1} AS (
         + ",\n".join(parts)
         + f"\nSELECT id AS doc_id, rank AS rank_int FROM r{iters}"
     )
+
+
+def sql_lang_median_chars() -> str:
+    """text.lang_median_chars twin: same order statistic (lower median by
+    (n_chars, doc_id) rank) — exact integers, no interpolation."""
+    return """WITH r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+)
+SELECT lang, n_chars AS median_chars, cnt AS n_docs
+FROM r WHERE rn = (cnt + 1) // 2"""
+
+
+def sql_sample_complement(fraction: float = 0.25) -> str:
+    """Set-op twin: documents EXCEPT the deterministic sample = rows whose
+    md5 bucket fails the threshold (recomputed as the direct predicate,
+    not subtracted — the Spark side's exceptAll must reproduce it)."""
+    from .operators.text import SAMPLE_BUCKETS
+
+    threshold = int(round(fraction * SAMPLE_BUCKETS))
+    bucket = f"{_hex8_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_BUCKETS}"
+    return f"SELECT doc_id FROM documents WHERE {bucket} >= {threshold}"
