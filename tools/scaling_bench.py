@@ -199,8 +199,21 @@ an Arrow-batched NumPy kernel over candidates only, and the single shuffle
 (tile rollup) is map-side pre-aggregated. Partition count tracks cores;
 no driver-side loops anywhere on the hot path.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
-        fh.write(md)
+    # replace only the primary section: everything from the first later
+    # evidence heading onward ("## Second evidence", "## Launch-mode ...")
+    # is preserved verbatim
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        cut = len(old)
+        for marker in ("\n## Second evidence", "\n## Launch-mode"):
+            idx = old.find(marker)
+            if idx != -1:
+                cut = min(cut, idx)
+        tail = old[cut:]
+    with open(bench_path, "w") as fh:
+        fh.write(md.rstrip() + "\n" + tail)
 
 
 if __name__ == "__main__":
