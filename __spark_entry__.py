@@ -793,6 +793,50 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(synth_media(spark, 500), every_k=4)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Term -> sorted postings lists (the IR/index-build shape: one
+    term-keyed shuffle; high-df terms routable around the collect via
+    df_cap at corpus scale — gate runs uncapped at fixture scale)."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir))
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 salient terms per document by tf x (N/df) — the exactly-
+    reproducible tf-idf ranking family (no libm log); broadcast df +
+    corpus-count joins, WindowGroupLimit top-k."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """Per-source distinct-term cardinality: exact count + K-Minimum-
+    Values sketch estimate, both gated (the sketch math is verified
+    against the oracle's identical estimator, not just sanity-checked)."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import kmv_distinct
+
+    return kmv_distinct(_docs(spark, sf_dir), k=16)
+
+
+def q_bigram_pmi(spark, sf_dir):
+    """Top-20 bigram collocations by the PMI odds ratio c_ab*N/(c_a*c_b)
+    (monotone in PMI, exact-integer products, single division);
+    broadcast unigram joins + TakeOrdered top-N."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir), top=20)
+
+
+def q_token_rarity(spark, sf_dir):
+    """Per-document mean corpus token frequency (rarity quality signal):
+    integer-exact frequency sums, broadcast vocabulary join."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import token_rarity
+
+    return token_rarity(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_cells": q_page_cells,
@@ -860,6 +904,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "lang_median_chars": q_lang_median_chars,
         "sample_complement": q_sample_complement,
+        "inverted_index": q_inverted_index,
+        "tfidf_topk": q_tfidf_topk,
+        "kmv_distinct": q_kmv_distinct,
+        "bigram_pmi": q_bigram_pmi,
+        "token_rarity": q_token_rarity,
     }
 
 
@@ -930,4 +979,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oracle.sql_pagerank_int(),
         "lang_median_chars": oracle.sql_lang_median_chars(),
         "sample_complement": oracle.sql_sample_complement(),
+        "inverted_index": oracle.sql_inverted_index(),
+        "tfidf_topk": oracle.sql_tfidf_topk(k=3),
+        "kmv_distinct": oracle.sql_kmv_distinct(k=16),
+        "bigram_pmi": oracle.sql_bigram_pmi(top=20),
+        "token_rarity": oracle.sql_token_rarity(),
     }

@@ -1,0 +1,227 @@
+"""Corpus/term-level analytics for training-data pipelines.
+
+Inverted index (postings lists), TF-IDF-style top-k salient terms, KMV
+distinct-count sketches, bigram PMI ranking and token-rarity scoring —
+the term-statistics layer a 100-TB text pipeline runs between ingest and
+filtering. All outputs are hash-gateable: counts stay exact BIGINT end to
+end and every float is produced by a fixed, parenthesized sequence of
+single IEEE-754 operations on exactly-representable integers (each
+multiply/divide rounds once, identically in Spark and DuckDB — the
+determinism rules at the top of oracle.py).
+
+Tokenization matches operators/text.py: `split(trim(text), r'\\s+')`.
+
+Scale shapes (100-TB audit):
+* every per-term aggregate is a map-side-partial groupBy on the term key;
+  the vocabulary (distinct terms) is orders of magnitude smaller than the
+  corpus, so the df/unigram side of each join is broadcast;
+* the only corpus-sized shuffles are the unavoidable explode->count ones,
+  each shuffling (key-or-term, count) pairs — never document text;
+* inverted-index postings are the one per-term unbounded output; df_cap
+  routes stopword-class terms around the collect (df-only row, NULL
+  postings) so no single reducer materializes a billion-element list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 32-bit md5-prefix hash space; KMV estimates distincts as (k-1) * M / h_k
+KMV_M = float(2**32)
+
+
+def _words(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def doc_term_pairs(
+    documents: DataFrame, key_col: str = "doc_id", text_col: str = "text", distinct: bool = False
+) -> DataFrame:
+    """(key, term) token occurrences; with distinct=True, per-document
+    distinct terms (deduped BEFORE the explode, so the shuffle that
+    follows never carries within-document duplicates)."""
+    words = _words(text_col)
+    if distinct:
+        words = F.array_distinct(words)
+    return documents.select(F.col(key_col).alias("key"), F.explode(words).alias("term"))
+
+
+def inverted_index(
+    documents: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Term -> sorted postings list: (term, doc_freq, postings) where
+    postings is the comma-joined ascending doc-id list.
+
+    Scale shape: one shuffle keyed on term. Postings are the unbounded
+    part — a stopword's list is the whole corpus. With df_cap set, a
+    first count-only pass (map-side partial, cheap) finds the high-df
+    terms and the collect runs only for terms at or under the cap;
+    hot terms still report exact doc_freq with NULL postings, so no
+    reducer ever builds a corpus-sized array. The gate runs uncapped at
+    fixture scale and a capped pytest pins the routing."""
+    pairs = doc_term_pairs(documents, key_col, text_col, distinct=True)
+    if df_cap is None:
+        return pairs.groupBy("term").agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("key")), lambda x: x.cast("string")), ","
+            ).alias("postings"),
+        )
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    small = dfreq.where(F.col("doc_freq") <= df_cap)
+    posted = (
+        pairs.join(F.broadcast(small.select("term")), "term")
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("key")), lambda x: x.cast("string")), ","
+            ).alias("postings")
+        )
+    )
+    return dfreq.join(posted, "term", "left").select("term", "doc_freq", "postings")
+
+
+def tfidf_topk(
+    documents: DataFrame, k: int = 3, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k salient terms per document by tf x (N / df) relevance
+    (reciprocal-df weighting — same ranking family as tf-idf but exactly
+    reproducible: CAST(tf) * (CAST(N) / CAST(df)) is three IEEE ops on
+    exact integers, bit-identical in any engine, where a log-based idf
+    would inherit libm rounding differences). Ties break on term order.
+
+    Scale shape: tf is a map-side-partial groupBy on (doc, term); df is
+    vocabulary-sized and broadcast into the join, as is the one-row corpus
+    count; the final per-document top-k is a rank-filtered window that
+    Spark executes with WindowGroupLimit pushdown (only k rows per
+    document survive the shuffle read)."""
+    occ = doc_term_pairs(documents, key_col, text_col)
+    tf = occ.groupBy("key", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        doc_term_pairs(documents, key_col, text_col, distinct=True)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    total = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("key").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("key", "rank", "term", "tf", "df", "score")
+    )
+
+
+def kmv_distinct(
+    documents: DataFrame, k: int = 16, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group distinct-term cardinality: exact count plus a K-Minimum-
+    Values sketch estimate ((k-1) * M / h_k over a 32-bit md5-prefix hash
+    space). The estimate is what survives at 100 TB — the sketch is k
+    values per group, mergeable across partitions, while the exact count
+    needs the full distinct; the gate pins both plus the kth-min hash so
+    the sketch math itself is verified, not just eyeballed.
+
+    Groups with fewer than k distinct terms report NULL sketch fields
+    (the estimator is undefined; the exact count is the answer there).
+    (k-1) * M is a product of exactly-representable doubles with a short
+    significand — no rounding before the single division."""
+    pairs = (
+        documents.select(F.col(group_col).alias("grp"), F.explode(_words(text_col)).alias("term"))
+        .distinct()
+        .select(
+            "grp", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint").alias("h")
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_min"),
+        (
+            F.lit(float(k - 1) * KMV_M)
+            / F.max(F.when(F.col("rn") == k, F.col("h"))).cast("double")
+        ).alias("kmv_estimate"),
+    )
+
+
+def bigram_pmi(
+    documents: DataFrame, top: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Global bigram collocation ranking by the PMI odds ratio
+    c_ab * N / (c_a * c_b) (monotone in PMI = log of it; the log itself is
+    libm-dependent, the ratio is two exact-integer products and one
+    division — each a single deterministic IEEE rounding). Returns the
+    `top` bigrams by ratio, ties on the bigram string.
+
+    Scale shape: bigram and unigram counts are map-side-partial groupBys;
+    the unigram table is vocabulary-sized and broadcast twice (left and
+    right word); the corpus token total is a one-row broadcast; the final
+    top-N is TakeOrdered (per-partition heaps + driver merge of N), never
+    a full sort."""
+    from .text import _word_ngrams_col
+
+    grams = documents.select(F.explode(_word_ngrams_col(F.col(text_col), 2)).alias("gram"))
+    c_ab = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        documents.select(F.explode(_words(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n_tokens"))
+    scored = (
+        c_ab.withColumn("w1", F.substring_index("gram", " ", 1))
+        .withColumn("w2", F.substring_index("gram", " ", -1))
+        .join(F.broadcast(uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b"))), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "pmi_ratio",
+            (F.col("c_ab").cast("double") * F.col("n_tokens").cast("double"))
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+        )
+    )
+    return (
+        scored.select("gram", "c_ab", "c_a", "c_b", "n_tokens", "pmi_ratio")
+        .orderBy(F.col("pmi_ratio").desc(), "gram")
+        .limit(top)
+    )
+
+
+def token_rarity(
+    documents: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document corpus-frequency profile: token count, the exact
+    BIGINT sum of each token's corpus frequency, and their ratio (mean
+    corpus frequency — low means the document is built from rare tokens,
+    a standard rarity/quality signal). Cross-row sums stay integer-exact;
+    the single final division is the only float op.
+
+    Scale shape: unigram counts are vocabulary-sized and broadcast into
+    the exploded fact side; the per-document rollup is one map-side-
+    partial shuffle on the document key."""
+    occ = doc_term_pairs(documents, key_col, text_col)
+    uni = occ.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    agg = occ.join(F.broadcast(uni), "term").groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("c").alias("freq_sum")
+    )
+    return agg.select(
+        "key",
+        "n_tokens",
+        "freq_sum",
+        (F.col("freq_sum").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "mean_token_freq"
+        ),
+    )

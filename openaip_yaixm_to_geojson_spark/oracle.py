@@ -1347,3 +1347,92 @@ def sql_sample_complement(fraction: float = 0.25) -> str:
     threshold = int(round(fraction * SAMPLE_BUCKETS))
     bucket = f"{_hex8_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_BUCKETS}"
     return f"SELECT doc_id FROM documents WHERE {bucket} >= {threshold}"
+
+
+# ---------------------------------------------------------------------------
+# term-level corpus analytics (operators/terms.py twins)
+# ---------------------------------------------------------------------------
+
+
+def sql_inverted_index() -> str:
+    """terms.inverted_index twin: per-document distinct terms, postings as
+    the comma-joined ascending doc-id list (exact integers + string join —
+    nothing float)."""
+    return f"""WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+p AS (SELECT doc_id, unnest(list_distinct(words)) AS term FROM w)
+SELECT term, COUNT(*) AS doc_freq,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
+FROM p GROUP BY term"""
+
+
+def sql_tfidf_topk(k: int = 3) -> str:
+    """terms.tfidf_topk twin: score = CAST(tf) * (CAST(n_docs) / CAST(df))
+    with the identical parenthesization — three single-rounded IEEE ops on
+    exact integers, so the DOUBLE hash-compares bit-for-bit."""
+    return f"""WITH w AS (SELECT doc_id AS key, {_WORDS} AS words FROM documents),
+t AS (SELECT key, unnest(words) AS term FROM w),
+tf AS (SELECT key, term, COUNT(*) AS tf FROM t GROUP BY key, term),
+df AS (SELECT term, COUNT(DISTINCT key) AS df FROM t GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT key, term, tf, df,
+         CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT key,
+       CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY score DESC, term) AS INTEGER) AS rank,
+       term, tf, df, score
+FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY score DESC, term) <= {k}"""
+
+
+def sql_kmv_distinct(k: int = 16) -> str:
+    """terms.kmv_distinct twin: same 32-bit md5-prefix hash (ascii
+    arithmetic), kth-min via the identical ROW_NUMBER-over-sorted-hash
+    multiset semantics, estimate = exact (k-1)*2^32 literal / kth-min."""
+    return f"""WITH w AS (SELECT source, {_WORDS} AS words FROM documents),
+p0 AS (SELECT source AS grp, unnest(words) AS term FROM w),
+p AS (SELECT DISTINCT grp, term FROM p0),
+hs AS (SELECT grp, {_hex8_sql('term')} AS h FROM p),
+r AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hs)
+SELECT grp, COUNT(*) AS n_exact,
+       MAX(CASE WHEN rn = {k} THEN h END) AS kth_min,
+       {_dbl(float(k - 1) * float(2**32))}
+         / CAST(MAX(CASE WHEN rn = {k} THEN h END) AS DOUBLE) AS kmv_estimate
+FROM r GROUP BY grp"""
+
+
+def sql_bigram_pmi(top: int = 20) -> str:
+    """terms.bigram_pmi twin: ratio = (c_ab * N) / (c_a * c_b) with both
+    products formed from exact BIGINTs and the same association — rank by
+    the ratio is rank by PMI without a libm log in sight."""
+    return f"""WITH w AS (SELECT {_WORDS} AS words FROM documents),
+g AS (SELECT unnest({_ngrams_list_sql(2)}) AS gram FROM w),
+cab AS (SELECT gram, COUNT(*) AS c_ab FROM g GROUP BY gram),
+t AS (SELECT unnest(words) AS term FROM w),
+uni AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+s AS (
+  SELECT gram, c_ab, a.c AS c_a, b.c AS c_b, n_tokens,
+         (CAST(c_ab AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+           / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS pmi_ratio
+  FROM cab
+  JOIN uni a ON a.term = split_part(gram, ' ', 1)
+  JOIN uni b ON b.term = split_part(gram, ' ', 2)
+  CROSS JOIN n
+)
+SELECT gram, c_ab, c_a, c_b, n_tokens, pmi_ratio
+FROM s ORDER BY pmi_ratio DESC, gram LIMIT {top}"""
+
+
+def sql_token_rarity() -> str:
+    """terms.token_rarity twin: integer-exact frequency sums (HUGEINT ->
+    BIGINT), one final division."""
+    return f"""WITH w AS (SELECT doc_id AS key, {_WORDS} AS words FROM documents),
+t AS (SELECT key, unnest(words) AS term FROM w),
+uni AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+a AS (SELECT key, COUNT(*) AS n_tokens, CAST(SUM(c) AS BIGINT) AS freq_sum
+      FROM t JOIN uni USING (term) GROUP BY key)
+SELECT key, n_tokens, freq_sum,
+       CAST(freq_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_freq
+FROM a"""
