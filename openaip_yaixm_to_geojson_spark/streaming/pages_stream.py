@@ -32,9 +32,19 @@ PAGES_STREAM_SCHEMA = T.StructType(
 )
 
 
-def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
-    """File-source stream of page batches (parquet drops into input_dir)."""
-    return spark.readStream.schema(PAGES_STREAM_SCHEMA).parquet(input_dir)
+def stream_pages(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of page batches (parquet drops into input_dir).
+
+    max_files_per_trigger bounds each micro-batch (honored by the
+    available-now trigger too, which then drains in several batches —
+    watermarks only advance BETWEEN micro-batches, so this is also how
+    tests exercise real late-data eviction deterministically)."""
+    reader = spark.readStream.schema(PAGES_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
 
 
 def stream_spatial_join(

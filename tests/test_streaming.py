@@ -211,3 +211,68 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
     wm_out, wm_ckpt = str(tmp_path / "wm_out"), str(tmp_path / "wm_ckpt")
     run_available_now(stream_exact_dedup(stream_pages(spark, in_dir)), wm_out, wm_ckpt)
     assert spark.read.parquet(wm_out).count() >= n_batch_distinct
+
+
+def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
+    """Pin the real late-data eviction semantics (Spark's no-data-batch
+    design): the late-events filter uses the watermark entering the
+    PREVIOUS micro-batch, one batch behind the eviction watermark — so a
+    row is provably dropped only once the watermark established two
+    batches earlier has passed its window. Three mtime-ordered single-file
+    batches (maxFilesPerTrigger=1): batch 0 seeds windows and drags the
+    watermark, batch 1 advances it again (evicting+emitting the Jan-1
+    window), batch 2 carries a row behind the batch-1 late-filter
+    watermark. If that row were merged instead of dropped it would re-open
+    the already-evicted Jan-1 window and append-mode would emit a
+    DUPLICATE (Jan-1, 1) row."""
+    import os
+    import time
+    from datetime import datetime as d
+
+    from openaip_yaixm_to_geojson_spark.streaming.pages_stream import (
+        run_available_now,
+        stream_pages,
+        stream_tile_counts,
+    )
+
+    in_dir = str(tmp_path / "in")
+
+    def write_batch(rows, mtime):
+        df = spark.createDataFrame(
+            [(u, t, "body", "en", 47.0, 11.0) for u, t in rows],
+            "url string, warc_ts timestamp, text string, lang string, lat double, lon double",
+        )
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        for name in os.listdir(in_dir):
+            p = os.path.join(in_dir, name)
+            if os.path.getmtime(p) > mtime:
+                os.utime(p, (mtime, mtime))
+
+    now = time.time()
+    # b0: Jan-1 window + a row dragging the watermark to Jan-4 23:30
+    write_batch([("a", d(2024, 1, 1, 12)), ("b", d(2024, 1, 5, 0, 30))], now - 300)
+    # b1: watermark -> Jan-9 23:00; eviction wm Jan-4 23:30 emits (Jan-1, 1)
+    write_batch([("c", d(2024, 1, 10, 0))], now - 200)
+    # b2: late-filter wm is now Jan-4 23:30 -> the Jan-1 06:00 row is
+    # DROPPED; eviction wm Jan-9 23:00 emits (Jan-5, 1)
+    write_batch([("late", d(2024, 1, 1, 6)), ("e", d(2024, 1, 12, 0))], now - 100)
+
+    counts = stream_tile_counts(
+        stream_pages(spark, in_dir, max_files_per_trigger=1),
+        watermark="1 hour",
+        window_size="1 day",
+    )
+    out_dir = str(tmp_path / "out")
+    query = run_available_now(counts, out_dir, str(tmp_path / "ckpt"))
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in query.recentProgress
+    )
+    assert dropped == 1  # exactly the behind-watermark row
+    got = sorted(
+        (r["window_start"].day, r["doc_count"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # multiset: a merged (not dropped) late row would re-open the evicted
+    # Jan-1 window and duplicate its append-mode emission
+    assert got == [(1, 1), (5, 1), (10, 1)]
