@@ -837,6 +837,25 @@ def q_token_rarity(spark, sf_dir):
     return token_rarity(_docs(spark, sf_dir))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact per-language quota sample (40/stratum) via banded rank
+    selection — the bulk of each stratum is kept/dropped by a pure hash
+    filter, only the O(quota) boundary band is ranked; the oracle
+    recomputes the identical set with a full rank, so the banded scale
+    path is verified against the straightforward definition."""
+    from openaip_yaixm_to_geojson_spark.operators.text import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), quota=40)
+
+
+def q_corpus_cube(spark, sf_dir):
+    """CUBE (lang x source) in one pass with grouping_id-tagged rollup
+    rows — grouping-sets coverage, integer-exact aggregates."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import corpus_cube
+
+    return corpus_cube(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_cells": q_page_cells,
@@ -909,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "bigram_pmi": q_bigram_pmi,
         "token_rarity": q_token_rarity,
+        "stratified_sample": q_stratified_sample,
+        "corpus_cube": q_corpus_cube,
     }
 
 
@@ -984,4 +1005,6 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": oracle.sql_kmv_distinct(k=16),
         "bigram_pmi": oracle.sql_bigram_pmi(top=20),
         "token_rarity": oracle.sql_token_rarity(),
+        "stratified_sample": oracle.sql_stratified_sample(quota=40),
+        "corpus_cube": oracle.sql_corpus_cube(),
     }

@@ -73,3 +73,24 @@ def segment_revenue_topk(
             F.col("revenue_dec").cast("double").alias("revenue"),
         )
     )
+
+
+def corpus_cube(documents: DataFrame) -> DataFrame:
+    """All four (lang x source) grouping combinations in ONE pass: CUBE
+    with grouping_id disambiguating rolled-up NULLs (Spark and DuckDB
+    share the first-column-is-MSB bitmask convention). Counts and the
+    n_chars sum stay integer-exact.
+
+    Scale shape: Spark expands CUBE before the shuffle (each input row
+    fans out to 4 grouping-set rows) but the aggregation is map-side
+    partial on (gid, lang, source) — the shuffle carries one partial row
+    per grouping combination per task, not the fact table."""
+    return (
+        documents.cube("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "sum_chars")
+    )

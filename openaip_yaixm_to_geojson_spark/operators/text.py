@@ -313,3 +313,93 @@ def lang_median_chars(documents: DataFrame) -> DataFrame:
     return ranked.where(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
         "lang", F.col("n_chars").alias("median_chars"), F.col("cnt").alias("n_docs")
     )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    quota: int,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    delta: float = 0.5,
+) -> DataFrame:
+    """EXACT per-group quota sample: the `min(quota, n_g)` rows with the
+    smallest (md5-hash, key) per group — deterministic, parallelism- and
+    arrival-order-independent, and with exact stratum sizes (Bernoulli
+    sampling — deterministic_sample — has binomial noise per stratum;
+    quota sampling is what corpus mixers actually need).
+
+    Scale shape (the part that matters at 100 TB): a naive window
+    row_number ranks EVERY row of a stratum through one task — a language
+    stratum is billions of rows, so that plan is a skew bomb. Instead,
+    banded rank selection: the hash is uniform on [0, 2^32), so the
+    quota'th smallest hash concentrates at (quota/n_g)*2^32. Rows below
+    the (1-delta) band edge are kept OUTRIGHT (no sort — a filter); only
+    the [t_low, t_high) band — O(delta * quota) rows — is ranked to fill
+    the remainder exactly. Group counts are a broadcast agg. The band
+    edges are deterministic, and a cheap count validates them: if a band
+    ever misses (astronomically unlikely for real quotas, impossible to
+    silently tolerate either way) this RAISES rather than returning an
+    inexact stratum (same convergence contract as duplicate_clusters).
+    Strata where quota >= n_g skip everything (keep all).
+
+    Returns (key, group) — the selected identity rows, joinable back to
+    payloads so document text never rides through the ranking shuffle."""
+    from pyspark.sql import Window
+
+    M = float(2**32)
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+    keyed = documents.select(
+        F.col(key_col).alias("key"), F.col(group_col).alias("grp"), h.alias("h")
+    )
+    counts = keyed.groupBy("grp").agg(F.count(F.lit(1)).alias("n_g"))
+    # exact-double band edges: p = quota/n_g (one IEEE division), edges
+    # floor(p*(1±delta)*M) ± slack; slack 64 absorbs tiny-quota granularity
+    p = F.lit(float(quota)) / F.col("n_g").cast("double")
+    t_low = F.greatest(F.floor(p * F.lit((1.0 - delta) * M)) - 64, F.lit(0)).cast("bigint")
+    t_high = F.least(F.floor(p * F.lit((1.0 + delta) * M)) + 64, F.lit(int(M))).cast("bigint")
+    edged = keyed.join(
+        F.broadcast(
+            counts.select(
+                "grp", "n_g", t_low.alias("t_low"), t_high.alias("t_high")
+            )
+        ),
+        "grp",
+    )
+    # strata with quota >= n_g: keep everything, no ranking at all
+    full = edged.where(F.col("n_g") <= quota).select("key", "grp")
+    part = edged.where(F.col("n_g") > quota)
+    below = part.where(F.col("h") < F.col("t_low"))
+    n_below = below.groupBy("grp").agg(F.count(F.lit(1)).alias("n_below"))
+    band = part.where((F.col("h") >= F.col("t_low")) & (F.col("h") < F.col("t_high")))
+    w = Window.partitionBy("grp").orderBy("h", "key")
+    band_ranked = (
+        band.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(n_below), "grp", "left")
+        .withColumn("n_below", F.coalesce(F.col("n_below"), F.lit(0)))
+    )
+    # validate the band deterministically: n_below must not overshoot the
+    # quota, and below+band must cover it — else the edges were wrong
+    bad = (
+        band_ranked.groupBy("grp", "n_below")
+        .agg(F.count(F.lit(1)).alias("n_band"))
+        .where(
+            (F.col("n_below") > quota) | (F.col("n_below") + F.col("n_band") < quota)
+        )
+    )
+    bad_rows = bad.limit(1).collect()
+    if bad_rows:
+        r = bad_rows[0]
+        raise RuntimeError(
+            f"stratified_sample band miss for group {r['grp']!r}: "
+            f"n_below={r['n_below']} n_band={r['n_band']} quota={quota}; "
+            f"widen delta"
+        )
+    # also catch overshoot in groups whose band is EMPTY (no band_ranked row)
+    over = n_below.where(F.col("n_below") > quota).limit(1).collect()
+    if over:
+        raise RuntimeError(
+            f"stratified_sample band miss for group {over[0]['grp']!r}: "
+            f"n_below={over[0]['n_below']} > quota={quota}; widen delta"
+        )
+    filled = band_ranked.where(F.col("rn") <= quota - F.col("n_below")).select("key", "grp")
+    return full.unionByName(below.select("key", "grp")).unionByName(filled)

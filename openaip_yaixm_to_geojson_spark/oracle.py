@@ -1436,3 +1436,29 @@ a AS (SELECT key, COUNT(*) AS n_tokens, CAST(SUM(c) AS BIGINT) AS freq_sum
 SELECT key, n_tokens, freq_sum,
        CAST(freq_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_freq
 FROM a"""
+
+
+def sql_stratified_sample(quota: int = 40) -> str:
+    """text.stratified_sample twin via the direct rank form: the engine's
+    banded selection must reproduce exactly the quota smallest (hash, key)
+    rows per group — the oracle recomputes that set the straightforward
+    way, so the band routing itself is what's being verified."""
+    h = _hex8_sql("CAST(doc_id AS VARCHAR)")
+    return f"""WITH r AS (
+  SELECT doc_id AS key, lang AS grp,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_g
+  FROM documents
+)
+SELECT key, grp FROM r WHERE rn <= LEAST({quota}, n_g)"""
+
+
+def sql_corpus_cube() -> str:
+    """relational.corpus_cube twin: CUBE + the shared GROUPING bitmask
+    (first column = MSB in both engines); SUM -> HUGEINT -> BIGINT."""
+    return """SELECT lang, source,
+       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)"""

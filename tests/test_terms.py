@@ -111,3 +111,61 @@ def test_token_rarity_plan_broadcasts_vocab(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(token_rarity(docs))
     assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_exact_quotas(spark):
+    from openaip_yaixm_to_geojson_spark.operators.text import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = stratified_sample(docs, quota=40, group_col="lang")
+    sizes = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    truth = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {g: min(40, n) for g, n in truth.items()}
+
+
+def test_stratified_sample_matches_full_rank_definition(spark):
+    """The banded selection must equal the straightforward 'quota smallest
+    (hash, key) per group' definition computed with a full-stratum rank."""
+    from pyspark.sql import Window
+
+    from openaip_yaixm_to_geojson_spark.operators.text import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy("grp").orderBy("h", "key")
+    ref = (
+        docs.select(F.col("doc_id").alias("key"), F.col("lang").alias("grp"), h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 40)
+        .select("key", "grp")
+    )
+    got = stratified_sample(docs, quota=40, group_col="lang")
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_stratified_sample_band_miss_raises(spark):
+    """A vanishing band (delta=0) cannot cover the quota — the operator
+    must raise its deterministic failure signal, never return an inexact
+    stratum."""
+    from openaip_yaixm_to_geojson_spark.operators.text import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    with pytest.raises(RuntimeError, match="band miss"):
+        stratified_sample(docs, quota=40, group_col="lang", delta=0.0)
+
+
+def test_corpus_cube_combinations(tiny):
+    from openaip_yaixm_to_geojson_spark.operators.relational import corpus_cube
+
+    docs = tiny.withColumn("lang", F.lit("en")).withColumnRenamed("source", "src").withColumnRenamed("src", "source").withColumn("n_chars", F.length("text").cast("bigint"))
+    rows = corpus_cube(docs).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    grand = by_gid[3][0]
+    assert grand["n_docs"] == 3 and grand["lang"] is None and grand["source"] is None
+    # every rollup level sums to the same totals
+    for gid in (0, 1, 2):
+        assert sum(r["n_docs"] for r in by_gid[gid]) == 3
+        assert sum(r["sum_chars"] for r in by_gid[gid]) == grand["sum_chars"]
