@@ -136,6 +136,15 @@ def main() -> None:
     views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
     timed("events_asof", lambda: asof_join(clicks, views).count())
 
+    from openaip_yaixm_to_geojson_spark.operators.terms import tfidf_topk
+    from openaip_yaixm_to_geojson_spark.operators.text import stratified_sample
+
+    timed("tfidf_topk", lambda: tfidf_topk(docs, k=3).count())
+    timed(
+        "stratified_sample",
+        lambda: stratified_sample(docs, quota=40, group_col="lang").count(),
+    )
+
     result = {
         "metric": "spatial_join_tile_rollup_wall",
         "value": round(headline_sec, 3),
