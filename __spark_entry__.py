@@ -856,6 +856,24 @@ def q_corpus_cube(spark, sf_dir):
     return corpus_cube(_docs(spark, sf_dir))
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking with overlap (size 32, stride 24): zero
+    shuffles, token array carried through the Generate so the tokenizer
+    runs once per document, never per chunk."""
+    from openaip_yaixm_to_geojson_spark.operators.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
+
+
+def q_pack_documents(spark, sf_dir):
+    """Token-stream packing into fixed-capacity context windows: per-
+    stream window cumsum (parallel across streams), deterministic
+    md5-hash concatenation order, integer-exact offsets."""
+    from openaip_yaixm_to_geojson_spark.operators.text import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), capacity=512, n_streams=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_cells": q_page_cells,
@@ -930,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": q_token_rarity,
         "stratified_sample": q_stratified_sample,
         "corpus_cube": q_corpus_cube,
+        "chunk_documents": q_chunk_documents,
+        "pack_documents": q_pack_documents,
     }
 
 
@@ -1007,4 +1027,6 @@ def oracle_sql() -> dict[str, str]:
         "token_rarity": oracle.sql_token_rarity(),
         "stratified_sample": oracle.sql_stratified_sample(quota=40),
         "corpus_cube": oracle.sql_corpus_cube(),
+        "chunk_documents": oracle.sql_chunk_documents(size=32, stride=24),
+        "pack_documents": oracle.sql_pack_documents(capacity=512, n_streams=8),
     }

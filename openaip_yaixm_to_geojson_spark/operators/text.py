@@ -369,37 +369,124 @@ def stratified_sample(
     full = edged.where(F.col("n_g") <= quota).select("key", "grp")
     part = edged.where(F.col("n_g") > quota)
     below = part.where(F.col("h") < F.col("t_low"))
-    n_below = below.groupBy("grp").agg(F.count(F.lit(1)).alias("n_below"))
     band = part.where((F.col("h") >= F.col("t_low")) & (F.col("h") < F.col("t_high")))
+    # ONE tiny validation job: per-group below/band counts in a single
+    # conditional aggregate (its collect is #groups rows); the same rows
+    # feed the fill threshold via broadcast, so nothing is computed twice
+    stats_rows = (
+        part.groupBy("grp")
+        .agg(
+            F.count(F.when(F.col("h") < F.col("t_low"), 1)).alias("n_below"),
+            F.count(
+                F.when((F.col("h") >= F.col("t_low")) & (F.col("h") < F.col("t_high")), 1)
+            ).alias("n_band"),
+        )
+        .collect()
+    )
+    for r in stats_rows:
+        if r["n_below"] > quota or r["n_below"] + r["n_band"] < quota:
+            raise RuntimeError(
+                f"stratified_sample band miss for group {r['grp']!r}: "
+                f"n_below={r['n_below']} n_band={r['n_band']} quota={quota}; "
+                f"widen delta"
+            )
+    from pyspark.sql import types as T
+
+    spark = documents.sparkSession
+    n_below = spark.createDataFrame(
+        [(r["grp"], r["n_below"]) for r in stats_rows],
+        T.StructType(
+            [
+                T.StructField("grp", documents.schema[group_col].dataType),
+                T.StructField("n_below", T.LongType()),
+            ]
+        ),
+    )
     w = Window.partitionBy("grp").orderBy("h", "key")
-    band_ranked = (
+    filled = (
         band.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(n_below), "grp", "left")
-        .withColumn("n_below", F.coalesce(F.col("n_below"), F.lit(0)))
+        .join(F.broadcast(n_below), "grp")
+        .where(F.col("rn") <= quota - F.col("n_below"))
+        .select("key", "grp")
     )
-    # validate the band deterministically: n_below must not overshoot the
-    # quota, and below+band must cover it — else the edges were wrong
-    bad = (
-        band_ranked.groupBy("grp", "n_below")
-        .agg(F.count(F.lit(1)).alias("n_band"))
-        .where(
-            (F.col("n_below") > quota) | (F.col("n_below") + F.col("n_band") < quota)
-        )
-    )
-    bad_rows = bad.limit(1).collect()
-    if bad_rows:
-        r = bad_rows[0]
-        raise RuntimeError(
-            f"stratified_sample band miss for group {r['grp']!r}: "
-            f"n_below={r['n_below']} n_band={r['n_band']} quota={quota}; "
-            f"widen delta"
-        )
-    # also catch overshoot in groups whose band is EMPTY (no band_ranked row)
-    over = n_below.where(F.col("n_below") > quota).limit(1).collect()
-    if over:
-        raise RuntimeError(
-            f"stratified_sample band miss for group {over[0]['grp']!r}: "
-            f"n_below={over[0]['n_below']} > quota={quota}; widen delta"
-        )
-    filled = band_ranked.where(F.col("rn") <= quota - F.col("n_below")).select("key", "grp")
     return full.unionByName(below.select("key", "grp")).unionByName(filled)
+
+
+def chunk_documents(
+    documents: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking with overlap (stride < size): chunk i
+    covers tokens [i*stride, i*stride + size), starts every `stride`
+    tokens while a start position remains, the final chunk clamps at the
+    document end. The standard pre-training / RAG windowing step.
+
+    Scale shape: zero shuffles — sequence + explode + slice, all codegen;
+    the token array is carried through the Generate so the split runs
+    ONCE per document, never per chunk (a slice(split(...)) inside the
+    exploded projection would re-tokenize per chunk: O(n^2/stride) per
+    document). Chunk token counts come from arithmetic, not a second
+    slice."""
+    if not (0 < stride <= size):
+        raise ValueError("need 0 < stride <= size")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(stride))
+    exploded = documents.select(
+        F.col(key_col).alias("key"), words.alias("w"), F.explode(starts).alias("s")
+    )
+    n = F.size(F.col("w"))
+    return exploded.select(
+        "key",
+        (F.col("s").cast("bigint") / F.lit(stride)).cast("bigint").alias("chunk_id"),
+        F.col("s").cast("bigint").alias("chunk_start"),
+        F.least(F.lit(size).cast("bigint"), (n - F.col("s")).cast("bigint")).alias(
+            "chunk_tokens"
+        ),
+        F.array_join(F.slice(F.col("w"), F.col("s") + 1, size), " ").alias("chunk_text"),
+    )
+
+
+def pack_documents(
+    documents: DataFrame,
+    capacity: int = 512,
+    n_streams: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-stream packing: concatenate documents (in deterministic
+    md5-hash order) into `n_streams` parallel token streams and cut each
+    stream into fixed-`capacity` context windows — each document is
+    assigned to the window where its FIRST token lands (documents may
+    straddle a window boundary, exactly like pre-training packing with
+    cross-document attention masking). Deterministic at any parallelism.
+
+    Scale shape: the stream id is a hash mod (pure filter-free codegen);
+    within a stream the running token offset is one window cumsum —
+    strictly sequential per stream but parallel ACROSS streams, so
+    n_streams tracks the cluster and no single task sees the corpus.
+    Output is (key, stream, window_id, tok_offset, n_tokens); integer-exact
+    everywhere."""
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    keyed = documents.select(
+        F.col(key_col).alias("key"),
+        h.alias("h"),
+        F.pmod(h, F.lit(n_streams)).cast("bigint").alias("stream"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("h", "key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return keyed.select(
+        "key",
+        "stream",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_offset"),
+        "n_tokens",
+    ).withColumn("window_id", (F.col("tok_offset") / F.lit(capacity)).cast("bigint"))

@@ -1462,3 +1462,37 @@ def sql_corpus_cube() -> str:
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY CUBE (lang, source)"""
+
+
+def sql_chunk_documents(size: int = 32, stride: int = 24) -> str:
+    """text.chunk_documents twin: range() starts, inclusive 1-based list
+    slice (clamps at the end exactly like Spark's slice), arithmetic token
+    counts — all integers."""
+    return f"""WITH w AS (SELECT doc_id AS key, {_WORDS} AS words FROM documents),
+s AS (SELECT key, words, unnest(range(0, len(words), {stride})) AS s FROM w)
+SELECT key, s // {stride} AS chunk_id, s AS chunk_start,
+       CAST(LEAST({size}, len(words) - s) AS BIGINT) AS chunk_tokens,
+       array_to_string(words[s + 1 : s + {size}], ' ') AS chunk_text
+FROM s"""
+
+
+def sql_pack_documents(capacity: int = 512, n_streams: int = 8) -> str:
+    """text.pack_documents twin: identical md5-order window cumsum per
+    stream (SUM -> HUGEINT -> BIGINT before the subtraction)."""
+    h = _hex8_sql("CAST(doc_id AS VARCHAR)")
+    return f"""WITH t AS (
+  SELECT doc_id AS key, {h} AS h,
+         CAST({h} % {n_streams} AS BIGINT) AS stream,
+         CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT key, stream, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY stream ORDER BY h, key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) - n_tokens AS tok_offset
+  FROM t
+)
+SELECT key, stream, tok_offset, n_tokens, tok_offset // {capacity} AS window_id
+FROM c"""

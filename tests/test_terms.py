@@ -169,3 +169,53 @@ def test_corpus_cube_combinations(tiny):
     for gid in (0, 1, 2):
         assert sum(r["n_docs"] for r in by_gid[gid]) == 3
         assert sum(r["sum_chars"] for r in by_gid[gid]) == grand["sum_chars"]
+
+
+def test_chunk_documents_overlap_and_clamp(spark):
+    from openaip_yaixm_to_geojson_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(0, "t0 t1 t2 t3 t4 t5 t6")], "doc_id bigint, text string")
+    rows = sorted(
+        chunk_documents(docs, size=4, stride=2).collect(), key=lambda r: r["chunk_id"]
+    )
+    assert [(r["chunk_id"], r["chunk_start"], r["chunk_tokens"], r["chunk_text"]) for r in rows] == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (1, 2, 4, "t2 t3 t4 t5"),
+        (2, 4, 3, "t4 t5 t6"),  # clamped final chunk
+        (3, 6, 1, "t6"),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, size=4, stride=5)
+
+
+def test_chunk_documents_plan_no_shuffle(spark):
+    from openaip_yaixm_to_geojson_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(chunk_documents(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan  # pure codegen
+
+
+def test_pack_documents_offsets_contiguous(spark):
+    from openaip_yaixm_to_geojson_spark.operators.text import pack_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = pack_documents(docs, capacity=512, n_streams=8)
+    rows = out.collect()
+    # per stream: offsets are the exclusive prefix sums of n_tokens in
+    # deterministic order — sorted offsets must tile [0, total) exactly
+    by_stream = {}
+    for r in rows:
+        by_stream.setdefault(r["stream"], []).append((r["tok_offset"], r["n_tokens"]))
+    for stream, docs_in in by_stream.items():
+        docs_in.sort()
+        expect = 0
+        for off, n in docs_in:
+            assert off == expect
+            expect = off + n
+    # window assignment is offset // capacity
+    assert all(r["window_id"] == r["tok_offset"] // 512 for r in rows)
+    # parallelism-independence: identical assignment after a repartition
+    again = pack_documents(docs.repartition(13), capacity=512, n_streams=8)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
