@@ -837,6 +837,16 @@ def q_token_rarity(spark, sf_dir):
     return token_rarity(_docs(spark, sf_dir))
 
 
+def q_inverted_index_capped(spark, sf_dir):
+    """df_cap scale path of the inverted index: terms over the cap keep
+    the exact doc_freq but route AROUND the postings collect (NULL
+    postings) — no reducer ever builds a corpus-sized array. The oracle
+    recomputes the cap as a CASE over the uncapped postings."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), df_cap=300)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Exact per-language quota sample (40/stratum) via banded rank
     selection — the bulk of each stratum is kept/dropped by a pure hash
@@ -946,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "bigram_pmi": q_bigram_pmi,
         "token_rarity": q_token_rarity,
+        "inverted_index_capped": q_inverted_index_capped,
         "stratified_sample": q_stratified_sample,
         "corpus_cube": q_corpus_cube,
         "chunk_documents": q_chunk_documents,
@@ -1025,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": oracle.sql_kmv_distinct(k=16),
         "bigram_pmi": oracle.sql_bigram_pmi(top=20),
         "token_rarity": oracle.sql_token_rarity(),
+        "inverted_index_capped": oracle.sql_inverted_index(df_cap=300),
         "stratified_sample": oracle.sql_stratified_sample(quota=40),
         "corpus_cube": oracle.sql_corpus_cube(),
         "chunk_documents": oracle.sql_chunk_documents(size=32, stride=24),

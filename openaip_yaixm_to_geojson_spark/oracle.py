@@ -1354,14 +1354,19 @@ def sql_sample_complement(fraction: float = 0.25) -> str:
 # ---------------------------------------------------------------------------
 
 
-def sql_inverted_index() -> str:
+def sql_inverted_index(df_cap: int | None = None) -> str:
     """terms.inverted_index twin: per-document distinct terms, postings as
     the comma-joined ascending doc-id list (exact integers + string join —
-    nothing float)."""
+    nothing float). With df_cap, hot terms keep doc_freq and NULL their
+    postings — recomputed here as a CASE over the uncapped list, which is
+    exactly what the engine's routed two-pass plan must reproduce."""
+    postings = "array_to_string(list_sort(list(doc_id)), ',')"
+    if df_cap is not None:
+        postings = f"CASE WHEN COUNT(*) <= {df_cap} THEN {postings} END"
     return f"""WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
 p AS (SELECT doc_id, unnest(list_distinct(words)) AS term FROM w)
 SELECT term, COUNT(*) AS doc_freq,
-       array_to_string(list_sort(list(doc_id)), ',') AS postings
+       {postings} AS postings
 FROM p GROUP BY term"""
 
 
