@@ -866,6 +866,29 @@ def q_corpus_cube(spark, sf_dir):
     return corpus_cube(_docs(spark, sf_dir))
 
 
+def q_profile_documents(spark, sf_dir):
+    """ANALYZE-style column statistics (non-null / exact distinct /
+    min / max per column) in one aggregation pass, long-format output."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import profile_table
+
+    return profile_table(
+        _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-vertex triangle counts via the degree-ordered node-iterator:
+    the orientation bounds out-neighborhoods by O(sqrt m) so the wedge
+    join never explodes on hub vertices — the standard distributed
+    triangle algorithm, exact integers end to end."""
+    from openaip_yaixm_to_geojson_spark.operators.graph import (
+        synth_link_graph,
+        triangle_count,
+    )
+
+    return triangle_count(synth_link_graph(_docs(spark, sf_dir)))
+
+
 def q_chunk_documents(spark, sf_dir):
     """Context-window chunking with overlap (size 32, stride 24): zero
     shuffles, token array carried through the Generate so the tokenizer
@@ -961,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cube": q_corpus_cube,
         "chunk_documents": q_chunk_documents,
         "pack_documents": q_pack_documents,
+        "triangle_count": q_triangle_count,
+        "profile_documents": q_profile_documents,
     }
 
 
@@ -1041,4 +1066,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_cube": oracle.sql_corpus_cube(),
         "chunk_documents": oracle.sql_chunk_documents(size=32, stride=24),
         "pack_documents": oracle.sql_pack_documents(capacity=512, n_streams=8),
+        "triangle_count": oracle.sql_triangle_count(),
+        "profile_documents": oracle.sql_profile_documents(),
     }

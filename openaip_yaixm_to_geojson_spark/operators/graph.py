@@ -89,3 +89,52 @@ def pagerank_int(
             .localCheckpoint()
         )
     return ranks.select(F.col("id").alias(key_col), F.col("rank").alias("rank_int"))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over the UNDIRECTED simple graph implied
+    by `edges` (direction, duplicates and self-loops dropped), via the
+    degree-ordered node-iterator algorithm. Returns (vertex, n_triangles)
+    for vertices in at least one triangle — exact integers, hash-gateable.
+
+    Scale shape — the orientation is the whole algorithm: each undirected
+    edge points from its (degree, id)-SMALLER endpoint to the larger, so
+    every wedge is enumerated exactly once at its lowest-ordered corner
+    and a vertex's out-neighborhood is O(sqrt(m)) even on power-law
+    graphs (the hub's million edges all point INTO it; the wedge join
+    never explodes on the hub key — the classic skew bound, Schank &
+    Wagner / Suri & Vassilvitskii). Three equi-joins total: two to build
+    wedges, one semi-join-shaped probe to close them; degrees ride along
+    as columns so no rank assignment (and no global sort) is ever needed."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    e = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1 = e.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = e.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = e1.join(e2, "u").where(F.struct("dx", "x") < F.struct("dy", "y"))
+    closing = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    return (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

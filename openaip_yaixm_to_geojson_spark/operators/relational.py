@@ -94,3 +94,37 @@ def corpus_cube(documents: DataFrame) -> DataFrame:
         )
         .select("lang", "source", "gid", "n_docs", "sum_chars")
     )
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column statistics in ONE aggregation pass: per column
+    the non-null count, exact distinct count, and min/max (numeric min
+    first, then cast to string for the uniform output schema — cast-then-
+    min would compare lexicographically). Output is long-format
+    (n_rows, column_name, n_nonnull, n_distinct, min_value, max_value).
+
+    Scale shape: a single agg over the table — Spark plans the multiple
+    exact count-distincts with one Expand (each input row fans out per
+    distinct column) and map-side partials, so the shuffle carries
+    per-column partial states, not rows. The stack() unpivot runs on the
+    one aggregated row. Float columns should be rounded/cast by the
+    caller first (float-to-string formatting is engine-specific)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    stacked = ", ".join(
+        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__mn`, `{c}__mx`" for c in cols
+    )
+    return row.select(
+        F.col("__total").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(column_name, n_nonnull, n_distinct, min_value, max_value)"
+        ),
+    )

@@ -1501,3 +1501,68 @@ c AS (
 )
 SELECT key, stream, tok_offset, n_tokens, tok_offset // {capacity} AS window_id
 FROM c"""
+
+
+def sql_triangle_count() -> str:
+    """graph.triangle_count twin: identical canonical-edge dedup, degree-
+    ordered orientation via row-value comparison, wedge + closing joins —
+    all integers. Edge derivation mirrors synth_link_graph."""
+    from .operators.graph import LINK_RULES_SQL
+
+    # UNION ALL, not unnest: this DuckDB build's binder cannot filter a
+    # column derived from a SELECT-list unnest in a downstream CTE
+    # (INTERNAL Error binding "dst"); one branch per link rule is the
+    # same edge multiset and e0's DISTINCT collapses it identically.
+    branches = "\n  UNION ALL ".join(
+        f"SELECT src, {rule} AS dst FROM (SELECT doc_id AS src FROM documents) CROSS JOIN nn"
+        for rule in LINK_RULES_SQL
+    )
+    return f"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  {branches}
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT v, COUNT(*) AS d
+  FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v
+),
+e AS (
+  SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.a ELSE e0.b END AS u,
+         CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.b ELSE e0.a END AS v,
+         CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN db.d ELSE da.d END AS dv
+  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b
+),
+tri AS (
+  SELECT e1.u AS u, e1.v AS x, e2.v AS y
+  FROM e e1
+  JOIN e e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT vertex, COUNT(*) AS n_triangles
+FROM (SELECT u AS vertex FROM tri
+      UNION ALL SELECT x FROM tri
+      UNION ALL SELECT y FROM tri)
+GROUP BY vertex"""
+
+
+def sql_profile_documents(cols: tuple[str, ...] = ("doc_id", "text", "lang", "source", "n_chars")) -> str:
+    """relational.profile_table twin over documents: the same single
+    aggregate (numeric min/max then VARCHAR cast) unpivoted as one UNION
+    ALL branch per column."""
+    aggs = ["COUNT(*) AS n_rows"]
+    for i, c in enumerate(cols):
+        aggs += [
+            f"COUNT({c}) AS nn{i}",
+            f"COUNT(DISTINCT {c}) AS nd{i}",
+            f"CAST(MIN({c}) AS VARCHAR) AS mn{i}",
+            f"CAST(MAX({c}) AS VARCHAR) AS mx{i}",
+        ]
+    branches = "\nUNION ALL ".join(
+        f"SELECT n_rows, '{c}' AS column_name, nn{i} AS n_nonnull, "
+        f"nd{i} AS n_distinct, mn{i} AS min_value, mx{i} AS max_value FROM a"
+        for i, c in enumerate(cols)
+    )
+    return f"WITH a AS (SELECT {', '.join(aggs)} FROM documents)\n{branches}"

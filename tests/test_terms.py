@@ -219,3 +219,38 @@ def test_pack_documents_offsets_contiguous(spark):
     # parallelism-independence: identical assignment after a repartition
     again = pack_documents(docs.repartition(13), capacity=512, n_streams=8)
     assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_triangle_count_k4_with_noise(spark):
+    """K4 (4 triangles, each vertex in 3) fed as messy directed edges:
+    duplicates, both directions, self-loops — all collapsed by the
+    canonical-edge dedup before counting."""
+    from openaip_yaixm_to_geojson_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # both dirs
+    edges = spark.createDataFrame(
+        k4 + [(0, 0), (1, 1), (0, 1), (2, 3)], "src bigint, dst bigint"
+    )
+    rows = {r["vertex"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert rows == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_path_has_none(spark):
+    from openaip_yaixm_to_geojson_spark.operators.graph import triangle_count
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint")
+    assert triangle_count(path).count() == 0
+
+
+def test_profile_table_nulls_and_stats(spark):
+    from openaip_yaixm_to_geojson_spark.operators.relational import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (2, "a")], "k bigint, s string"
+    )
+    rows = {r["column_name"]: r for r in profile_table(df, ["k", "s"]).collect()}
+    assert rows["k"]["n_rows"] == 3 and rows["k"]["n_nonnull"] == 3
+    assert rows["k"]["n_distinct"] == 2
+    assert (rows["k"]["min_value"], rows["k"]["max_value"]) == ("1", "2")
+    assert rows["s"]["n_nonnull"] == 2 and rows["s"]["n_distinct"] == 2
+    assert (rows["s"]["min_value"], rows["s"]["max_value"]) == ("a", "b")
