@@ -125,14 +125,28 @@ def tfidf_topk(
 
 
 def kmv_distinct(
-    documents: DataFrame, k: int = 16, group_col: str = "source", text_col: str = "text"
+    documents: DataFrame,
+    k: int = 16,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_salts: int = 64,
 ) -> DataFrame:
     """Per-group distinct-term cardinality: exact count plus a K-Minimum-
     Values sketch estimate ((k-1) * M / h_k over a 32-bit md5-prefix hash
-    space). The estimate is what survives at 100 TB — the sketch is k
-    values per group, mergeable across partitions, while the exact count
-    needs the full distinct; the gate pins both plus the kth-min hash so
-    the sketch math itself is verified, not just eyeballed.
+    space). The estimate is what survives at 100 TB; the gate pins both
+    plus the kth-min hash so the sketch math itself is verified, not just
+    eyeballed.
+
+    Scale shape — MERGEABLE, never ranked: a per-group window row_number
+    would sort a group's entire distinct-term set in one task (a web-scale
+    source has a web-scale vocabulary — skew bomb). Instead the k-min is
+    computed the way real sketches merge: salt each hash into n_salts
+    sub-buckets, take each sub-bucket's local k smallest (bounded
+    sort+slice per agg group), then merge the <= n_salts*k survivors per
+    group — correct because any globally k-smallest value is k-smallest in
+    its own sub-bucket. Both aggregation levels are map-side partial;
+    no task ever holds more than the larger of a sub-bucket and
+    n_salts*k values.
 
     Groups with fewer than k distinct terms report NULL sketch fields
     (the estimator is undefined; the exact count is the answer there).
@@ -145,15 +159,24 @@ def kmv_distinct(
             "grp", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint").alias("h")
         )
     )
-    w = Window.partitionBy("grp").orderBy("h")
-    ranked = pairs.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_min"),
-        (
-            F.lit(float(k - 1) * KMV_M)
-            / F.max(F.when(F.col("rn") == k, F.col("h"))).cast("double")
-        ).alias("kmv_estimate"),
+    local = (
+        pairs.withColumn("salt", F.pmod(F.col("h"), F.lit(n_salts)))
+        .groupBy("grp", "salt")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("mins"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    merged = local.groupBy("grp").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("mins"))), 1, k).alias("mins"),
+        F.sum("cnt").alias("n_exact"),
+    )
+    kth = F.when(F.size("mins") >= k, F.element_at("mins", k))
+    return merged.select(
+        "grp",
+        "n_exact",
+        kth.alias("kth_min"),
+        (F.lit(float(k - 1) * KMV_M) / kth.cast("double")).alias("kmv_estimate"),
     )
 
 

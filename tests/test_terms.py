@@ -254,3 +254,25 @@ def test_profile_table_nulls_and_stats(spark):
     assert (rows["k"]["min_value"], rows["k"]["max_value"]) == ("1", "2")
     assert rows["s"]["n_nonnull"] == 2 and rows["s"]["n_distinct"] == 2
     assert (rows["s"]["min_value"], rows["s"]["max_value"]) == ("a", "b")
+
+
+def test_kmv_merge_equals_full_rank(spark):
+    """The salted two-level k-min merge must produce exactly the k
+    smallest hashes' kth element — verified against a direct full sort
+    with a tiny salt count (worst case for the merge)."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    merged = {r["grp"]: r["kth_min"] for r in kmv_distinct(docs, k=16, n_salts=2).collect()}
+    h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
+    pairs = (
+        docs.select(F.col("source").alias("grp"), F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .distinct()
+        .select("grp", h.alias("h"))
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    ref = {
+        r["grp"]: r["h"]
+        for r in pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 16).collect()
+    }
+    assert merged == ref
