@@ -82,9 +82,10 @@ def main() -> None:
     # per-tile class rollup (forced with a count). Min of 3 measured passes:
     # this host's SMT scheduling is noisy (4x variance across minutes) and
     # the min is the standard steady-state estimator for it; min-of-2 was
-    # observed landing a whole contention spike above the recorded band.
+    # observed landing a whole contention spike above the recorded band,
+    # and min-of-3 still did on a bad afternoon -> min-of-5 (~6s extra).
     headline_sec = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         start = time.perf_counter()
         join_out = spatial_join(pages_big, polys)
         n_rollup = tile_class_rollup(join_out).count()
