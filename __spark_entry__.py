@@ -866,6 +866,59 @@ def q_corpus_cube(spark, sf_dir):
     return corpus_cube(_docs(spark, sf_dir))
 
 
+def _merge_changes_df(docs):
+    """Deterministic change set for the MERGE gate (doc_id % 11 routing) —
+    arithmetic mirrored verbatim in oracle.sql_merge_upsert()."""
+    deletes = docs.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+        F.lit("delete").alias("op"),
+    )
+    updates = docs.where(F.col("doc_id") % 11 == 1).select(
+        "doc_id",
+        F.upper("text").alias("text"),
+        F.lit("xx").alias("lang"),
+        "source",
+        "n_chars",
+        F.lit("upsert").alias("op"),
+    )
+    ins_text = F.concat(F.lit("inserted doc "), F.col("doc_id").cast("string"))
+    inserts = docs.where(F.col("doc_id") % 11 == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        ins_text.alias("text"),
+        F.lit("new").alias("lang"),
+        F.lit("merge").alias("source"),
+        F.length(ins_text).cast("bigint").alias("n_chars"),
+        F.lit("upsert").alias("op"),
+    )
+    return deletes.unionByName(updates).unionByName(inserts)
+
+
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (update / insert / delete in one pass): one
+    full-outer join + codegen CASE in the engine; the oracle applies the
+    same change set by the independent anti-join + UNION strategy."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import merge_upsert
+
+    docs = _docs(spark, sf_dir)
+    return merge_upsert(docs, _merge_changes_df(docs))
+
+
+def q_events_sessions_native(spark, sf_dir):
+    """Gap sessionization through Spark's NATIVE session_window operator
+    (Catalyst merging-session aggregation — no window functions); the
+    oracle recomputes the >=-gap split rule via lag + running counter."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        events_from_dir,
+        user_sessions_native,
+    )
+
+    return user_sessions_native(events_from_dir(spark, sf_dir))
+
+
 def q_profile_documents(spark, sf_dir):
     """ANALYZE-style column statistics (non-null / exact distinct /
     min / max per column) in one aggregation pass, long-format output."""
@@ -986,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "triangle_count": q_triangle_count,
         "profile_documents": q_profile_documents,
+        "merge_upsert": q_merge_upsert,
+        "events_sessions_native": q_events_sessions_native,
     }
 
 
@@ -1068,4 +1123,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": oracle.sql_pack_documents(capacity=512, n_streams=8),
         "triangle_count": oracle.sql_triangle_count(),
         "profile_documents": oracle.sql_profile_documents(),
+        "merge_upsert": oracle.sql_merge_upsert(),
+        "events_sessions_native": oracle.sql_events_sessions_native(),
     }

@@ -213,3 +213,28 @@ def events_pivot(events: DataFrame, types: tuple[str, ...] = EVENT_TYPES) -> Dat
         *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
         total.cast("decimal(38,2)").cast("double").alias("total_value"),
     )
+
+
+def user_sessions_native(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE session_window operator —
+    Catalyst's own merging-session aggregation, one shuffle, no window
+    functions. Timestamps are floored to epoch seconds first so the
+    operator and its oracle share integer instants.
+
+    Boundary semantics MEASURED (not assumed): windows touching exactly
+    at the boundary COALESCE — an event exactly gap seconds after the
+    previous one stays in the session (split only on delta > gap), the
+    same rule as the lag/cumsum twin; pinned by
+    test_session_window_native_boundary_semantics. session_end converts
+    back to last-event time (w.end - gap), exact integer arithmetic."""
+    sec = F.timestamp_seconds(F.unix_timestamp("ts"))
+    ev = events.select(F.col("user_id").cast("string").alias("key"), sec.alias("tss"))
+    out = ev.groupBy(
+        "key", F.session_window("tss", f"{gap_seconds} seconds").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return out.select(
+        "key",
+        F.unix_timestamp("w.start").alias("session_start"),
+        (F.unix_timestamp("w.end") - F.lit(gap_seconds)).alias("session_end"),
+        "n_events",
+    )

@@ -128,3 +128,27 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
             "(column_name, n_nonnull, n_distinct, min_value, max_value)"
         ),
     )
+
+
+def merge_upsert(base: DataFrame, changes: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a change set
+    (`op` column: 'upsert' | 'delete') to a base snapshot — matched
+    upserts update, unmatched upserts insert, deletes drop, untouched
+    base rows pass through. Returns the next snapshot (same schema as
+    base). The incremental-snapshot consolidation step every corpus
+    refresh needs.
+
+    Scale shape: ONE full-outer equi-join on the key; the change set is
+    normally orders of magnitude smaller than the snapshot, so Spark
+    broadcasts it (AQE decides past the threshold) and the base never
+    shuffles. Per-column resolution is a codegen CASE."""
+    data_cols = [c for c in base.columns if c != key_col]
+    joined = base.alias("b").join(changes.alias("c"), on=key_col, how="full_outer")
+    upserted = F.col("c.op") == "upsert"
+    picked = [
+        F.when(upserted, F.col(f"c.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+        for c in data_cols
+    ]
+    return joined.where(F.col("c.op").isNull() | (F.col("c.op") != "delete")).select(
+        key_col, *picked
+    )

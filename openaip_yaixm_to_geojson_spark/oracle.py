@@ -1566,3 +1566,51 @@ def sql_profile_documents(cols: tuple[str, ...] = ("doc_id", "text", "lang", "so
         for i, c in enumerate(cols)
     )
     return f"WITH a AS (SELECT {', '.join(aggs)} FROM documents)\n{branches}"
+
+
+def sql_events_sessions_native(gap_seconds: int = 1800) -> str:
+    """events.user_sessions_native twin recomputed with lag + running
+    counter — an independent strategy from Catalyst's merging-session
+    aggregation. Split rule is > gap: measured on this Spark build, an
+    event exactly gap seconds after the previous MERGES (windows touching
+    at the boundary coalesce), pinned by
+    test_session_window_native_boundary_semantics."""
+    return f"""WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+),
+m AS (
+  SELECT key, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY key ORDER BY t) > {gap_seconds}
+              THEN 1 ELSE 0 END AS ns
+  FROM ev
+),
+s AS (SELECT key, t, SUM(ns) OVER (PARTITION BY key ORDER BY t) AS sid FROM m)
+SELECT key, MIN(t) AS session_start, MAX(t) AS session_end, COUNT(*) AS n_events
+FROM s GROUP BY key, sid"""
+
+
+# shared change-set derivation for the MERGE gate: doc_id % 11 routes rows
+# to delete (0), update (1: uppercased text, lang 'xx') or insert (2:
+# synthesized row at doc_id + 1000000). Mirrored by _merge_changes_df in
+# __spark_entry__.py — keep the arithmetic identical.
+def sql_merge_upsert() -> str:
+    """relational.merge_upsert twin via an INDEPENDENT strategy: instead
+    of the engine's full-outer join + CASE, the oracle anti-joins the
+    touched keys out of the base and UNION ALLs the upsert rows in."""
+    return """WITH changes AS (
+  SELECT doc_id, NULL AS text, NULL AS lang, NULL AS source,
+         CAST(NULL AS BIGINT) AS n_chars, 'delete' AS op
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, upper(text), 'xx', source, n_chars, 'upsert'
+  FROM documents WHERE doc_id % 11 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, 'inserted doc ' || CAST(doc_id AS VARCHAR),
+         'new', 'merge', CAST(length('inserted doc ' || CAST(doc_id AS VARCHAR)) AS BIGINT),
+         'upsert'
+  FROM documents WHERE doc_id % 11 = 2
+)
+SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
+FROM documents b ANTI JOIN changes c ON b.doc_id = c.doc_id
+UNION ALL
+SELECT doc_id, text, lang, source, n_chars FROM changes WHERE op = 'upsert'"""

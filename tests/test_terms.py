@@ -276,3 +276,38 @@ def test_kmv_merge_equals_full_rank(spark):
         for r in pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 16).collect()
     }
     assert merged == ref
+
+
+def test_merge_upsert_semantics(spark):
+    from openaip_yaixm_to_geojson_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "keep"), (2, "old"), (3, "gone")], "doc_id bigint, text string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "new", "upsert"), (3, None, "delete"), (9, "born", "upsert")],
+        "doc_id bigint, text string, op string",
+    )
+    got = {r["doc_id"]: r["text"] for r in merge_upsert(base, changes).collect()}
+    assert got == {1: "keep", 2: "new", 9: "born"}
+
+
+def test_session_window_native_boundary_semantics(spark):
+    """Pin session_window's boundary rule: an event exactly gap seconds
+    after the previous MERGES (touching windows coalesce; split only on
+    delta > gap) — the same rule as the lag/cumsum twin, and the rule the
+    oracle recomputes. One second beyond the gap splits."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        user_sessions,
+        user_sessions_native,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 7, 0), (2, 7, 1800), (3, 7, 1800 + 1801)],
+        "event_id bigint, user_id bigint, t bigint",
+    ).select("event_id", "user_id", F.timestamp_seconds("t").alias("ts"))
+    expected = [(0, 1800, 2), (3601, 3601, 1)]
+    native = user_sessions_native(ev, gap_seconds=1800).collect()
+    lagged = user_sessions(ev, gap_seconds=1800).collect()
+    assert sorted((r["session_start"], r["session_end"], r["n_events"]) for r in native) == expected
+    assert sorted((r["session_start"], r["session_end"], r["n_events"]) for r in lagged) == expected
