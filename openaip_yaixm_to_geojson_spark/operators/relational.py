@@ -138,17 +138,17 @@ def merge_upsert(base: DataFrame, changes: DataFrame, key_col: str = "doc_id") -
     base). The incremental-snapshot consolidation step every corpus
     refresh needs.
 
-    Scale shape: ONE full-outer equi-join on the key; the change set is
-    normally orders of magnitude smaller than the snapshot, so Spark
-    broadcasts it (AQE decides past the threshold) and the base never
-    shuffles. Per-column resolution is a codegen CASE."""
-    data_cols = [c for c in base.columns if c != key_col]
-    joined = base.alias("b").join(changes.alias("c"), on=key_col, how="full_outer")
-    upserted = F.col("c.op") == "upsert"
-    picked = [
-        F.when(upserted, F.col(f"c.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
-        for c in data_cols
-    ]
-    return joined.where(F.col("c.op").isNull() | (F.col("c.op") != "delete")).select(
-        key_col, *picked
-    )
+    Contract: at most one change row per key (standard MERGE source
+    requirement).
+
+    Scale shape — the base NEVER shuffles: a full-outer formulation would
+    force a sort-merge join (Spark cannot broadcast any side of a full
+    outer — measured, not assumed), shuffling the entire snapshot. This
+    decomposition needs only a LEFT ANTI join of the base against the
+    touched keys — broadcastable, keys-only — plus a union of the upsert
+    rows. The oracle recomputes via the full-outer + CASE strategy, so
+    both formulations verify each other."""
+    touched = changes.select(key_col).distinct()
+    survivors = base.join(F.broadcast(touched), key_col, "left_anti")
+    upserts = changes.where(F.col("op") == "upsert").select(*base.columns)
+    return survivors.unionByName(upserts)

@@ -1594,9 +1594,10 @@ FROM s GROUP BY key, sid"""
 # synthesized row at doc_id + 1000000). Mirrored by _merge_changes_df in
 # __spark_entry__.py — keep the arithmetic identical.
 def sql_merge_upsert() -> str:
-    """relational.merge_upsert twin via an INDEPENDENT strategy: instead
-    of the engine's full-outer join + CASE, the oracle anti-joins the
-    touched keys out of the base and UNION ALLs the upsert rows in."""
+    """relational.merge_upsert twin via an INDEPENDENT strategy: the
+    engine anti-joins touched keys out and unions upserts in (the
+    broadcastable formulation); the oracle resolves per column through a
+    full outer join + CASE."""
     return """WITH changes AS (
   SELECT doc_id, NULL AS text, NULL AS lang, NULL AS source,
          CAST(NULL AS BIGINT) AS n_chars, 'delete' AS op
@@ -1610,7 +1611,10 @@ def sql_merge_upsert() -> str:
          'upsert'
   FROM documents WHERE doc_id % 11 = 2
 )
-SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
-FROM documents b ANTI JOIN changes c ON b.doc_id = c.doc_id
-UNION ALL
-SELECT doc_id, text, lang, source, n_chars FROM changes WHERE op = 'upsert'"""
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+       CASE WHEN c.op = 'upsert' THEN c.text ELSE b.text END AS text,
+       CASE WHEN c.op = 'upsert' THEN c.lang ELSE b.lang END AS lang,
+       CASE WHEN c.op = 'upsert' THEN c.source ELSE b.source END AS source,
+       CASE WHEN c.op = 'upsert' THEN c.n_chars ELSE b.n_chars END AS n_chars
+FROM documents b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+WHERE c.op IS NULL OR c.op <> 'delete'"""

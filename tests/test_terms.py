@@ -311,3 +311,17 @@ def test_session_window_native_boundary_semantics(spark):
     lagged = user_sessions(ev, gap_seconds=1800).collect()
     assert sorted((r["session_start"], r["session_end"], r["n_events"]) for r in native) == expected
     assert sorted((r["session_start"], r["session_end"], r["n_events"]) for r in lagged) == expected
+
+
+def test_merge_upsert_plan_never_shuffles_base(spark):
+    """Full-outer would sort-merge (both sides shuffle); the anti+union
+    decomposition keeps the snapshot shuffle-free — the only Exchange is
+    the tiny touched-keys distinct, and the anti join broadcasts."""
+    import __spark_entry__ as e
+    from openaip_yaixm_to_geojson_spark.operators.relational import merge_upsert
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(merge_upsert(docs, e._merge_changes_df(docs)))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # change-keys distinct only
