@@ -130,7 +130,12 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
-def merge_upsert(base: DataFrame, changes: DataFrame, key_col: str = "doc_id") -> DataFrame:
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    broadcast_changes: bool = True,
+) -> DataFrame:
     """MERGE INTO semantics without a table format: apply a change set
     (`op` column: 'upsert' | 'delete') to a base snapshot — matched
     upserts update, unmatched upserts insert, deletes drop, untouched
@@ -145,10 +150,14 @@ def merge_upsert(base: DataFrame, changes: DataFrame, key_col: str = "doc_id") -
     force a sort-merge join (Spark cannot broadcast any side of a full
     outer — measured, not assumed), shuffling the entire snapshot. This
     decomposition needs only a LEFT ANTI join of the base against the
-    touched keys — broadcastable, keys-only — plus a union of the upsert
-    rows. The oracle recomputes via the full-outer + CASE strategy, so
+    touched keys — broadcastable, keys-only; broadcast_changes=False
+    drops the hard hint for a change set too large for executor memory
+    (the anti join then shuffles both sides) — plus a union of the
+    upsert rows. The oracle recomputes via the full-outer + CASE strategy, so
     both formulations verify each other."""
     touched = changes.select(key_col).distinct()
-    survivors = base.join(F.broadcast(touched), key_col, "left_anti")
+    if broadcast_changes:
+        touched = F.broadcast(touched)
+    survivors = base.join(touched, key_col, "left_anti")
     upserts = changes.where(F.col("op") == "upsert").select(*base.columns)
     return survivors.unionByName(upserts)

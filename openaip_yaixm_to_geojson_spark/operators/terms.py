@@ -73,8 +73,11 @@ def inverted_index(
         )
     dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     small = dfreq.where(F.col("doc_freq") <= df_cap)
+    # no broadcast hint: "terms at or under the cap" is the vocabulary's
+    # long TAIL — usually most of it — so the right join strategy depends
+    # on the corpus; AQE picks broadcast at runtime when it actually fits
     posted = (
-        pairs.join(F.broadcast(small.select("term")), "term")
+        pairs.join(small.select("term"), "term")
         .groupBy("term")
         .agg(
             F.array_join(
@@ -86,7 +89,11 @@ def inverted_index(
 
 
 def tfidf_topk(
-    documents: DataFrame, k: int = 3, key_col: str = "doc_id", text_col: str = "text"
+    documents: DataFrame,
+    k: int = 3,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Top-k salient terms per document by tf x (N / df) relevance
     (reciprocal-df weighting — same ranking family as tf-idf but exactly
@@ -98,7 +105,9 @@ def tfidf_topk(
     vocabulary-sized and broadcast into the join, as is the one-row corpus
     count; the final per-document top-k is a rank-filtered window that
     Spark executes with WindowGroupLimit pushdown (only k rows per
-    document survive the shuffle read)."""
+    document survive the shuffle read). broadcast_vocab is a HARD hint —
+    set False if the vocabulary outgrows executor memory (the join then
+    shuffles instead of OOMing the broadcast)."""
     occ = doc_term_pairs(documents, key_col, text_col)
     tf = occ.groupBy("key", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
@@ -106,9 +115,11 @@ def tfidf_topk(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
     total = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "score",
@@ -181,7 +192,10 @@ def kmv_distinct(
 
 
 def bigram_pmi(
-    documents: DataFrame, top: int = 20, text_col: str = "text"
+    documents: DataFrame,
+    top: int = 20,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Global bigram collocation ranking by the PMI odds ratio
     c_ab * N / (c_a * c_b) (monotone in PMI = log of it; the log itself is
@@ -204,11 +218,12 @@ def bigram_pmi(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     total = uni.agg(F.sum("c").alias("n_tokens"))
+    hint = F.broadcast if broadcast_vocab else (lambda df: df)
     scored = (
         c_ab.withColumn("w1", F.substring_index("gram", " ", 1))
         .withColumn("w2", F.substring_index("gram", " ", -1))
-        .join(F.broadcast(uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a"))), "w1")
-        .join(F.broadcast(uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b"))), "w2")
+        .join(hint(uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a"))), "w1")
+        .join(hint(uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b"))), "w2")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "pmi_ratio",
@@ -224,7 +239,10 @@ def bigram_pmi(
 
 
 def token_rarity(
-    documents: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+    documents: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-document corpus-frequency profile: token count, the exact
     BIGINT sum of each token's corpus frequency, and their ratio (mean
@@ -233,11 +251,14 @@ def token_rarity(
     the single final division is the only float op.
 
     Scale shape: unigram counts are vocabulary-sized and broadcast into
-    the exploded fact side; the per-document rollup is one map-side-
-    partial shuffle on the document key."""
+    the exploded fact side (broadcast_vocab=False drops the hard hint if
+    the vocabulary outgrows executor memory); the per-document rollup is
+    one map-side-partial shuffle on the document key."""
     occ = doc_term_pairs(documents, key_col, text_col)
     uni = occ.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    agg = occ.join(F.broadcast(uni), "term").groupBy("key").agg(
+    if broadcast_vocab:
+        uni = F.broadcast(uni)
+    agg = occ.join(uni, "term").groupBy("key").agg(
         F.count(F.lit(1)).alias("n_tokens"), F.sum("c").alias("freq_sum")
     )
     return agg.select(
