@@ -325,3 +325,40 @@ def test_merge_upsert_plan_never_shuffles_base(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert plan.count("Exchange hashpartitioning") == 1  # change-keys distinct only
+
+
+def test_chunk_documents_invariants_exhaustive(spark):
+    """All lengths 1..40 x three (size, stride) shapes in one job per
+    shape: starts are exactly the stride multiples below n, every token
+    index is covered, non-final chunks are full-size, and concatenating
+    each chunk's first `stride` tokens reconstructs the document."""
+    from openaip_yaixm_to_geojson_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"w{n}_{i}" for i in range(n))) for n in range(1, 41)],
+        "doc_id bigint, text string",
+    )
+    for size, stride in [(4, 2), (8, 8), (5, 3)]:
+        rows = chunk_documents(docs, size=size, stride=stride).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["key"], []).append(r)
+        for n, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r["chunk_start"])
+            starts = [r["chunk_start"] for r in chunks]
+            assert starts == list(range(0, n, stride))
+            covered = set()
+            for r in chunks:
+                toks = r["chunk_text"].split(" ")
+                assert len(toks) == r["chunk_tokens"] == min(size, n - r["chunk_start"])
+                if r["chunk_start"] + size <= n:
+                    assert r["chunk_tokens"] == size
+                covered.update(range(r["chunk_start"], r["chunk_start"] + r["chunk_tokens"]))
+                assert toks == [f"w{n}_{i}" for i in range(r["chunk_start"], r["chunk_start"] + r["chunk_tokens"])]
+            assert covered == set(range(n))
+            # stride-aligned reconstruction
+            rebuilt = []
+            for r in chunks:
+                rebuilt.extend(r["chunk_text"].split(" ")[:stride])
+            assert rebuilt == [f"w{n}_{i}" for i in range(n)]
+        assert set(by_doc) == set(range(1, 41))

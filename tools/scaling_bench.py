@@ -15,9 +15,11 @@ Methodology (this host is a shared, noisy box with 32 SMT threads over
 
 Usage: python tools/scaling_bench.py [docs] [n_small] [reps] [job]
 
-job = "spatial" (default; headline join+rollup -> rewrites BENCH.md) or
+job = "spatial" (default; headline join+rollup -> rewrites BENCH.md),
 "dedup" (MinHash LSH near-dup pairs over synthetic multi-word docs ->
-appends a second-evidence section to BENCH.md).
+appends a second-evidence section to BENCH.md) or "terms" (tf-idf top-k
+with a non-broadcastable corpus-sized vocabulary -> appends a
+third-evidence section).
 """
 
 from __future__ import annotations
@@ -65,7 +67,19 @@ def _job_dedup(spark, data_dir: str):
     return docs, lambda: minhash_lsh_pairs(docs).count()
 
 
-JOBS = {"spatial": _job_spatial, "dedup": _job_dedup}
+def _job_terms(spark, data_dir: str):
+    """tf-idf top-k term analytics: explode -> tf groupBy -> df groupBy ->
+    join -> WindowGroupLimit top-k. The synthetic docs' vocabulary is
+    corpus-sized (md5 words, df ~ 1), so broadcast_vocab=False — this job
+    exercises the SHUFFLED vocabulary join, the opposite regime from the
+    broadcast-everything spatial job."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import tfidf_topk
+
+    docs = spark.read.parquet(data_dir)
+    return docs, lambda: tfidf_topk(docs, k=3, broadcast_vocab=False).count()
+
+
+JOBS = {"spatial": _job_spatial, "dedup": _job_dedup, "terms": _job_terms}
 
 
 def measure(cores: int, data_dir: str, reps: int, job: str = "spatial") -> dict:
@@ -107,6 +121,7 @@ def main() -> None:
     gen = build_session(app_name="scaling-datagen", master="local[32]", shuffle_partitions=32)
     gen.sparkContext.setLogLevel("ERROR")
     source = synth_pages(gen, docs, with_payload=False) if job == "spatial" else synth_docs(gen, docs)
+
     source.write.mode("overwrite").parquet(pages_dir)
     gen.stop()
 
@@ -144,6 +159,31 @@ def main() -> None:
         "efficiency": round(efficiency, 3),
     }
     print(json.dumps(summary))
+
+    if job == "terms":
+        md = f"""
+
+## Third evidence: tf-idf term analytics job (N vs 4N)
+
+Same methodology, third operator family — and the OPPOSITE join regime
+from the spatial job: {small['n_docs']:,} synthetic 24-word documents with
+a corpus-sized vocabulary (md5 words, df ~ 1), so the df table CANNOT
+broadcast (broadcast_vocab=False) and the job is three corpus-sized
+map-side-partial shuffles (tf, df, per-doc WindowGroupLimit top-3) plus a
+shuffled vocabulary join.
+
+| config | best wall (s) | docs/sec | samples (s) |
+| --- | --- | --- | --- |
+| local[{n_small}] (N) | {small['best_sec']} | {small['docs_per_sec']:,} | {small['samples_sec']} |
+| local[{n_big}] (4N) | {big['best_sec']} | {big['docs_per_sec']:,} | {big['samples_sec']} |
+
+**Speedup {n_small}->{n_big}: {speedup:.2f}x — scaling efficiency {efficiency:.3f}**
+
+Raw: `{json.dumps(summary)}`
+"""
+        with open(os.path.join(REPO, "BENCH.md"), "a") as fh:
+            fh.write(md)
+        return
 
     if job == "dedup":
         md = f"""
