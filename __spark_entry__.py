@@ -919,6 +919,18 @@ def q_events_sessions_native(spark, sf_dir):
     return user_sessions_native(events_from_dir(spark, sf_dir))
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered view -> click -> purchase funnel (MATCH_RECOGNIZE-style
+    sequential pattern): chained strictly-after minimums, integer
+    microsecond comparisons."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        events_from_dir,
+        events_funnel,
+    )
+
+    return events_funnel(events_from_dir(spark, sf_dir))
+
+
 def q_profile_documents(spark, sf_dir):
     """ANALYZE-style column statistics (non-null / exact distinct /
     min / max per column) in one aggregation pass, long-format output."""
@@ -1041,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": q_profile_documents,
         "merge_upsert": q_merge_upsert,
         "events_sessions_native": q_events_sessions_native,
+        "events_funnel": q_events_funnel,
     }
 
 
@@ -1125,4 +1138,5 @@ def oracle_sql() -> dict[str, str]:
         "profile_documents": oracle.sql_profile_documents(),
         "merge_upsert": oracle.sql_merge_upsert(),
         "events_sessions_native": oracle.sql_events_sessions_native(),
+        "events_funnel": oracle.sql_events_funnel(),
     }

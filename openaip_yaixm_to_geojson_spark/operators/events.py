@@ -238,3 +238,50 @@ def user_sessions_native(events: DataFrame, gap_seconds: int = 1800) -> DataFram
         (F.unix_timestamp("w.end") - F.lit(gap_seconds)).alias("session_end"),
         "n_events",
     )
+
+
+def events_funnel(
+    events: DataFrame, steps: tuple[str, str, str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered conversion funnel (sequential pattern matching): per user,
+    the earliest step-1 event, the earliest step-2 event strictly AFTER
+    it, and the earliest step-3 event strictly after that — plus the
+    reached stage. The first-touch attribution semantics analytics
+    engines express with MATCH_RECOGNIZE.
+
+    Scale shape: three map-side-partial min-aggregations chained by
+    equi-joins, everything keyed on user_id so AQE reuses the
+    partitioning; timestamps compare as exact integer microseconds
+    (TIMESTAMP_NTZ cast first — unix_micros on NTZ shifts by the session
+    zone)."""
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = events.select("user_id", F.col("event_type").alias("et"), t.alias("t"))
+    s1 = ev.where(F.col("et") == steps[0]).groupBy("user_id").agg(F.min("t").alias("t1"))
+    s2 = (
+        ev.where(F.col("et") == steps[1])
+        .join(s1, "user_id")
+        .where(F.col("t") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("et") == steps[2])
+        .join(s2, "user_id")
+        .where(F.col("t") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage"),
+        )
+    )

@@ -1618,3 +1618,19 @@ SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
        CASE WHEN c.op = 'upsert' THEN c.n_chars ELSE b.n_chars END AS n_chars
 FROM documents b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
 WHERE c.op IS NULL OR c.op <> 'delete'"""
+
+
+def sql_events_funnel(steps: tuple[str, str, str] = ("view", "click", "purchase")) -> str:
+    """events.events_funnel twin: the same chained strictly-after minimum
+    selection in CTEs, integer microseconds via epoch_us."""
+    return f"""WITH ev AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+),
+s1 AS (SELECT user_id, MIN(t) AS t1 FROM ev WHERE event_type = '{steps[0]}' GROUP BY user_id),
+s2 AS (SELECT ev.user_id, MIN(ev.t) AS t2 FROM ev JOIN s1 USING (user_id)
+       WHERE ev.event_type = '{steps[1]}' AND ev.t > s1.t1 GROUP BY ev.user_id),
+s3 AS (SELECT ev.user_id, MIN(ev.t) AS t3 FROM ev JOIN s2 USING (user_id)
+       WHERE ev.event_type = '{steps[2]}' AND ev.t > s2.t2 GROUP BY ev.user_id)
+SELECT s1.user_id, t1, t2, t3,
+       CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""

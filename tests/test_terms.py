@@ -362,3 +362,30 @@ def test_chunk_documents_invariants_exhaustive(spark):
                 rebuilt.extend(r["chunk_text"].split(" ")[:stride])
             assert rebuilt == [f"w{n}_{i}" for i in range(n)]
         assert set(by_doc) == set(range(1, 41))
+
+
+def test_events_funnel_strict_ordering(spark):
+    """Hand-built timeline: the step-2 candidate BEFORE step-1 must not
+    count; equal timestamps are not 'after' (strict); stage reflects the
+    deepest step reached in order."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_funnel
+
+    rows = [
+        # user 1: click before view (ignored), then proper view->click->purchase
+        (1, "click", 5), (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: view then click at the SAME instant -> strict > fails -> stage 1
+        (2, "view", 10), (2, "click", 10),
+        # user 3: view then click, purchase missing -> stage 2
+        (3, "view", 1), (3, "click", 2),
+        # user 4: no view at all -> absent from output
+        (4, "purchase", 9),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, event_type string, s bigint").select(
+        "user_id", "event_type", F.timestamp_seconds("s").alias("ts")
+    )
+    out = {r["user_id"]: r for r in events_funnel(ev).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["t1"], out[1]["t2"], out[1]["t3"], out[1]["stage"]) == (
+        10_000_000, 20_000_000, 30_000_000, 3)
+    assert out[2]["stage"] == 1 and out[2]["t2"] is None
+    assert out[3]["stage"] == 2 and out[3]["t3"] is None
