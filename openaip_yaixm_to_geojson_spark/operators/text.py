@@ -357,22 +357,26 @@ def stratified_sample(
     p = F.lit(float(quota)) / F.col("n_g").cast("double")
     t_low = F.greatest(F.floor(p * F.lit((1.0 - delta) * M)) - 64, F.lit(0)).cast("bigint")
     t_high = F.least(F.floor(p * F.lit((1.0 + delta) * M)) + 64, F.lit(int(M))).cast("bigint")
-    edged = keyed.join(
-        F.broadcast(
-            counts.select(
-                "grp", "n_g", t_low.alias("t_low"), t_high.alias("t_high")
-            )
-        ),
-        "grp",
+    # eqNullSafe, not an equi-join key: a NULL group (nullable stratum
+    # column) is a legitimate stratum — groupBy and the oracle's
+    # PARTITION BY both treat NULL as one group, so the joins must too
+    cdf = F.broadcast(
+        counts.select(
+            F.col("grp").alias("cgrp"), "n_g", t_low.alias("t_low"), t_high.alias("t_high")
+        )
     )
+    edged = keyed.join(cdf, F.col("grp").eqNullSafe(F.col("cgrp"))).drop("cgrp")
     # strata with quota >= n_g: keep everything, no ranking at all
     full = edged.where(F.col("n_g") <= quota).select("key", "grp")
     part = edged.where(F.col("n_g") > quota)
     below = part.where(F.col("h") < F.col("t_low"))
     band = part.where((F.col("h") >= F.col("t_low")) & (F.col("h") < F.col("t_high")))
     # ONE tiny validation job: per-group below/band counts in a single
-    # conditional aggregate (its collect is #groups rows); the same rows
-    # feed the fill threshold via broadcast, so nothing is computed twice
+    # conditional aggregate (its collect is #groups rows); the collected
+    # rows also feed the fill threshold via broadcast. The output action
+    # then re-SCANS the table once per branch (full/below/band) — scans
+    # are the cheap part of this shape; what is never repeated is a sort
+    # or corpus-sized shuffle, and the stratum bulk is never ranked
     stats_rows = (
         part.groupBy("grp")
         .agg(
@@ -403,9 +407,10 @@ def stratified_sample(
         ),
     )
     w = Window.partitionBy("grp").orderBy("h", "key")
+    nbdf = F.broadcast(n_below.select(F.col("grp").alias("ngrp"), "n_below"))
     filled = (
         band.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(n_below), "grp")
+        .join(nbdf, F.col("grp").eqNullSafe(F.col("ngrp")))
         .where(F.col("rn") <= quota - F.col("n_below"))
         .select("key", "grp")
     )
@@ -440,7 +445,7 @@ def chunk_documents(
     n = F.size(F.col("w"))
     return exploded.select(
         "key",
-        (F.col("s").cast("bigint") / F.lit(stride)).cast("bigint").alias("chunk_id"),
+        F.expr(f"s div {stride}").cast("bigint").alias("chunk_id"),
         F.col("s").cast("bigint").alias("chunk_start"),
         F.least(F.lit(size).cast("bigint"), (n - F.col("s")).cast("bigint")).alias(
             "chunk_tokens"
@@ -489,4 +494,4 @@ def pack_documents(
         "stream",
         (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_offset"),
         "n_tokens",
-    ).withColumn("window_id", (F.col("tok_offset") / F.lit(capacity)).cast("bigint"))
+    ).withColumn("window_id", F.expr(f"tok_offset div {capacity}"))

@@ -157,7 +157,7 @@ def test_stratified_sample_band_miss_raises(spark):
 def test_corpus_cube_combinations(tiny):
     from openaip_yaixm_to_geojson_spark.operators.relational import corpus_cube
 
-    docs = tiny.withColumn("lang", F.lit("en")).withColumnRenamed("source", "src").withColumnRenamed("src", "source").withColumn("n_chars", F.length("text").cast("bigint"))
+    docs = tiny.withColumn("lang", F.lit("en")).withColumn("n_chars", F.length("text").cast("bigint"))
     rows = corpus_cube(docs).collect()
     by_gid = {}
     for r in rows:
@@ -389,3 +389,18 @@ def test_events_funnel_strict_ordering(spark):
         10_000_000, 20_000_000, 30_000_000, 3)
     assert out[2]["stage"] == 1 and out[2]["t2"] is None
     assert out[3]["stage"] == 2 and out[3]["t3"] is None
+
+
+def test_stratified_sample_null_stratum_kept(spark):
+    """A NULL group column is a legitimate stratum: groupBy, the window
+    and the oracle's PARTITION BY all treat NULL as one group, so the
+    operator's internal joins must be null-safe — a plain equi-join
+    silently drops the whole stratum."""
+    from openaip_yaixm_to_geojson_spark.operators.text import stratified_sample
+
+    rows = [(i, "t", None if i % 2 == 0 else "en") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    sizes = {}
+    for r in stratified_sample(docs, quota=10, group_col="lang").collect():
+        sizes[r["grp"]] = sizes.get(r["grp"], 0) + 1
+    assert sizes == {None: 10, "en": 10}

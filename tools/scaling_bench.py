@@ -247,7 +247,7 @@ no driver-side loops anywhere on the hot path.
     if os.path.exists(bench_path):
         old = open(bench_path).read()
         cut = len(old)
-        for marker in ("\n## Second evidence", "\n## Launch-mode"):
+        for marker in ("\n## Second evidence", "\n## Third evidence", "\n## Launch-mode"):
             idx = old.find(marker)
             if idx != -1:
                 cut = min(cut, idx)
