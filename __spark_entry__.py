@@ -919,6 +919,14 @@ def q_events_sessions_native(spark, sf_dir):
     return user_sessions_native(events_from_dir(spark, sf_dir))
 
 
+def q_chars_histogram(spark, sf_dir):
+    """Fixed-width document-length histogram: exact integer bucketing
+    (div), one map-side-partial shuffle."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import chars_histogram
+
+    return chars_histogram(_docs(spark, sf_dir), width=32)
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered view -> click -> purchase funnel (MATCH_RECOGNIZE-style
     sequential pattern): chained strictly-after minimums, integer
@@ -1054,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "events_sessions_native": q_events_sessions_native,
         "events_funnel": q_events_funnel,
+        "chars_histogram": q_chars_histogram,
     }
 
 
@@ -1139,4 +1148,5 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": oracle.sql_merge_upsert(),
         "events_sessions_native": oracle.sql_events_sessions_native(),
         "events_funnel": oracle.sql_events_funnel(),
+        "chars_histogram": oracle.sql_chars_histogram(width=32),
     }

@@ -161,3 +161,23 @@ def merge_upsert(
     survivors = base.join(touched, key_col, "left_anti")
     upserts = changes.where(F.col("op") == "upsert").select(*base.columns)
     return survivors.unionByName(upserts)
+
+
+def chars_histogram(documents: DataFrame, width: int = 32) -> DataFrame:
+    """Fixed-width histogram of document lengths: integer bucket =
+    n_chars div width (exact — no float binning), with per-bucket count
+    and the bucket's observed min/max. One map-side-partial shuffle on
+    the bucket key; the profiling counterpart to profile_table."""
+    return (
+        documents.select(
+            F.expr(f"n_chars div {width}").alias("bucket"), F.col("n_chars")
+        )
+        .groupBy("bucket")
+        .agg(
+            (F.col("bucket") * width).alias("bucket_lo"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select("bucket", "bucket_lo", "n_docs", "min_chars", "max_chars")
+    )

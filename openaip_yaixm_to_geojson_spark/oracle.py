@@ -1634,3 +1634,13 @@ s3 AS (SELECT ev.user_id, MIN(ev.t) AS t3 FROM ev JOIN s2 USING (user_id)
 SELECT s1.user_id, t1, t2, t3,
        CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage
 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+
+
+def sql_chars_histogram(width: int = 32) -> str:
+    """relational.chars_histogram twin: same integer `//` bucketing."""
+    return f"""SELECT n_chars // {width} AS bucket,
+       (n_chars // {width}) * {width} AS bucket_lo,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents GROUP BY n_chars // {width}"""

@@ -281,3 +281,47 @@ def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint_dir: str, o
     )
     query.awaitTermination()
     return query
+
+
+def stream_stream_interval_join(
+    clicks_stream: DataFrame,
+    views_stream: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join with a time-range condition: each click
+    joins every view by the same user within the preceding `max_lag` —
+    the canonical watermarked two-stream join (ad attribution shape).
+
+    State posture (what makes this correct unbounded): BOTH sides are
+    watermarked and the range condition bounds the join window, so Spark
+    derives a state watermark per side and evicts buffered rows once no
+    future input can match them — state is O(input within watermark+lag),
+    not O(stream). Without the range bound (or with only one watermark)
+    the views buffer would grow forever.
+
+    Inputs must carry (user_id, ts, event_id[, value]); output keeps the
+    click identity plus the matched view and the exact integer lag in
+    seconds."""
+    c = clicks_stream.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    v = views_stream.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {max_lag}"))
+    )
+    joined = c.join(v, cond)
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "view_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("lag_seconds"),
+    )

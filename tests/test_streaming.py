@@ -276,3 +276,50 @@ def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
     # multiset: a merged (not dropped) late row would re-open the evicted
     # Jan-1 window and duplicate its append-mode emission
     assert got == [(1, 1), (5, 1), (10, 1)]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked STREAM-STREAM join (both sides streaming, range-bounded
+    state): drained result must equal the identical batch join."""
+    from pyspark.sql import functions as F
+
+    from openaip_yaixm_to_geojson_spark.streaming.pages_stream import (
+        run_available_now,
+        stream_stream_interval_join,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    views = ev.where(F.col("event_type") == "view").drop("event_type")
+    c_dir, v_dir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    clicks.write.parquet(c_dir)
+    views.write.parquet(v_dir)
+
+    schema = "event_id bigint, user_id bigint, ts timestamp"
+    cs = spark.readStream.schema(schema).parquet(c_dir)
+    vs = spark.readStream.schema(schema).parquet(v_dir)
+    out_dir = str(tmp_path / "out")
+    run_available_now(
+        stream_stream_interval_join(cs, vs), out_dir, str(tmp_path / "ckpt")
+    )
+    got = spark.read.parquet(out_dir)
+
+    batch = (
+        clicks.alias("c")
+        .join(
+            views.alias("v"),
+            (F.col("c.user_id") == F.col("v.user_id"))
+            & (F.col("v.ts") <= F.col("c.ts"))
+            & (F.col("v.ts") >= F.col("c.ts") - F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("v.event_id").alias("view_id"),
+            (F.unix_timestamp("c.ts") - F.unix_timestamp("v.ts")).alias("lag_seconds"),
+        )
+    )
+    assert got.count() > 0
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0

@@ -404,3 +404,17 @@ def test_stratified_sample_null_stratum_kept(spark):
     for r in stratified_sample(docs, quota=10, group_col="lang").collect():
         sizes[r["grp"]] = sizes.get(r["grp"], 0) + 1
     assert sizes == {None: 10, "en": 10}
+
+
+def test_chars_histogram_exact_buckets(spark):
+    from openaip_yaixm_to_geojson_spark.operators.relational import chars_histogram
+
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([0, 31, 32, 63, 64, 100])],
+        "doc_id bigint, n_chars bigint",
+    )
+    rows = {r["bucket"]: r for r in chars_histogram(docs, width=32).collect()}
+    assert rows[0]["n_docs"] == 2 and rows[0]["bucket_lo"] == 0
+    assert rows[0]["min_chars"] == 0 and rows[0]["max_chars"] == 31
+    assert rows[1]["n_docs"] == 2 and rows[1]["bucket_lo"] == 32
+    assert rows[2]["n_docs"] == 1 and rows[3]["n_docs"] == 1
