@@ -418,3 +418,28 @@ def test_chars_histogram_exact_buckets(spark):
     assert rows[0]["min_chars"] == 0 and rows[0]["max_chars"] == 31
     assert rows[1]["n_docs"] == 2 and rows[1]["bucket_lo"] == 32
     assert rows[2]["n_docs"] == 1 and rows[3]["n_docs"] == 1
+
+
+def test_udtf_chunking_matches_codegen_twin(spark):
+    """The Python UDTF is the executable spec; the production codegen
+    operator must produce the identical row set."""
+    from openaip_yaixm_to_geojson_spark.operators.pyext import chunk_documents_udtf
+    from openaip_yaixm_to_geojson_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    a = chunk_documents_udtf(docs, size=7, stride=3)
+    b = chunk_documents(docs, size=7, stride=3)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0
+
+
+def test_pandas_grouped_agg_matches_jvm_sum(spark):
+    from openaip_yaixm_to_geojson_spark.operators.pyext import lang_chars_pandas_agg
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {r["lang"]: r["total_chars"] for r in lang_chars_pandas_agg(docs).collect()}
+    ref = {
+        r["lang"]: r["s"]
+        for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("s")).collect()
+    }
+    assert got == ref
