@@ -443,3 +443,19 @@ def test_pandas_grouped_agg_matches_jvm_sum(spark):
         for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("s")).collect()
     }
     assert got == ref
+
+
+def test_sessions_native_equals_lag_twin_on_real_events(spark):
+    """With the measured >-gap rule on both paths, Catalyst's
+    session_window aggregation and the lag/cumsum window must produce
+    identical session tables on the real events data."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        events_from_dir,
+        user_sessions,
+        user_sessions_native,
+    )
+
+    ev = events_from_dir(spark, "/root/testdata/sf0.001")
+    a = user_sessions_native(ev)
+    b = user_sessions(ev)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
