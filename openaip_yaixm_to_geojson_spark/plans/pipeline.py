@@ -161,4 +161,27 @@ def run_corpus_pipeline(
             F.sum("n_tokens_bpe").alias("total_tokens_bpe"),
         ),
     )
+    if stop_after == "corpus_stats":
+        return out
+
+    # training-data EXPORT stages: the cleaned corpus chunked into
+    # overlapping context windows, and the same corpus packed into
+    # fixed-capacity token streams (the two standard pre-training input
+    # layouts); both derive only from the stored corpus stage, so a
+    # resume after `corpus` never re-runs analyze/dedup
+    def build_chunks() -> DataFrame:
+        from ..operators.text import chunk_documents
+
+        return chunk_documents(out["corpus"], size=64, stride=48)
+
+    out["chunks"] = runner.run("chunks", build_chunks)
+    if stop_after == "chunks":
+        return out
+
+    def build_packed() -> DataFrame:
+        from ..operators.text import pack_documents
+
+        return pack_documents(out["corpus"], capacity=512, n_streams=8)
+
+    out["packed"] = runner.run("packed", build_packed)
     return out

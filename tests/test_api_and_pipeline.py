@@ -327,7 +327,7 @@ def test_corpus_pipeline_resume_and_byte_identity(spark, tmp_path):
     h_analyzed = runner.content_hash("analyzed")
 
     full = run_corpus_pipeline(spark, SF_DIR, ckpt)
-    assert set(full) == {"analyzed", "deduped", "corpus", "corpus_stats"}
+    assert set(full) == {"analyzed", "deduped", "corpus", "corpus_stats", "chunks", "packed"}
     assert runner.content_hash("analyzed") == h_analyzed  # resumed, not rebuilt
     for stage in full:
         assert runner.manifest(stage)["status"] == "complete"
@@ -345,7 +345,14 @@ def test_corpus_pipeline_resume_and_byte_identity(spark, tmp_path):
     stats = {r["lang_pred"]: r["n_docs"] for r in full["corpus_stats"].collect()}
     assert sum(stats.values()) == n_corpus
 
-    # second full run over the same checkpoint: all four hashes stable
+    # export stages derive from the corpus stage only: every chunk/pack
+    # key is a surviving corpus doc, pack covers the corpus exactly once
+    corpus_ids = {r["doc_id"] for r in full["corpus"].select("doc_id").collect()}
+    chunk_keys = {r["key"] for r in full["chunks"].select("key").distinct().collect()}
+    assert chunk_keys == corpus_ids
+    assert full["packed"].count() == n_corpus
+
+    # second full run over the same checkpoint: all stage hashes stable
     again = run_corpus_pipeline(spark, SF_DIR, ckpt)
     for stage in again:
         assert runner.content_hash(stage) == StageRunner(spark, ckpt).content_hash(stage)
