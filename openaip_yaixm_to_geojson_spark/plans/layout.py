@@ -1,0 +1,52 @@
+"""Storage-layout optimization: spatial range-clustered parquet writes.
+
+Z-ORDER-style data clustering without a table format: sort the fact
+table by its hierarchical cell id before writing, so spatially-near rows
+land in the same files and a cell-range predicate prunes most files at
+scan time (parquet min/max row-group stats on the cell column do the
+pruning — Spark's parquet reader skips row groups whose [min, max] cell
+interval misses the predicate).
+
+The cell id (functions/cellgrid) is already a locality-preserving
+integer — interleaved lat/lon at a fixed resolution — so a plain 1-D
+range cluster on it IS the space-filling-curve layout: one
+repartitionByRange (range-partitioned shuffle over sampled bounds) +
+in-partition sort, no extra machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cellgrid
+from ..operators.spatial import DEFAULT_JOIN_RES
+
+
+def write_range_clustered(
+    pages: DataFrame,
+    out_dir: str,
+    res: int = DEFAULT_JOIN_RES,
+    n_files: int = 8,
+) -> None:
+    """Write pages clustered by cell id: disjoint cell ranges per file
+    (repartitionByRange guarantees non-overlapping key ranges across
+    output partitions; the within-partition sort tightens row-group
+    stats inside each file)."""
+    cells = pages.withColumn(
+        "cell", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), res)
+    )
+    (
+        cells.repartitionByRange(n_files, "cell")
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def clustered_cell_scan(spark: SparkSession, in_dir: str, cell_lo: int, cell_hi: int) -> DataFrame:
+    """Range scan over a clustered table: the BETWEEN predicate reaches
+    the parquet scan (PushedFilters) and row-group stats skip the files
+    whose cell interval misses [cell_lo, cell_hi]."""
+    df = spark.read.parquet(in_dir)
+    return df.where((F.col("cell") >= cell_lo) & (F.col("cell") <= cell_hi))
