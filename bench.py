@@ -146,6 +146,15 @@ def main() -> None:
         lambda: stratified_sample(docs, quota=40, group_col="lang").count(),
     )
 
+    from openaip_yaixm_to_geojson_spark.operators.events import events_funnel
+    from openaip_yaixm_to_geojson_spark.operators.text import pack_documents
+
+    timed("events_funnel", lambda: events_funnel(ev).count())
+    timed(
+        "pack_documents",
+        lambda: pack_documents(docs, capacity=512, n_streams=8).count(),
+    )
+
     result = {
         "metric": "spatial_join_tile_rollup_wall",
         "value": round(headline_sec, 3),
