@@ -145,7 +145,13 @@ Raw: `{json.dumps(result)}`
         text = open(bench_md).read() if os.path.exists(bench_md) else "# BENCH\n"
         marker = "## Launch-mode evidence: spark-submit --py-files"
         if marker in text:
-            text = text[: text.index(marker)].rstrip() + "\n"
+            # splice out ONLY the old launch-mode section: preserve any
+            # sections that follow it (truncating at the marker would
+            # silently delete them)
+            start = text.index(marker)
+            nxt = text.find("\n## ", start + len(marker))
+            tail = text[nxt + 1 :] if nxt != -1 else ""
+            text = text[:start].rstrip() + "\n" + ("\n" + tail.rstrip() + "\n" if tail else "")
             section = "\n" + section.lstrip("\n")
         open(bench_md, "w").write(text + section)
     finally:
