@@ -919,6 +919,14 @@ def q_events_sessions_native(spark, sf_dir):
     return user_sessions_native(events_from_dir(spark, sf_dir))
 
 
+def q_lang_p90_chars(spark, sf_dir):
+    """Exact per-language p90 document length (rank-selected element,
+    integer rational p — generalizes the median order statistic)."""
+    from openaip_yaixm_to_geojson_spark.operators.text import lang_percentile_chars
+
+    return lang_percentile_chars(_docs(spark, sf_dir), p_num=9, p_den=10)
+
+
 def q_chars_histogram(spark, sf_dir):
     """Fixed-width document-length histogram: exact integer bucketing
     (div), one map-side-partial shuffle."""
@@ -1063,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions_native": q_events_sessions_native,
         "events_funnel": q_events_funnel,
         "chars_histogram": q_chars_histogram,
+        "lang_p90_chars": q_lang_p90_chars,
     }
 
 
@@ -1149,4 +1158,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions_native": oracle.sql_events_sessions_native(),
         "events_funnel": oracle.sql_events_funnel(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),
+        "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
     }

@@ -495,3 +495,26 @@ def pack_documents(
         (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_offset"),
         "n_tokens",
     ).withColumn("window_id", F.expr(f"tok_offset div {capacity}"))
+
+
+def lang_percentile_chars(documents: DataFrame, p_num: int = 9, p_den: int = 10) -> DataFrame:
+    """Exact per-language p-quantile (lower/disc form, p = p_num/p_den as
+    an exact RATIONAL — no float p) of document length: the element at
+    rank ceil(p * n) by (n_chars, doc_id). Generalizes lang_median_chars
+    to any percentile; interpolated quantiles are float-divergent across
+    engines, the rank-selected element is an integer and hash-gates.
+    ceil(p*n) computed in integer arithmetic: (p_num*n + p_den - 1) div
+    p_den. One shuffle on lang; the per-group sort spills."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = documents.select("lang", "n_chars", "doc_id").select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+    )
+    target = F.expr(f"({p_num} * cnt + {p_den - 1}) div {p_den}")
+    return ranked.where(F.col("rn") == target).select(
+        "lang", F.col("n_chars").alias("p_chars"), F.col("cnt").alias("n_docs")
+    )

@@ -1644,3 +1644,16 @@ def sql_chars_histogram(width: int = 32) -> str:
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars
 FROM documents GROUP BY n_chars // {width}"""
+
+
+def sql_lang_percentile_chars(p_num: int = 9, p_den: int = 10) -> str:
+    """text.lang_percentile_chars twin: identical integer rank selection
+    ceil(p*n) = (p_num*n + p_den-1) // p_den."""
+    return f"""WITH r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+)
+SELECT lang, n_chars AS p_chars, cnt AS n_docs
+FROM r WHERE rn = ({p_num} * cnt + {p_den - 1}) // {p_den}"""

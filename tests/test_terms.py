@@ -459,3 +459,14 @@ def test_sessions_native_equals_lag_twin_on_real_events(spark):
     a = user_sessions_native(ev)
     b = user_sessions(ev)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_lang_percentile_rank_selection(spark):
+    """p90 of 1..10 (lower/disc): rank ceil(0.9*10)=9 -> value 9; and a
+    3-element group picks ceil(2.7)=3 -> the max."""
+    from openaip_yaixm_to_geojson_spark.operators.text import lang_percentile_chars
+
+    rows = [(i, "a", i) for i in range(1, 11)] + [(100 + i, "b", i * 10) for i in (1, 2, 3)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    got = {r["lang"]: (r["p_chars"], r["n_docs"]) for r in lang_percentile_chars(docs).collect()}
+    assert got == {"a": (9, 10), "b": (30, 3)}
