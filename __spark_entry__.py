@@ -919,6 +919,18 @@ def q_events_sessions_native(spark, sf_dir):
     return user_sessions_native(events_from_dir(spark, sf_dir))
 
 
+def q_events_sliding_windows(spark, sf_dir):
+    """Sliding-window rollup (1h window, 30min slide) via the native
+    window() expansion; the oracle enumerates epoch-aligned memberships
+    arithmetically. DECIMAL-exact sums."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        events_from_dir,
+        events_sliding_windows,
+    )
+
+    return events_sliding_windows(events_from_dir(spark, sf_dir))
+
+
 def q_lang_p90_chars(spark, sf_dir):
     """Exact per-language p90 document length (rank-selected element,
     integer rational p — generalizes the median order statistic)."""
@@ -1072,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "chars_histogram": q_chars_histogram,
         "lang_p90_chars": q_lang_p90_chars,
+        "events_sliding_windows": q_events_sliding_windows,
     }
 
 
@@ -1159,4 +1172,5 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": oracle.sql_events_funnel(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
+        "events_sliding_windows": oracle.sql_events_sliding_windows(),
     }

@@ -285,3 +285,34 @@ def events_funnel(
             .alias("stage"),
         )
     )
+
+
+def events_sliding_windows(
+    events: DataFrame, window_seconds: int = 3600, slide_seconds: int = 1800
+) -> DataFrame:
+    """SLIDING-window rollup per event type via Spark's native
+    window(ts, window, slide): each event lands in window/slide
+    overlapping windows (epoch-aligned starts). Counts and the DECIMAL-
+    exact value sums follow the tumbling twin's determinism rules (sum
+    in DECIMAL, one cast to DOUBLE at the boundary).
+
+    Scale shape: the window function EXPANDS each row into its
+    window/slide memberships before the map-side-partial aggregation —
+    one shuffle on (window, type), fan-out factor window/slide (2 here)."""
+    sec = F.timestamp_seconds(F.unix_timestamp("ts"))
+    return (
+        events.select(
+            sec.alias("tss"), "event_type", F.col("value").cast("decimal(18,2)").alias("v")
+        )
+        .groupBy(
+            F.window("tss", f"{window_seconds} seconds", f"{slide_seconds} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("decimal(38,2)").cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )

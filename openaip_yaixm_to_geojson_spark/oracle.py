@@ -1657,3 +1657,24 @@ def sql_lang_percentile_chars(p_num: int = 9, p_den: int = 10) -> str:
 )
 SELECT lang, n_chars AS p_chars, cnt AS n_docs
 FROM r WHERE rn = ({p_num} * cnt + {p_den - 1}) // {p_den}"""
+
+
+def sql_events_sliding_windows(window_seconds: int = 3600, slide_seconds: int = 1800) -> str:
+    """events.events_sliding_windows twin: window memberships enumerated
+    arithmetically (start = slide*i for i in (floor((t-window)/slide),
+    floor(t/slide)] — epoch-aligned, matching Spark's window()), DECIMAL
+    sums, one DOUBLE cast at the boundary."""
+    w, s = window_seconds, slide_seconds
+    return f"""WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+m AS (
+  SELECT unnest(range((t - {w}) // {s} + 1, t // {s} + 1)) * {s} AS window_start,
+         event_type, v
+  FROM ev
+)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+FROM m GROUP BY window_start, event_type"""

@@ -470,3 +470,15 @@ def test_lang_percentile_rank_selection(spark):
     docs = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
     got = {r["lang"]: (r["p_chars"], r["n_docs"]) for r in lang_percentile_chars(docs).collect()}
     assert got == {"a": (9, 10), "b": (30, 3)}
+
+
+def test_sliding_windows_membership_boundaries(spark):
+    """An event at t=3600 with 1h/30min windows belongs to exactly the
+    windows starting 1800 and 3600 (start inclusive, end exclusive)."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_sliding_windows
+
+    ev = spark.createDataFrame(
+        [(1, 3600, "click", 1.0)], "event_id bigint, s bigint, event_type string, value double"
+    ).select("event_id", F.timestamp_seconds("s").alias("ts"), "event_type", "value")
+    got = sorted(r["window_start"] for r in events_sliding_windows(ev).collect())
+    assert got == [1800, 3600]
