@@ -919,6 +919,15 @@ def q_events_sessions_native(spark, sf_dir):
     return user_sessions_native(events_from_dir(spark, sf_dir))
 
 
+def q_json_roundtrip(spark, sf_dir):
+    """to_json -> from_json typed roundtrip; the oracle recomputes the
+    stats from base columns with no JSON, so any serialization or typed-
+    parse loss splits the hash."""
+    from openaip_yaixm_to_geojson_spark.operators.text import json_roundtrip_stats
+
+    return json_roundtrip_stats(_docs(spark, sf_dir))
+
+
 def q_events_sliding_windows(spark, sf_dir):
     """Sliding-window rollup (1h window, 30min slide) via the native
     window() expansion; the oracle enumerates epoch-aligned memberships
@@ -1085,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chars_histogram": q_chars_histogram,
         "lang_p90_chars": q_lang_p90_chars,
         "events_sliding_windows": q_events_sliding_windows,
+        "json_roundtrip": q_json_roundtrip,
     }
 
 
@@ -1173,4 +1183,5 @@ def oracle_sql() -> dict[str, str]:
         "chars_histogram": oracle.sql_chars_histogram(width=32),
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
         "events_sliding_windows": oracle.sql_events_sliding_windows(),
+        "json_roundtrip": oracle.sql_json_roundtrip_stats(),
     }

@@ -518,3 +518,28 @@ def lang_percentile_chars(documents: DataFrame, p_num: int = 9, p_den: int = 10)
     return ranked.where(F.col("rn") == target).select(
         "lang", F.col("n_chars").alias("p_chars"), F.col("cnt").alias("n_docs")
     )
+
+
+def json_roundtrip_stats(documents: DataFrame) -> DataFrame:
+    """Schema-on-read JSON path end to end: serialize (doc_id, lang,
+    token array) with to_json, parse it back with from_json against an
+    explicit schema, and project stats from the PARSED struct. The gate's
+    oracle recomputes the stats straight from the base columns — if
+    serialization, escaping, or the typed parse lost anything, the hashes
+    split. Both directions are JVM Jackson (no UDF)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    js = documents.select(
+        F.to_json(
+            F.struct(F.col("doc_id"), F.col("lang"), words.alias("words"))
+        ).alias("js")
+    )
+    parsed = js.select(
+        F.from_json("js", "doc_id bigint, lang string, words array<string>").alias("r")
+    )
+    return parsed.select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.lang").alias("lang"),
+        F.size("r.words").alias("n_words"),
+        F.element_at("r.words", 1).alias("first_word"),
+        F.element_at("r.words", -1).alias("last_word"),
+    )

@@ -1678,3 +1678,13 @@ m AS (
 SELECT window_start, event_type, COUNT(*) AS n_events,
        CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
 FROM m GROUP BY window_start, event_type"""
+
+
+def sql_json_roundtrip_stats() -> str:
+    """text.json_roundtrip_stats twin — computed DIRECTLY from the base
+    columns, no JSON anywhere: verifies the engine's to_json -> from_json
+    roundtrip lost nothing."""
+    return f"""WITH w AS (SELECT doc_id, lang, {_WORDS} AS words FROM documents)
+SELECT doc_id, lang, len(words) AS n_words,
+       words[1] AS first_word, words[len(words)] AS last_word
+FROM w"""

@@ -482,3 +482,17 @@ def test_sliding_windows_membership_boundaries(spark):
     ).select("event_id", F.timestamp_seconds("s").alias("ts"), "event_type", "value")
     got = sorted(r["window_start"] for r in events_sliding_windows(ev).collect())
     assert got == [1800, 3600]
+
+
+def test_json_roundtrip_escaping(spark):
+    """Quotes, backslashes and unicode must survive the to_json ->
+    from_json cycle."""
+    from openaip_yaixm_to_geojson_spark.operators.text import json_roundtrip_stats
+
+    docs = spark.createDataFrame(
+        [(0, 'he said "hi" back\\slash café', "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    r = json_roundtrip_stats(docs).collect()[0]
+    assert r["n_words"] == 5  # he / said / "hi" / back\slash / café
+    assert r["first_word"] == "he" and r["last_word"] == "café"
