@@ -919,6 +919,25 @@ def q_events_sessions_native(spark, sf_dir):
     return user_sessions_native(events_from_dir(spark, sf_dir))
 
 
+def q_sql_exists_subquery(spark, sf_dir):
+    """The SQL-text entry path + a correlated EXISTS: per language, how
+    many documents have a strictly longer same-language sibling (Catalyst
+    rewrites the EXISTS to a left-semi join). Exercises temp views and
+    spark.sql — every other gate goes through the DataFrame API."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT d.lang, COUNT(*) AS n_non_longest
+        FROM documents_v d
+        WHERE EXISTS (
+          SELECT 1 FROM documents_v e
+          WHERE e.lang = d.lang AND e.n_chars > d.n_chars
+        )
+        GROUP BY d.lang
+        """
+    )
+
+
 def q_json_roundtrip(spark, sf_dir):
     """to_json -> from_json typed roundtrip; the oracle recomputes the
     stats from base columns with no JSON, so any serialization or typed-
@@ -1095,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_p90_chars": q_lang_p90_chars,
         "events_sliding_windows": q_events_sliding_windows,
         "json_roundtrip": q_json_roundtrip,
+        "sql_exists_subquery": q_sql_exists_subquery,
     }
 
 
@@ -1184,4 +1204,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
         "events_sliding_windows": oracle.sql_events_sliding_windows(),
         "json_roundtrip": oracle.sql_json_roundtrip_stats(),
+        "sql_exists_subquery": """SELECT d.lang, COUNT(*) AS n_non_longest
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM documents e WHERE e.lang = d.lang AND e.n_chars > d.n_chars)
+GROUP BY d.lang""",
     }
