@@ -123,3 +123,45 @@ def test_range_clustered_write_prunes_files(spark, pages, tmp_path):
     # correctness: the pruned scan returns exactly the rows in range
     full = spark.read.parquet(out).where((F.col("cell") >= lo) & (F.col("cell") <= hi))
     assert scan.count() == full.count() > 0
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The engine's documented skew backstop: with a 95%-hot join key and
+    thresholds scaled to fixture size, AQE must mark the sort-merge join
+    skew=true and re-plan the shuffle read (splitting the hot partition)
+    at runtime. The executed plan of the SAME queryExecution carries the
+    markers only after its own action runs."""
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 95, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), F.lit("r").alias("rv"))
+        j = left.join(right, "k")
+        assert len(j.collect()) > 0
+        plan = plan_of(j)
+        assert "skew=true" in plan
+        assert "AQEShuffleRead" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
