@@ -496,3 +496,33 @@ def test_json_roundtrip_escaping(spark):
     r = json_roundtrip_stats(docs).collect()[0]
     assert r["n_words"] == 5  # he / said / "hi" / back\slash / café
     assert r["first_word"] == "he" and r["last_word"] == "café"
+
+
+def test_jsonl_roundtrip_byte_identity(spark, tmp_path):
+    from openaip_yaixm_to_geojson_spark.sources.corpus_io import read_jsonl, write_jsonl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [(10**9, 'quote " back\\slash café 中文', "zz", "s", 5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    all_docs = docs.unionByName(extra)
+    out = str(tmp_path / "corpus.jsonl")
+    write_jsonl(all_docs, out)
+    back = read_jsonl(spark, out)
+    assert back.exceptAll(all_docs).count() == 0 and all_docs.exceptAll(back).count() == 0
+
+
+def test_lang_partitioned_scan_prunes_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from openaip_yaixm_to_geojson_spark.sources.corpus_io import write_lang_partitioned
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    write_lang_partitioned(docs, out)
+    scan = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan and "(lang" in plan
+    ref = docs.where(F.col("lang") == "en")
+    assert scan.count() == ref.count() > 0
