@@ -28,9 +28,16 @@ class ChunkTableFunction:
     sequence+explode+slice expression tree implements exactly this."""
 
     def eval(self, text: str, size: int, stride: int):
+        import re
+
         if text is None:
             return
-        toks = text.strip().split()
+        # mirror the JVM exactly: F.trim strips ASCII spaces only, and
+        # Java's \s is the ASCII class [ \t\n\x0b\f\r] (Python
+        # str.split would also split on unicode whitespace like \xa0);
+        # an empty string still yields one token [''] like split() does,
+        # so empty documents emit ONE empty chunk, matching the codegen op
+        toks = re.split(r"[ \t\n\x0b\f\r]+", text.strip(" "))
         for s in range(0, len(toks), stride):
             window = toks[s : s + size]
             yield (s // stride, s, len(window), " ".join(window))
@@ -47,7 +54,16 @@ def chunk_documents_udtf(
 
 @pandas_udf("bigint")
 def _sum_chars_agg(n_chars: pd.Series) -> int:  # Series -> scalar = GROUPED_AGG
-    return int(n_chars.sum())
+    # (the `-> int` hint drives GROUPED_AGG dispatch; returning None at
+    # runtime is fine — the result column is nullable bigint)
+    # NULL semantics must match F.sum: all-NULL group -> NULL (a bare
+    # .sum() would return 0.0); nulls arrive as NaN in a float64 series,
+    # so drop them before the integer sum (exact below 2^53 — fine for
+    # character counts; this is an API demo, F.sum is the production path)
+    vals = n_chars.dropna()
+    if vals.empty:
+        return None
+    return int(vals.astype("int64").sum())
 
 
 def lang_chars_pandas_agg(documents: DataFrame) -> DataFrame:

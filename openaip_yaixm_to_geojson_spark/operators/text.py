@@ -295,25 +295,13 @@ def analyze_documents(documents: DataFrame, text_col: str = "text") -> DataFrame
 
 
 def lang_median_chars(documents: DataFrame) -> DataFrame:
-    """Exact per-language median (lower median) of document length, as an
-    order statistic: rank by (n_chars, doc_id) within language and keep
-    row (cnt+1) div 2. Interpolated percentiles (percentile_approx /
-    quantile_cont) are float-divergent across engines; the exact element
-    is an integer and hash-gates cleanly. One shuffle on lang; the
-    per-group sort spills, never materializes a group in memory."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    ranked = documents.select("lang", "n_chars", "doc_id").select(
-        "lang",
-        "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+    """Exact per-language median (lower median) of document length —
+    median IS the p = 1/2 order statistic, so this delegates to
+    lang_percentile_chars (rank (cnt+1) div 2 == (1*cnt + 1) div 2) and
+    only renames the output column."""
+    return lang_percentile_chars(documents, p_num=1, p_den=2).withColumnRenamed(
+        "p_chars", "median_chars"
     )
-    return ranked.where(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
-        "lang", F.col("n_chars").alias("median_chars"), F.col("cnt").alias("n_docs")
-    )
-
 
 def stratified_sample(
     documents: DataFrame,

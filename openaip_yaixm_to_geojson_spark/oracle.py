@@ -1665,13 +1665,20 @@ def sql_events_sliding_windows(window_seconds: int = 3600, slide_seconds: int = 
     floor(t/slide)] — epoch-aligned, matching Spark's window()), DECIMAL
     sums, one DOUBLE cast at the boundary."""
     w, s = window_seconds, slide_seconds
+    # FLOOR division, not DuckDB's truncate-toward-zero `//`: Spark's
+    # window() aligns starts with floorDiv, and the two differ for
+    # negative numerators (events within `w` of the epoch, or pre-1970).
+    # fd(a) = (a - ((a % s + s) % s)) / s is exact floor for s > 0.
+    def fd(a: str) -> str:
+        return f"(({a}) - ((({a}) % {s} + {s}) % {s})) // {s}"
+
     return f"""WITH ev AS (
   SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type,
          CAST(value AS DECIMAL(18,2)) AS v
   FROM events
 ),
 m AS (
-  SELECT unnest(range((t - {w}) // {s} + 1, t // {s} + 1)) * {s} AS window_start,
+  SELECT unnest(range({fd(f"t - {w}")} + 1, {fd("t")} + 1)) * {s} AS window_start,
          event_type, v
   FROM ev
 )

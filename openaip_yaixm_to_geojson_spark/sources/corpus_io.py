@@ -26,11 +26,16 @@ def write_jsonl(documents: DataFrame, out_dir: str) -> None:
     documents.write.mode("overwrite").json(out_dir)
 
 
-def read_jsonl(spark: SparkSession, in_dir: str, schema: str = DOCUMENTS_SCHEMA) -> DataFrame:
+def read_jsonl(
+    spark: SparkSession, in_dir: str, schema: str = DOCUMENTS_SCHEMA, mode: str = "FAILFAST"
+) -> DataFrame:
     """Schema-on-read JSONL scan: an EXPLICIT schema (inference is a
     whole extra pass over the data at corpus scale, and samples can
-    mis-type sparse fields)."""
-    return spark.read.schema(schema).json(in_dir)
+    mis-type sparse fields). Default mode is FAILFAST — the default
+    PERMISSIVE turns a malformed line into an all-NULL row that silently
+    drops out of downstream joins; pass mode="PERMISSIVE" only with a
+    deliberate corrupt-record strategy."""
+    return spark.read.schema(schema).option("mode", mode).json(in_dir)
 
 
 def write_lang_partitioned(documents: DataFrame, out_dir: str) -> None:

@@ -526,3 +526,41 @@ def test_lang_partitioned_scan_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in plan and "(lang" in plan
     ref = docs.where(F.col("lang") == "en")
     assert scan.count() == ref.count() > 0
+
+
+def test_udtf_matches_codegen_on_empty_text(spark):
+    from openaip_yaixm_to_geojson_spark.operators.pyext import chunk_documents_udtf
+    from openaip_yaixm_to_geojson_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "a b c")], "doc_id bigint, text string"
+    )
+    a = chunk_documents_udtf(docs, size=2, stride=1)
+    b = chunk_documents(docs, size=2, stride=1)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pandas_agg_null_group_matches_jvm(spark):
+    from openaip_yaixm_to_geojson_spark.operators.pyext import lang_chars_pandas_agg
+
+    docs = spark.createDataFrame(
+        [("en", 5), ("en", None), ("zz", None)], "lang string, n_chars bigint"
+    )
+    got = {r["lang"]: r["total_chars"] for r in lang_chars_pandas_agg(docs).collect()}
+    assert got == {"en": 5, "zz": None}  # all-NULL group -> NULL, like F.sum
+
+
+def test_read_jsonl_failfast_on_corrupt_line(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from openaip_yaixm_to_geojson_spark.sources.corpus_io import read_jsonl
+
+    d = str(tmp_path / "bad")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-0.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n')
+        fh.write('{"doc_id": 2, "text": TRUNCATED\n')
+    with _pytest.raises(Exception):
+        read_jsonl(spark, d).collect()
