@@ -564,3 +564,17 @@ def test_read_jsonl_failfast_on_corrupt_line(spark, tmp_path):
         fh.write('{"doc_id": 2, "text": TRUNCATED\n')
     with _pytest.raises(Exception):
         read_jsonl(spark, d).collect()
+
+
+def test_sliding_windows_near_epoch_floor_alignment(spark):
+    """Events within one window of the epoch get a NEGATIVE first window
+    start (floorDiv alignment): t=100 with 1h/30min windows belongs to
+    starts -1800 and 0 — the case where truncate-toward-zero division
+    silently loses a membership (the oracle floor-div fix's pin)."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_sliding_windows
+
+    ev = spark.createDataFrame(
+        [(1, 100, "click", 1.0)], "event_id bigint, s bigint, event_type string, value double"
+    ).select("event_id", F.timestamp_seconds("s").alias("ts"), "event_type", "value")
+    got = sorted(r["window_start"] for r in events_sliding_windows(ev).collect())
+    assert got == [-1800, 0]
