@@ -578,3 +578,32 @@ def test_sliding_windows_near_epoch_floor_alignment(spark):
     ).select("event_id", F.timestamp_seconds("s").alias("ts"), "event_type", "value")
     got = sorted(r["window_start"] for r in events_sliding_windows(ev).collect())
     assert got == [-1800, 0]
+
+
+def test_text_operators_tolerate_null_text(spark):
+    """A NULL text row must never crash a text-family operator: the
+    tokenizing ops treat it as having no tokens (explode of NULL emits
+    nothing -> the doc drops out; inner semantics, no exception)."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import (
+        inverted_index,
+        tfidf_topk,
+        token_rarity,
+    )
+    from openaip_yaixm_to_geojson_spark.operators.text import (
+        chunk_documents,
+        ngram_repetition,
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, None, "en", "s", None), (1, "a b", "en", "s", 3)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    assert inverted_index(docs).count() == 2  # terms a, b from doc 1
+    assert tfidf_topk(docs).where(F.col("key") == 0).count() == 0
+    assert token_rarity(docs).count() == 1
+    assert chunk_documents(docs, size=2, stride=1).where(F.col("key") == 0).count() == 0
+    assert ngram_repetition(docs).count() == 1
+    # pack: size(split(NULL)) is -1 under legacy sizeOfNull=false? assert no crash
+    packed = pack_documents(docs).collect()
+    assert {r["key"] for r in packed} >= {1}
