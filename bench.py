@@ -150,6 +150,15 @@ def main() -> None:
     from openaip_yaixm_to_geojson_spark.operators.text import pack_documents
 
     timed("events_funnel", lambda: events_funnel(ev).count())
+
+    from openaip_yaixm_to_geojson_spark.operators.graph import (
+        synth_link_graph,
+        triangle_count,
+    )
+    from openaip_yaixm_to_geojson_spark.operators.relational import corpus_cube
+
+    timed("triangle_count", lambda: triangle_count(synth_link_graph(docs)).count())
+    timed("corpus_cube", lambda: corpus_cube(docs).count())
     timed(
         "pack_documents",
         lambda: pack_documents(docs, capacity=512, n_streams=8).count(),
