@@ -919,6 +919,15 @@ def q_events_sessions_native(spark, sf_dir):
     return user_sessions_native(events_from_dir(spark, sf_dir))
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization: per-vector max-abs scale,
+    floor(127x/scale + 0.5) codes — every step a single IEEE op, codes
+    hash-gate exactly. Pure columnar, zero shuffles."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import embedding_quantize
+
+    return embedding_quantize(_emb(spark, sf_dir))
+
+
 def q_sql_exists_subquery(spark, sf_dir):
     """The SQL-text entry path + a correlated EXISTS: per language, how
     many documents have a strictly longer same-language sibling (Catalyst
@@ -1115,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_windows": q_events_sliding_windows,
         "json_roundtrip": q_json_roundtrip,
         "sql_exists_subquery": q_sql_exists_subquery,
+        "embedding_quantize": q_embedding_quantize,
     }
 
 
@@ -1204,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
         "events_sliding_windows": oracle.sql_events_sliding_windows(),
         "json_roundtrip": oracle.sql_json_roundtrip_stats(),
+        "embedding_quantize": oracle.sql_embedding_quantize(),
         "sql_exists_subquery": """SELECT d.lang, COUNT(*) AS n_non_longest
 FROM documents d
 WHERE EXISTS (SELECT 1 FROM documents e WHERE e.lang = d.lang AND e.n_chars > d.n_chars)

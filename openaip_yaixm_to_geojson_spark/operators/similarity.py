@@ -408,3 +408,34 @@ def queries_from_embeddings(embeddings: DataFrame, n: int = 5, id_col: str = "ve
         embeddings.where(F.col(id_col) < n)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     )
+
+
+def embedding_quantize(embeddings: DataFrame, bits_max: int = 127) -> DataFrame:
+    """Symmetric int8 quantization of embedding vectors (the standard
+    serving/storage compression): per-vector scale = max |x| (exact — an
+    order-independent max of exactly-cast doubles), q_i = floor(127 *
+    x_i / scale + 0.5) (floor is deterministic where a round() would
+    inherit each engine's tie convention; every step is a single IEEE
+    op on bit-identical inputs, so the int codes hash-gate). All-zero
+    vectors quantize to all-zero codes (scale 0 guarded).
+
+    Scale shape: pure columnar transform, zero shuffles; the scale
+    column is computed in its OWN projection and stays there — Spark
+    declines to collapse a projection into a higher-order-function
+    lambda, so the array_max runs once per row, not once per element
+    (verified in the executed plan). Output codes ride as a
+    comma-joined string (primitive, hash-friendly); scale rides along
+    for dequantization."""
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    staged = embeddings.select("vec_id", "embedding", scale.alias("scale"))
+    q = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+            F.floor(F.lit(float(bits_max)) * x.cast("double") / F.col("scale") + F.lit(0.5))
+        ).cast("int"),
+    )
+    return staged.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias("q_codes"),
+    )

@@ -1695,3 +1695,20 @@ def sql_json_roundtrip_stats() -> str:
 SELECT doc_id, lang, len(words) AS n_words,
        words[1] AS first_word, words[len(words)] AS last_word
 FROM w"""
+
+
+def sql_embedding_quantize(bits_max: int = 127) -> str:
+    """similarity.embedding_quantize twin: identical single-rounded IEEE
+    steps (float->double cast exact, one multiply, one divide, floor of
+    +0.5) over DuckDB list lambdas."""
+    return f"""WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       array_to_string(
+         list_transform(embedding, x -> CAST(CASE WHEN scale = 0 THEN 0
+           ELSE floor({_dbl(float(bits_max))} * CAST(x AS DOUBLE) / scale + {_dbl(0.5)}) END AS INTEGER)),
+         ',') AS q_codes
+FROM s"""

@@ -607,3 +607,19 @@ def test_text_operators_tolerate_null_text(spark):
     # pack: size(split(NULL)) is -1 under legacy sizeOfNull=false? assert no crash
     packed = pack_documents(docs).collect()
     assert {r["key"] for r in packed} >= {1}
+
+
+def test_embedding_quantize_bounds_and_zero_vector(spark):
+    from openaip_yaixm_to_geojson_spark.operators.similarity import embedding_quantize
+
+    emb = spark.createDataFrame(
+        [(0, [0.5, -0.25, 0.0]), (1, [0.0, 0.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    rows = {r["vec_id"]: r for r in embedding_quantize(emb).collect()}
+    # max-abs element maps to 127 (floor(127 + 0.5) = 127); half maps to -63
+    assert rows[0]["scale"] == 0.5
+    assert rows[0]["q_codes"] == "127,-63,0"
+    assert rows[1]["scale"] == 0.0 and rows[1]["q_codes"] == "0,0,0"
+    # plan: scale's array_max must appear ONCE (not re-inlined per element)
+    plan = embedding_quantize(emb)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("array_max") == 1
