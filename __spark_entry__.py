@@ -928,6 +928,15 @@ def q_embedding_quantize(spark, sf_dir):
     return embedding_quantize(_emb(spark, sf_dir))
 
 
+def q_ann_topk_quantized(spark, sf_dir):
+    """Compressed-domain retrieval: top-k by the exact BIGINT dot of
+    int8 codes — the quantized serving path, hash-gated with no float
+    determinism rules at all."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import ann_topk_quantized
+
+    return ann_topk_quantized(_emb(spark, sf_dir))
+
+
 def q_sql_exists_subquery(spark, sf_dir):
     """The SQL-text entry path + a correlated EXISTS: per language, how
     many documents have a strictly longer same-language sibling (Catalyst
@@ -1125,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": q_json_roundtrip,
         "sql_exists_subquery": q_sql_exists_subquery,
         "embedding_quantize": q_embedding_quantize,
+        "ann_topk_quantized": q_ann_topk_quantized,
     }
 
 
@@ -1215,6 +1225,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_windows": oracle.sql_events_sliding_windows(),
         "json_roundtrip": oracle.sql_json_roundtrip_stats(),
         "embedding_quantize": oracle.sql_embedding_quantize(),
+        "ann_topk_quantized": oracle.sql_ann_topk_quantized(),
         "sql_exists_subquery": """SELECT d.lang, COUNT(*) AS n_non_longest
 FROM documents d
 WHERE EXISTS (SELECT 1 FROM documents e WHERE e.lang = d.lang AND e.n_chars > d.n_chars)

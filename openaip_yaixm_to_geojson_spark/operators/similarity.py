@@ -426,6 +426,17 @@ def embedding_quantize(embeddings: DataFrame, bits_max: int = 127) -> DataFrame:
     (verified in the executed plan). Output codes ride as a
     comma-joined string (primitive, hash-friendly); scale rides along
     for dequantization."""
+    qv = _quantized_vectors(embeddings, bits_max)
+    return qv.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("qc", lambda v: v.cast("string")), ",").alias("q_codes"),
+    )
+
+
+def _quantized_vectors(embeddings: DataFrame, bits_max: int = 127) -> DataFrame:
+    """(vec_id, scale, qc array<int>) — shared kernel of
+    embedding_quantize and the quantized ANN path (identical math)."""
     scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     staged = embeddings.select("vec_id", "embedding", scale.alias("scale"))
     q = F.transform(
@@ -434,8 +445,40 @@ def embedding_quantize(embeddings: DataFrame, bits_max: int = 127) -> DataFrame:
             F.floor(F.lit(float(bits_max)) * x.cast("double") / F.col("scale") + F.lit(0.5))
         ).cast("int"),
     )
-    return staged.select(
-        "vec_id",
-        "scale",
-        F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias("q_codes"),
+    return staged.select("vec_id", "scale", q.alias("qc"))
+
+
+def ann_topk_quantized(embeddings: DataFrame, n_queries: int = 5, k: int = 3) -> DataFrame:
+    """Top-k retrieval over int8-QUANTIZED codes: rank by the exact
+    integer dot product of code vectors — the standard compressed-domain
+    serving path (4x memory cut, SIMD int math on a real cluster), and
+    unlike the float path the score is a BIGINT that hash-gates with no
+    determinism rules at all. Ties break on vec_id.
+
+    Scale shape: identical to cosine_topk — quantized queries broadcast,
+    one WindowGroupLimit top-k; the integer fold is a left-fold over
+    zip_with products (exact at any order, but the fold keeps it
+    one-pass)."""
+    from pyspark.sql import Window
+
+    qv = _quantized_vectors(embeddings)
+    queries = qv.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qc").alias("qq")
+    )
+    dot = F.aggregate(
+        F.zip_with("qc", "qq", lambda a, b: (a.cast("bigint") * b.cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        qv.alias("e")
+        .crossJoin(F.broadcast(queries))
+        .where(F.col("query_id") != F.col("e.vec_id"))
+        .select("query_id", F.col("e.vec_id").alias("vec_id"), dot.alias("qdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "qdot", "rank")
     )

@@ -1712,3 +1712,29 @@ SELECT vec_id, scale,
            ELSE floor({_dbl(float(bits_max))} * CAST(x AS DOUBLE) / scale + {_dbl(0.5)}) END AS INTEGER)),
          ',') AS q_codes
 FROM s"""
+
+
+def sql_ann_topk_quantized(n_queries: int = 5, k: int = 3) -> str:
+    """similarity.ann_topk_quantized twin: identical quantization then an
+    exact integer dot (list fold of BIGINT products — no float rules
+    needed at all)."""
+    qexpr = (
+        "list_transform(embedding, x -> CAST(CASE WHEN scale = 0 THEN 0 "
+        f"ELSE floor({_dbl(127.0)} * CAST(x AS DOUBLE) / scale + {_dbl(0.5)}) END AS BIGINT))"
+    )
+    return f"""WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+),
+qv AS (SELECT vec_id, {qexpr} AS qc FROM s),
+qs AS (SELECT vec_id AS query_id, qc AS qq FROM qv WHERE vec_id < {n_queries}),
+d AS (
+  SELECT qs.query_id, qv.vec_id,
+         list_sum(list_transform(range(1, len(qv.qc) + 1), i -> qv.qc[i] * qs.qq[i])) AS qdot
+  FROM qv CROSS JOIN qs WHERE qs.query_id <> qv.vec_id
+)
+SELECT query_id, vec_id, CAST(qdot AS BIGINT) AS qdot,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS INTEGER) AS rank
+FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) <= {k}"""

@@ -623,3 +623,21 @@ def test_embedding_quantize_bounds_and_zero_vector(spark):
     # plan: scale's array_max must appear ONCE (not re-inlined per element)
     plan = embedding_quantize(emb)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("array_max") == 1
+
+
+def test_quantized_ann_recall_vs_exact(spark):
+    """Quantized retrieval is an approximation of the exact float top-k —
+    with int8 precision the top-3 should overlap heavily (sanity recall
+    bound, not exactness: the exactness is the gate's job)."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import (
+        ann_topk_quantized,
+        cosine_topk,
+        queries_from_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = cosine_topk(emb, queries_from_embeddings(emb, n=5), k=3)
+    quant = ann_topk_quantized(emb, n_queries=5, k=3)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    q = {(r["query_id"], r["vec_id"]) for r in quant.collect()}
+    assert len(e & q) / len(e) >= 0.6
