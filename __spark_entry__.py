@@ -937,6 +937,14 @@ def q_ann_topk_quantized(spark, sf_dir):
     return ann_topk_quantized(_emb(spark, sf_dir))
 
 
+def q_quantization_error(spark, sf_dir):
+    """Max per-vector int8 reconstruction error (the compressed-serving
+    quality gate); single-rounded IEEE arithmetic end to end."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import quantization_error
+
+    return quantization_error(_emb(spark, sf_dir))
+
+
 def q_sql_exists_subquery(spark, sf_dir):
     """The SQL-text entry path + a correlated EXISTS: per language, how
     many documents have a strictly longer same-language sibling (Catalyst
@@ -1135,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_exists_subquery": q_sql_exists_subquery,
         "embedding_quantize": q_embedding_quantize,
         "ann_topk_quantized": q_ann_topk_quantized,
+        "quantization_error": q_quantization_error,
     }
 
 
@@ -1226,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         "json_roundtrip": oracle.sql_json_roundtrip_stats(),
         "embedding_quantize": oracle.sql_embedding_quantize(),
         "ann_topk_quantized": oracle.sql_ann_topk_quantized(),
+        "quantization_error": oracle.sql_quantization_error(),
         "sql_exists_subquery": """SELECT d.lang, COUNT(*) AS n_non_longest
 FROM documents d
 WHERE EXISTS (SELECT 1 FROM documents e WHERE e.lang = d.lang AND e.n_chars > d.n_chars)

@@ -482,3 +482,26 @@ def ann_topk_quantized(embeddings: DataFrame, n_queries: int = 5, k: int = 3) ->
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "qdot", "rank")
     )
+
+
+def quantization_error(embeddings: DataFrame, bits_max: int = 127) -> DataFrame:
+    """Per-vector max absolute reconstruction error of the int8
+    quantization (dequant = q * scale / 127): the quality metric you
+    monitor before switching serving to the compressed domain. Every
+    step is a single IEEE op (multiply, divide, subtract, abs) and the
+    max is order-independent, so the DOUBLE hash-gates under the
+    standard rules. The half-step bound err <= scale/254 (+1 ulp) is
+    pinned in tests."""
+    qv = _quantized_vectors(embeddings, bits_max).join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    )
+    err = F.zip_with(
+        "embedding",
+        "qc",
+        lambda x, q: F.abs(
+            x.cast("double") - (q.cast("double") * F.col("scale") / F.lit(float(bits_max)))
+        ),
+    )
+    return qv.select(
+        "vec_id", "scale", F.array_max(err).alias("max_abs_err")
+    )

@@ -1738,3 +1738,23 @@ SELECT query_id, vec_id, CAST(qdot AS BIGINT) AS qdot,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS INTEGER) AS rank
 FROM d
 QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) <= {k}"""
+
+
+def sql_quantization_error(bits_max: int = 127) -> str:
+    """similarity.quantization_error twin: same quantize, same
+    single-rounded reconstruction arithmetic, order-independent max."""
+    qexpr = (
+        "list_transform(embedding, x -> CAST(CASE WHEN scale = 0 THEN 0 "
+        f"ELSE floor({_dbl(127.0)} * CAST(x AS DOUBLE) / scale + {_dbl(0.5)}) END AS BIGINT))"
+    )
+    return f"""WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+),
+qv AS (SELECT vec_id, scale, embedding, {qexpr} AS qc FROM s)
+SELECT vec_id, scale,
+       list_max(list_transform(range(1, len(embedding) + 1),
+         i -> abs(CAST(embedding[i] AS DOUBLE)
+                  - (CAST(qc[i] AS DOUBLE) * scale / {_dbl(float(bits_max))})))) AS max_abs_err
+FROM qv"""

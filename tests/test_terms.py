@@ -641,3 +641,13 @@ def test_quantized_ann_recall_vs_exact(spark):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     q = {(r["query_id"], r["vec_id"]) for r in quant.collect()}
     assert len(e & q) / len(e) >= 0.6
+
+
+def test_quantization_error_half_step_bound(spark):
+    """floor(127x/s + 0.5) rounds to the nearest code, so reconstruction
+    error is bounded by half a step: scale/254 (+ a few ulps)."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import quantization_error
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for r in quantization_error(emb).collect():
+        assert r["max_abs_err"] <= r["scale"] / 254.0 * (1 + 1e-9) + 1e-12
