@@ -127,6 +127,9 @@ def main() -> None:
         "ann_topk",
         lambda: cosine_topk(emb, queries_from_embeddings(emb, n=5), k=3).count(),
     )
+    from openaip_yaixm_to_geojson_spark.operators.similarity import ann_topk_quantized
+
+    timed("ann_topk_quantized", lambda: ann_topk_quantized(emb).count())
 
     from openaip_yaixm_to_geojson_spark.operators.events import asof_join
     from openaip_yaixm_to_geojson_spark.operators.tiles import tile_xyz_export
