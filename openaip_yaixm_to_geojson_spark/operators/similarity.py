@@ -492,16 +492,23 @@ def quantization_error(embeddings: DataFrame, bits_max: int = 127) -> DataFrame:
     max is order-independent, so the DOUBLE hash-gates under the
     standard rules. The half-step bound err <= scale/254 (+1 ulp) is
     pinned in tests."""
-    qv = _quantized_vectors(embeddings, bits_max).join(
-        embeddings.select("vec_id", "embedding"), "vec_id"
+    # no self-join: quantize AND reconstruct in one per-row pipeline
+    # (a join back to the embeddings would shuffle the table twice for
+    # what is a purely columnar computation)
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    staged = embeddings.select("vec_id", "embedding", scale.alias("scale"))
+    q = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+            F.floor(F.lit(float(bits_max)) * x.cast("double") / F.col("scale") + F.lit(0.5))
+        ).cast("int"),
     )
+    with_qc = staged.select("vec_id", "scale", "embedding", q.alias("qc"))
     err = F.zip_with(
         "embedding",
         "qc",
-        lambda x, q: F.abs(
-            x.cast("double") - (q.cast("double") * F.col("scale") / F.lit(float(bits_max)))
+        lambda x, qi: F.abs(
+            x.cast("double") - (qi.cast("double") * F.col("scale") / F.lit(float(bits_max)))
         ),
     )
-    return qv.select(
-        "vec_id", "scale", F.array_max(err).alias("max_abs_err")
-    )
+    return with_qc.select("vec_id", "scale", F.array_max(err).alias("max_abs_err"))
