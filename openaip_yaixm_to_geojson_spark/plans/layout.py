@@ -50,3 +50,41 @@ def clustered_cell_scan(spark: SparkSession, in_dir: str, cell_lo: int, cell_hi:
     whose cell interval misses [cell_lo, cell_hi]."""
     df = spark.read.parquet(in_dir)
     return df.where((F.col("cell") >= cell_lo) & (F.col("cell") <= cell_hi))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the maintenance pass every streaming sink
+    needs (availableNow/foreachBatch emit a file per micro-batch per
+    partition; a million 50 KB files kill scan planning and NameNode-
+    style metadata at scale). Sizes the output by the ACTUAL input bytes
+    (filesystem listing, no data pass), rewrites with coalesce (no
+    shuffle — coalesce only merges read splits) and returns the output
+    file count. Rows are preserved exactly; ordering is not (parquet
+    scan order is split order — callers needing clustering should
+    re-run write_range_clustered instead)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(in_dir)
+    fs = path.getFileSystem(conf)
+    total = 0
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            total += f.getLen()
+    n_files = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(in_dir).coalesce(n_files).write.mode("overwrite").parquet(out_dir)
+    out_path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    produced = 0
+    it = fs.listFiles(out_path, False)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            produced += 1
+    return produced

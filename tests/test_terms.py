@@ -651,3 +651,19 @@ def test_quantization_error_half_step_bound(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     for r in quantization_error(emb).collect():
         assert r["max_abs_err"] <= r["scale"] / 254.0 * (1 + 1e-9) + 1e-12
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    import os
+
+    from openaip_yaixm_to_geojson_spark.plans.layout import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(16).write.parquet(src)  # 16 tiny files
+    assert sum(1 for n in os.listdir(src) if n.endswith(".parquet")) == 16
+    out = str(tmp_path / "compacted")
+    produced = compact_parquet(spark, src, out, target_file_bytes=64 * 1024 * 1024)
+    assert produced == 1  # tiny input -> single file
+    back = spark.read.parquet(out)
+    assert back.exceptAll(docs).count() == 0 and docs.exceptAll(back).count() == 0
