@@ -434,9 +434,14 @@ def embedding_quantize(embeddings: DataFrame, bits_max: int = 127) -> DataFrame:
     )
 
 
-def _quantized_vectors(embeddings: DataFrame, bits_max: int = 127) -> DataFrame:
-    """(vec_id, scale, qc array<int>) — shared kernel of
-    embedding_quantize and the quantized ANN path (identical math)."""
+def _quantized_vectors(
+    embeddings: DataFrame, bits_max: int = 127, keep_embedding: bool = False
+) -> DataFrame:
+    """(vec_id, scale, qc array<int>[, embedding]) — THE quantization
+    kernel, shared by embedding_quantize, the quantized ANN path and the
+    error monitor so the floor(bits_max*x/scale + 0.5) math exists in
+    exactly one place. keep_embedding carries the source vector along
+    for reconstruction-style consumers."""
     scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     staged = embeddings.select("vec_id", "embedding", scale.alias("scale"))
     q = F.transform(
@@ -445,7 +450,8 @@ def _quantized_vectors(embeddings: DataFrame, bits_max: int = 127) -> DataFrame:
             F.floor(F.lit(float(bits_max)) * x.cast("double") / F.col("scale") + F.lit(0.5))
         ).cast("int"),
     )
-    return staged.select("vec_id", "scale", q.alias("qc"))
+    cols = ["vec_id", "scale", q.alias("qc")] + (["embedding"] if keep_embedding else [])
+    return staged.select(*cols)
 
 
 def ann_topk_quantized(embeddings: DataFrame, n_queries: int = 5, k: int = 3) -> DataFrame:
@@ -492,18 +498,10 @@ def quantization_error(embeddings: DataFrame, bits_max: int = 127) -> DataFrame:
     max is order-independent, so the DOUBLE hash-gates under the
     standard rules. The half-step bound err <= scale/254 (+1 ulp) is
     pinned in tests."""
-    # no self-join: quantize AND reconstruct in one per-row pipeline
-    # (a join back to the embeddings would shuffle the table twice for
-    # what is a purely columnar computation)
-    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-    staged = embeddings.select("vec_id", "embedding", scale.alias("scale"))
-    q = F.transform(
-        "embedding",
-        lambda x: F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
-            F.floor(F.lit(float(bits_max)) * x.cast("double") / F.col("scale") + F.lit(0.5))
-        ).cast("int"),
-    )
-    with_qc = staged.select("vec_id", "scale", "embedding", q.alias("qc"))
+    # no self-join: the shared kernel carries the source vector along
+    # (keep_embedding), so quantize + reconstruct is one per-row
+    # pipeline — zero shuffles, and the kernel math lives in one place
+    with_qc = _quantized_vectors(embeddings, bits_max, keep_embedding=True)
     err = F.zip_with(
         "embedding",
         "qc",

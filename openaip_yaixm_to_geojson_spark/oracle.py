@@ -1745,7 +1745,7 @@ def sql_quantization_error(bits_max: int = 127) -> str:
     single-rounded reconstruction arithmetic, order-independent max."""
     qexpr = (
         "list_transform(embedding, x -> CAST(CASE WHEN scale = 0 THEN 0 "
-        f"ELSE floor({_dbl(127.0)} * CAST(x AS DOUBLE) / scale + {_dbl(0.5)}) END AS BIGINT))"
+        f"ELSE floor({_dbl(float(bits_max))} * CAST(x AS DOUBLE) / scale + {_dbl(0.5)}) END AS BIGINT))"
     )
     return f"""WITH s AS (
   SELECT vec_id, embedding,

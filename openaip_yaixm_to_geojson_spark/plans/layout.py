@@ -16,6 +16,8 @@ in-partition sort, no extra machinery.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,6 +69,13 @@ def compact_parquet(
     file count. Rows are preserved exactly; ordering is not (parquet
     scan order is split order — callers needing clustering should
     re-run write_range_clustered instead)."""
+    if os.path.abspath(in_dir.removeprefix("file:")) == os.path.abspath(
+        out_dir.removeprefix("file:")
+    ):
+        raise ValueError(
+            "compact_parquet needs a distinct out_dir: Spark cannot "
+            "overwrite a path it is reading (write to a sibling, then swap)"
+        )
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
@@ -82,8 +91,9 @@ def compact_parquet(
     n_files = max(1, -(-total // target_file_bytes))
     spark.read.parquet(in_dir).coalesce(n_files).write.mode("overwrite").parquet(out_dir)
     out_path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    out_fs = out_path.getFileSystem(conf)  # may be a DIFFERENT filesystem
     produced = 0
-    it = fs.listFiles(out_path, False)
+    it = out_fs.listFiles(out_path, False)
     while it.hasNext():
         if it.next().getPath().getName().endswith(".parquet"):
             produced += 1

@@ -667,3 +667,16 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert produced == 1  # tiny input -> single file
     back = spark.read.parquet(out)
     assert back.exceptAll(docs).count() == 0 and docs.exceptAll(back).count() == 0
+
+
+def test_quantization_error_plan_no_reinline_and_inplace_guard(spark, tmp_path):
+    from openaip_yaixm_to_geojson_spark.operators.similarity import quantization_error
+    from openaip_yaixm_to_geojson_spark.plans.layout import compact_parquet
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = quantization_error(emb)._jdf.queryExecution().executedPlan().toString()
+    # exactly two array_max: the scale compute and the error max — a
+    # CollapseProject regression would inline scale per element
+    assert plan.count("array_max") == 2
+    with pytest.raises(ValueError, match="distinct out_dir"):
+        compact_parquet(spark, str(tmp_path / "d"), str(tmp_path / "d"))
