@@ -136,7 +136,10 @@ def _rect_intersects_ring(bounds: tuple[float, float, float, float], ring_xy: np
         d1x, d1y = ex2 - ex1, ey2 - ey1
         d2x, d2y = sx2 - sx1, sy2 - sy1
         denom = d1x * d2y - d1y * d2x
-        with np.errstate(divide="ignore", invalid="ignore"):
+        # over=: subnormal denom can overflow the divide to +-inf — an
+        # intended sentinel (inf/nan fail the [0,1] interval tests), not a
+        # numerical bug.
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             t = ((sx1 - ex1) * d2y - (sy1 - ey1) * d2x) / denom
             u = ((sx1 - ex1) * d1y - (sy1 - ey1) * d1x) / denom
         hit = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
@@ -185,7 +188,10 @@ def _rect_fully_inside_ring(bounds: tuple[float, float, float, float], ring_xy: 
         d1x, d1y = ex2 - ex1, ey2 - ey1
         d2x, d2y = sx2 - sx1, sy2 - sy1
         denom = d1x * d2y - d1y * d2x
-        with np.errstate(divide="ignore", invalid="ignore"):
+        # over=: subnormal denom can overflow the divide to +-inf — an
+        # intended sentinel (inf/nan fail the [0,1] interval tests), not a
+        # numerical bug.
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             t = ((sx1 - ex1) * d2y - (sy1 - ey1) * d2x) / denom
             u = ((sx1 - ex1) * d1y - (sy1 - ey1) * d1x) / denom
         if ((denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)).any():

@@ -312,7 +312,10 @@ def ring_self_intersections(ring: np.ndarray) -> np.ndarray:
     d2 = d[j_idx]
     denom = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
     diff = p2 - p1
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over=: near-parallel edges give a subnormal denom and the divide can
+    # overflow to +-inf — an intended sentinel (inf fails the strict (0,1)
+    # interval test), not a numerical bug.
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         t = (diff[:, 0] * d2[:, 1] - diff[:, 1] * d2[:, 0]) / denom
         u = (diff[:, 0] * d1[:, 1] - diff[:, 1] * d1[:, 0]) / denom
     hit = (denom != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)

@@ -130,8 +130,12 @@ def _edge_intersections(ring: np.ndarray):
             if denom == 0:
                 continue
             diff = p[j] - p[i]
-            t = (diff[0] * d[j, 1] - diff[1] * d[j, 0]) / denom
-            u = (diff[0] * d[i, 1] - diff[1] * d[i, 0]) / denom
+            # near-parallel edges make |denom| tiny; the divides can overflow
+            # to +-inf, which is an intended sentinel (an inf t/u fails the
+            # strict (0,1) interval test below), not a numerical bug.
+            with np.errstate(over="ignore", divide="ignore"):
+                t = (diff[0] * d[j, 1] - diff[1] * d[j, 0]) / denom
+                u = (diff[0] * d[i, 1] - diff[1] * d[i, 0]) / denom
             if 0.0 < t < 1.0 and 0.0 < u < 1.0:
                 pt = (float(p[i, 0] + t * d[i, 0]), float(p[i, 1] + t * d[i, 1]))
                 by_edge.setdefault(i, []).append((float(t), pt))

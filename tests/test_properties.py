@@ -4,8 +4,14 @@ no Spark session needed."""
 import math
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+# the geometry kernels must not emit numeric warnings: every intentional
+# inf/nan sentinel is wrapped in an explicit np.errstate, so any warning
+# that escapes here is a real numerical regression.
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
 
 from openaip_yaixm_to_geojson_spark.functions import cellgrid, geodesy, polyfix
 
