@@ -17,8 +17,11 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -377,13 +380,99 @@ def simhash16(text: Column, token_pattern: str = r"\s+") -> Column:
     return out.cast("int")
 
 
+def simhash64_expr(text: Column, token_pattern: str = r"\s+") -> Column:
+    """64-bit SimHash over whitespace tokens, pure expressions.
+
+    Same construction as `simhash16` widened to md5 hex chars 1-16 (the
+    most-significant 64 bits of the digest): per-bit majority vote of +-1
+    across token hashes. Bit 63 is the sign bit of the signed 64-bit
+    result, so its weight is -2^63 (two's complement) — added LAST so
+    every partial sum stays inside BIGINT range. The identical CASE/SUM
+    formulation runs on the oracle side (oracle.sql_simhash64).
+
+    This is the oracle-parity twin: it evaluates 64 aggregate folds, each
+    recomputing md5 per token (higher-order lambdas re-evaluate captured
+    expressions per element — no subexpression elimination). The default
+    scale path is the Arrow kernel `simhash64`, pinned bit-equal to this
+    expression in tests.
+    """
+    tokens = F.split(F.trim(text), token_pattern)
+
+    def vote(pos: int, member: list[str]):
+        # factory keeps the higher-order lambda arity at exactly 2
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), pos + 1, 1).isin(member), F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    terms = []
+    for pos in range(16):  # hex char index 1..16
+        for bit in range(4):
+            i = pos * 4 + bit
+            vote_sum = F.aggregate(tokens, F.lit(0), vote(pos, _HEX_BIT[bit]))
+            weight = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i).cast("bigint")
+            terms.append(F.when(vote_sum >= 0, weight).otherwise(F.lit(0).cast("bigint")))
+    out = terms[0]
+    for t in terms[1:]:  # bit-63 (negative) term is last: partial sums <= 2^63-1
+        out = out + t
+    return out.cast("bigint")
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash — Arrow-kernel scale path (one md5 per token instead
+    of the expression twin's 64 folds x md5-per-element; the same
+    expression-vs-kernel dispatch rationale as similarity.EXPR_UNROLL).
+
+    Tokenization matches `F.split(F.trim(text), r"\\s+")` exactly: SQL trim
+    strips ' ' only, Java's `\\s` is ASCII-only, and split(limit=-1) keeps
+    empty tokens — replicated with str.strip(' ') + an re.ASCII split.
+    Bit-equality with `simhash64_expr` is pinned in tests; the driver gate
+    hash-compares this kernel against the DuckDB oracle.
+    """
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf(T.LongType())
+    def kernel(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+        for row, txt in enumerate(texts):
+            if txt is None:
+                # expression-twin contract: a NULL text nulls every vote_sum,
+                # each CASE falls to its ELSE 0, so the sketch is 0 — not NULL
+                continue
+            counts = np.zeros(64, dtype=np.int64)
+            for tok in ws.split(txt.strip(" ")):
+                h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
+                # hexdigest char `pos` is digest bits [63-4*pos-3 .. 63-4*pos];
+                # simhash bit pos*4+bit tests (digit >> bit) & 1, i.e. digest
+                # bit 63 - 4*pos - (3 - bit) — precompute the index map once
+                for pos in range(16):
+                    d = (h >> (60 - 4 * pos)) & 0xF
+                    base = pos * 4
+                    counts[base] += 1 if (d & 1) else -1
+                    counts[base + 1] += 1 if (d & 2) else -1
+                    counts[base + 2] += 1 if (d & 4) else -1
+                    counts[base + 3] += 1 if (d & 8) else -1
+            bits = (counts >= 0).astype(np.uint64)
+            val = int((bits * weights).sum())  # unsigned 64-bit value
+            out[row] = val - (1 << 64) if val >= (1 << 63) else val
+        return pd.Series(out)
+
+    return kernel(text)
+
+
 def simhash_bands(sim: Column, n_bands: int, n_bits: int = 16) -> list[tuple[int, Column]]:
     """Split an n_bits SimHash into n_bands contiguous bit segments (as even
     as possible): [(band_idx, band_key_column), ...]."""
     widths = [n_bits // n_bands + (1 if i < n_bits % n_bands else 0) for i in range(n_bands)]
     out, lo = [], 0
     for i, w in enumerate(widths):
-        out.append((i, F.shiftright(sim, lo).bitwiseAND(F.lit((1 << w) - 1))))
+        # a full-width 64-bit band's mask (2^64-1) is -1 in two's complement
+        mask = (1 << w) - 1 if w < 64 else -1
+        out.append((i, F.shiftright(sim, lo).bitwiseAND(F.lit(mask))))
         lo += w
     return out
 
@@ -393,8 +482,9 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     key_col: str = "doc_id",
     max_hamming: int = 2,
+    n_bits: int = 16,
 ) -> DataFrame:
-    """Pairs whose 16-bit SimHash differs in <= max_hamming bits.
+    """Pairs whose n_bits SimHash differs in <= max_hamming bits.
 
     Banded into `max_hamming + 1` contiguous bit segments: by pigeonhole a
     pair with <= max_hamming differing bits matches on at least one band,
@@ -402,15 +492,28 @@ def simhash_neardup_pairs(
     guaranteed Hamming <= 1). Candidates come from a per-band equi-join —
     the same explode + (band_idx, band_key) shuffle shape as MinHash LSH,
     so hot bands spread across reducers instead of an OR-condition
-    nested-loop join."""
-    if not 0 <= max_hamming <= 15:
-        raise ValueError(f"max_hamming must be in [0, 15] for a 16-bit SimHash; got {max_hamming}")
+    nested-loop join.
+
+    n_bits=64 is the corpus-scale sketch (2^64 signatures; 16-bit bands at
+    max_hamming 3 give usefully selective band keys at 10^10+ docs, where
+    the 16-bit sketch's 32 buckets would go quadratic); n_bits=16 remains
+    as the oracle-cheap twin."""
+    if n_bits not in (16, 64):
+        raise ValueError(f"n_bits must be 16 or 64; got {n_bits}")
+    if not 0 <= max_hamming <= n_bits - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, {n_bits - 1}] for a {n_bits}-bit SimHash; got {max_hamming}"
+        )
     n_bands = max_hamming + 1
-    docs = documents.select(F.col(key_col).alias("key"), simhash16(F.col(text_col)).alias("sim"))
+    sim = simhash16(F.col(text_col)) if n_bits == 16 else simhash64(F.col(text_col))
+    docs = documents.select(F.col(key_col).alias("key"), sim.alias("sim"))
+    # arithmetic shiftright + mask extracts band bits correctly even when the
+    # 64-bit sketch is negative (bit 63 set); bigint keys cover bands > 31 bits
+    key_type = "int" if n_bits == 16 else "bigint"
     bands = F.array(
         *[
-            F.struct(F.lit(i).alias("band_idx"), key.cast("int").alias("band_key"))
-            for i, key in simhash_bands(F.col("sim"), n_bands)
+            F.struct(F.lit(i).alias("band_idx"), key.cast(key_type).alias("band_key"))
+            for i, key in simhash_bands(F.col("sim"), n_bands, n_bits)
         ]
     )
     banded = docs.select("key", "sim", F.explode(bands).alias("band")).select(

@@ -647,6 +647,45 @@ def sql_simhash() -> str:
     return f"SELECT doc_id, CAST({total} AS INTEGER) AS simhash FROM documents"
 
 
+def sql_simhash64() -> str:
+    """64-bit SimHash: per-bit majority vote over token md5 hex chars 1-16,
+    same formulation as operators/dedup.simhash64_expr (and the Arrow
+    kernel pinned equal to it). Bit 63 carries the two's-complement weight
+    -2^63 and is added LAST so every BIGINT partial sum stays in range."""
+    bit_terms = []
+    for pos in range(16):
+        for bit in range(4):
+            i = pos * 4 + bit
+            weight = (
+                "CAST(-9223372036854775808 AS BIGINT)"
+                if i == 63
+                else f"CAST({1 << i} AS BIGINT)"
+            )
+            vote = (
+                f"list_aggregate(list_transform({_WORDS}, "
+                f"t -> CASE WHEN substring(md5(t), {pos + 1}, 1) IN {_HEX_BIT_SQL[bit]} "
+                "THEN 1 ELSE -1 END), 'sum')"
+            )
+            bit_terms.append(
+                f"(CASE WHEN {vote} >= 0 THEN {weight} ELSE CAST(0 AS BIGINT) END)"
+            )
+    total = " + ".join(bit_terms)
+    return f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash64 FROM documents"
+
+
+def sql_simhash64_pairs(max_hamming: int = 3) -> str:
+    """Exhaustive 64-bit SimHash near-dup pairs: bit_count over the XOR of
+    the recomputed sketches (the engine's banded join must equal the
+    all-pairs scan — banding is pigeonhole-lossless for <= max_hamming)."""
+    sim = sql_simhash64()
+    return f"""
+WITH s AS ({sim})
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash64, b.simhash64)) <= {max_hamming}"""
+
+
 def _dot_expr(a: str, b: str, dim: int) -> str:
     """Dot product as a strict left-fold double sum — bit-identical to
     Spark's aggregate fold (operators/similarity.dot_double)."""
