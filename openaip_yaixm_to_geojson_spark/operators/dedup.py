@@ -254,23 +254,30 @@ def ngram_jaccard_pairs(
     """Direct n-gram Jaccard similarity for pairs sharing a blocking key;
     exact verification path used to validate the LSH variant.
 
-    The default block is a shingle-count BUCKET (width 8): an
-    identical-count key is near-vacuous on real corpora (few docs share an
-    exact shingle count, so nothing is compared) while coarse buckets keep
-    genuinely similar docs — whose shingle counts are close — in the same
-    block. Doc lengths cluster, so any length-derived key is skew-prone at
-    scale; pass `block_on` (e.g. a MinHash band key) when the corpus has a
-    heavy modal length."""
+    The default block is a shingle-count BUCKET (width 8) emitted under TWO
+    offset keys — floor(n/8) and floor((n+4)/8) — so a pair whose counts
+    straddle a bucket edge (e.g. 15 vs 17) still lands in a shared block:
+    any pair with |n_a - n_b| <= 4 provably shares a key (if the counts
+    straddle boundary 8m then n_a >= 8m-4, so floor((n_a+4)/8) = m =
+    floor(n_b/8)). An identical-count key is near-vacuous on real corpora
+    (few docs share an exact shingle count, so nothing is compared) while
+    coarse buckets keep genuinely similar docs — whose shingle counts are
+    close — in the same block; size-skewed pairs (|n_a - n_b| > 4) remain
+    out of scope for count blocking, which is why this operator is the
+    exact-verification sidekick to the LSH path, not the recall path. Doc
+    lengths cluster, so any length-derived key is skew-prone at scale; pass
+    `block_on` (e.g. a MinHash band key) when the corpus has a heavy modal
+    length."""
     docs = documents.select(
         F.col(key_col).alias("key"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).where(F.size("shingles") > 0)
-    block = (
-        block_on
-        if block_on is not None
-        else F.floor(F.size("shingles") / F.lit(8)).cast("int")
-    )
-    docs = docs.withColumn("block", block)
+    if block_on is not None:
+        docs = docs.withColumn("block", block_on)
+    else:
+        b_lo = F.floor(F.size("shingles") / F.lit(8)).cast("int")
+        b_hi = F.floor((F.size("shingles") + F.lit(4)) / F.lit(8)).cast("int")
+        docs = docs.withColumn("block", F.explode(F.array_distinct(F.array(b_lo, b_hi))))
     a = docs.alias("a")
     b = docs.alias("b")
     jaccard = F.size(F.array_intersect("a.shingles", "b.shingles")) / F.size(
@@ -281,6 +288,7 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", jaccard.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"), "jaccard")
+        .dropDuplicates(["key_a", "key_b"])
     )
 
 

@@ -571,17 +571,20 @@ WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / CAST(len(list_distinct(l
 
 
 def sql_ngram_jaccard_pairs(threshold: float = 0.3) -> str:
-    """Blocked exact-Jaccard pairs (block key = shingle-count bucket of 8),
+    """Blocked exact-Jaccard pairs (block key = shingle-count bucket of 8
+    under DUAL offset keys floor(n/8) and floor((n+4)/8), pairs deduped),
     identical semantics to the gated ngram_jaccard_pairs call."""
     return f"""
 WITH sh AS (
   SELECT doc_id AS key, {SHINGLES_EXPR} AS shingles FROM documents
 ),
 d AS (
-  SELECT key, shingles, CAST(floor(len(shingles) / 8.0) AS INTEGER) AS block
+  SELECT key, shingles,
+         UNNEST(list_distinct([CAST(floor(len(shingles) / 8.0) AS INTEGER),
+                               CAST(floor((len(shingles) + 4) / 8.0) AS INTEGER)])) AS block
   FROM sh WHERE len(shingles) > 0
 )
-SELECT a.key AS key_a, b.key AS key_b,
+SELECT DISTINCT a.key AS key_a, b.key AS key_b,
        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
 FROM d a JOIN d b ON a.block = b.block AND a.key < b.key

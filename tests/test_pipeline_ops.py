@@ -310,6 +310,30 @@ def test_simhash_neardup_matches_bruteforce(spark):
         assert got == expected
 
 
+def test_ngram_jaccard_bucket_straddle(spark):
+    """r3 VERDICT: the single floor(n/8) block key missed similar pairs
+    whose shingle counts straddle a bucket edge (15 vs 17 -> blocks 1 vs
+    2). Dual offset keys floor(n/8) + floor((n+4)/8) close the +-4 window;
+    pairs sharing BOTH keys must still come out exactly once."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import ngram_jaccard_pairs
+
+    words = [f"w{i}" for i in range(1, 20)]
+    straddle_a = " ".join(words[:17])  # 15 shingles, old block 1
+    straddle_b = " ".join(words)  # 17 shingles, old block 2 — old key missed the pair
+    both_c = " ".join(f"c{i}" for i in range(1, 15))  # 12 shingles -> keys {1, 2}
+    d_words = [f"c{i}" for i in range(1, 15)]
+    d_words[7] = "zz"  # 3 shingles differ: J = 9/15 = 0.6
+    both_d = " ".join(d_words)  # 12 shingles -> keys {1, 2}: pair matches in BOTH blocks
+    df = spark.createDataFrame(
+        [(0, straddle_a), (1, straddle_b), (2, both_c), (3, both_d)],
+        "doc_id bigint, text string",
+    )
+    got = {(r["key_a"], r["key_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    rows = ngram_jaccard_pairs(df, threshold=0.5).count()
+    assert set(got) == {(0, 1), (2, 3)} and rows == 2  # straddler found, dual-key pair deduped
+    assert abs(got[(0, 1)] - 15 / 17) < 1e-12 and abs(got[(2, 3)] - 9 / 15) < 1e-12
+
+
 def test_simhash64_kernel_equals_expression(spark):
     """The Arrow kernel (scale path, one md5 per token) must be bit-equal
     to the 64-fold expression twin — including the NULL-text -> 0 contract
