@@ -150,6 +150,32 @@ def q_knn_table(spark, sf_dir):
     return knn_ring_expansion_table(pages, polys_df).select("url", "poly_id", "dist_sq")
 
 
+
+def q_knn_edge(spark, sf_dir):
+    """Edge-EXACT kNN (r3 VERDICT item 2): nearest airspace by squared
+    point-to-segment distance — what "nearest airspace" users expect when a
+    long straight `line:` boundary passes near a page. Sampling drives only
+    candidate generation; the reported distance is the exact clamped
+    projection, op-order-identical to the DuckDB oracle."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_edge_ring_expansion
+
+    pages = pages_from_documents(spark, sf_dir)
+    return knn_edge_ring_expansion(pages, fixture_polygons()).select("url", "poly_id", "dist_sq")
+
+
+def q_knn_edge_table(spark, sf_dir):
+    """Edge-exact kNN with the polygon side a TABLE end to end: segment
+    index via distributed zip/explode + codegen cell encode, tail scan over
+    the segment table — nothing polygon-shaped on the driver (the 100-TB
+    shape; same oracle as knn_edge)."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_edge_ring_expansion_table
+    from openaip_yaixm_to_geojson_spark.operators.spatial import polygons_to_df
+
+    pages = pages_from_documents(spark, sf_dir)
+    polys_df = polygons_to_df(spark, fixture_polygons())
+    return knn_edge_ring_expansion_table(pages, polys_df).select("url", "poly_id", "dist_sq")
+
+
 def q_tile_doc_counts(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir)
     return tile_doc_counts(pages, DEFAULT_TILE_RES)
@@ -1087,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "knn_table": q_knn_table,
         "knn_bruteforce": q_knn_bruteforce,
+        "knn_edge": q_knn_edge,
+        "knn_edge_table": q_knn_edge_table,
         "tile_doc_counts": q_tile_doc_counts,
         "tile_class_rollup": q_tile_class_rollup,
         "tile_zoom_rollup": q_tile_zoom_rollup,
@@ -1182,6 +1210,8 @@ def oracle_sql() -> dict[str, str]:
         "knn": oracle.sql_knn(),
         "knn_table": oracle.sql_knn(),
         "knn_bruteforce": oracle.sql_knn(),
+        "knn_edge": oracle.sql_knn_edge(),
+        "knn_edge_table": oracle.sql_knn_edge(),
         "tile_doc_counts": oracle.sql_tile_doc_counts(),
         "tile_class_rollup": oracle.sql_tile_class_rollup(),
         "tile_zoom_rollup": oracle.sql_tile_zoom_rollup(),

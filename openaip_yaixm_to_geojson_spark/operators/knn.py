@@ -1,23 +1,33 @@
 """kNN: nearest airspace per page via cell-ring expansion.
 
 Engine-only operator (no reference counterpart; mandated by the north
-rule). Distance metric: squared planar degree distance from the page point
-to the nearest polygon RING VERTEX — plain arithmetic so the DuckDB oracle
-reproduces it bit-for-bit (trig-free; the densified rings make vertex
-distance a tight proxy for boundary distance).
+rule). Two distance metrics, both plain arithmetic so the DuckDB oracle
+reproduces them bit-for-bit (trig-free):
 
-Two implementations:
+* VERTEX distance (`knn_*`): squared planar degree distance to the nearest
+  polygon ring vertex — tight on densified arc/circle rings, but `line:`
+  boundary segments are NOT densified, so a page near the midpoint of a
+  long straight edge can get an overstated distance (r3 VERDICT item).
+* EDGE distance (`knn_edge_*`): exact squared point-to-segment distance
+  (projection clamped to [0,1], every op a single-rounded IEEE double in a
+  fixed order shared by the Spark expression, the NumPy fallback and the
+  SQL oracle) — what "nearest airspace" users expect.
 
-* `knn_ring_expansion` — the scale path. Polygon vertices are indexed by
-  grid cell; each round k joins still-unmatched pages against the vertex
-  index expanded to Chebyshev disk k. A match at ring k only proves an
-  upper bound d; the loop keeps expanding until (k-1) * cell_size >
-  sqrt(d) for every pending page (a cell at ring k cannot hold anything
-  closer than (k-1) * cell_size), then takes min_by. Each round is one
-  broadcast join + one aggregation on the shrinking unmatched set.
+Implementations:
 
-* `knn_bruteforce` — vectorized NumPy baseline (points x vertices per
-  Arrow batch). Used as the oracle cross-check and for tiny polygon sets.
+* `knn_ring_expansion` / `knn_edge_ring_expansion` — the scale path. Index
+  points (ring vertices, or segment sample points carrying their segment's
+  endpoints) are bucketed by grid cell; each round joins still-unmatched
+  pages against the index expanded to a Chebyshev window, takes the best
+  candidate (for edges: the EXACT segment distance — sampling only drives
+  candidate generation, never the reported distance), and finalizes pages
+  whose best distance beats anything an unseen ring could hold. Each round
+  is one broadcast/shuffle join + one aggregation on the shrinking
+  unmatched set.
+
+* `knn_bruteforce` / `knn_edge_bruteforce` — vectorized NumPy baselines
+  (points x index rows per Arrow batch). Oracle cross-check + tail
+  fallback + tiny-input fast path.
 """
 
 from __future__ import annotations
@@ -26,7 +36,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -251,13 +261,29 @@ def _expansion_loop(
     res: int,
     windows: tuple[tuple[int, int], ...],
     fallback,
+    payload_cols: tuple[str, ...] = ("vlon", "vlat"),
+    d2_expr: Column | None = None,
+    bound_margin: float = 0.0,
 ) -> DataFrame:
     """Shared ring-expansion driver loop (see knn_ring_expansion docstring):
-    vindex is (vcell, poly_id, vlon, vlat) from either the driver-list or
-    the distributed table builder; `fallback(tail)` performs the exact scan
-    for pages unresolved past the last window."""
+    vindex is (vcell, poly_id, *payload_cols) from either the driver-list
+    or the distributed table builder; `fallback(tail)` performs the exact
+    scan for pages unresolved past the last window.
+
+    `d2_expr` computes the candidate distance from (lon, lat, payload) —
+    default is squared distance to the (vlon, vlat) index point itself.
+    `bound_margin` (in cell units) relaxes the finalization guarantee for
+    indexes whose rows SAMPLE an extended object: with segment samples at
+    Euclidean spacing <= cell_size, an unseen segment (no sample inside
+    Chebyshev ring hi) can still pass within (hi - 1/2) * cell_size of the
+    page — every segment point is within spacing/2 of some sample — so the
+    guarantee becomes dist_sq <= ((hi - margin) * size)^2 with margin 0.5."""
     spark = pages.sparkSession
     size = cellgrid.cell_size_deg(res)
+    if d2_expr is None:
+        d2_expr = (F.col("lon") - F.col("vlon")) * (F.col("lon") - F.col("vlon")) + (
+            F.col("lat") - F.col("vlat")
+        ) * (F.col("lat") - F.col("vlat"))
 
     pending = (
         pages.select("url", "lat", "lon")
@@ -283,7 +309,7 @@ def _expansion_loop(
             [(dy * cellgrid._SHIFT + dx,) for dx, dy in offsets], "off bigint"
         )
         vwin = vindex.crossJoin(off_df).select(
-            (F.col("vcell") + F.col("off")).alias("cell"), "poly_id", "vlon", "vlat"
+            (F.col("vcell") + F.col("off")).alias("cell"), "poly_id", *payload_cols
         )
         # expanded index = vertices x |window annulus|; broadcast only while
         # that stays genuinely small, else shuffle-join on the cell key
@@ -292,11 +318,7 @@ def _expansion_loop(
         cand = (
             pending.select("url", "lat", "lon", "cell")
             .join(vwin, "cell")
-            .withColumn(
-                "d2",
-                (F.col("lon") - F.col("vlon")) * (F.col("lon") - F.col("vlon"))
-                + (F.col("lat") - F.col("vlat")) * (F.col("lat") - F.col("vlat")),
-            )
+            .withColumn("d2", d2_expr)
             .groupBy("url")
             .agg(F.min(F.struct(F.col("d2"), F.col("poly_id"))).alias("_b"))
             .select("url", F.col("_b.poly_id").alias("c_pid"), F.col("_b.d2").alias("c_d2"))
@@ -315,8 +337,9 @@ def _expansion_loop(
             F.when(cand_better, F.col("c_d2")).otherwise(F.col("dist_sq")).alias("dist_sq"),
         )
         # finalize once nothing in an unseen ring (>= hi+1) can be closer:
-        # any point there is at least hi*size away in Chebyshev terms.
-        bound = float((hi * size) * (hi * size))
+        # any indexed point there is at least hi*size away in Chebyshev
+        # terms (minus the sampling margin for extended objects).
+        bound = float(((hi - bound_margin) * size) * ((hi - bound_margin) * size))
         guarantee = F.col("dist_sq").isNotNull() & (F.col("dist_sq") <= F.lit(bound))
         # normalize to the output schema here: the loop frames carry a
         # `cell` column that the brute-force fallback frame does not.
@@ -334,3 +357,299 @@ def _expansion_loop(
     for df in finalized[1:]:
         out = out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# edge-exact kNN: point-to-SEGMENT distance (r3 VERDICT item 2)
+# ---------------------------------------------------------------------------
+#
+# Shared formulation — the EXACT same op order in the Spark expression, the
+# NumPy kernels and the SQL oracle, so every intermediate is a single-rounded
+# IEEE double and results hash-compare bit-for-bit:
+#   dx = bx - ax; dy = by - ay; px = lon - ax; py = lat - ay
+#   dot = px * dx + py * dy;    len2 = dx * dx + dy * dy
+#   t = 0 if dot <= 0 else (1 if dot >= len2 else dot / len2)
+#   ex = px - t * dx; ey = py - t * dy;  d2 = ex * ex + ey * ey
+# A degenerate segment (a == b) has len2 = 0 and dot = 0, so t = 0 and d2
+# falls back to the vertex distance — no division ever sees a zero.
+
+
+def seg_d2_expr() -> Column:
+    """Squared point-to-segment distance as a codegen expression over
+    columns (lon, lat, ax, ay, bx, by)."""
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    px = F.col("lon") - F.col("ax")
+    py = F.col("lat") - F.col("ay")
+    dot = px * dx + py * dy
+    len2 = dx * dx + dy * dy
+    t = (
+        F.when(dot <= F.lit(0.0), F.lit(0.0))
+        .when(dot >= len2, F.lit(1.0))
+        .otherwise(dot / len2)
+    )
+    ex = px - t * dx
+    ey = py - t * dy
+    return ex * ex + ey * ey
+
+
+def _segment_arrays(polygons: list[dict[str, Any]]):
+    """(pid, ax, ay, bx, by) NumPy arrays for every ring segment, sorted by
+    poly_id (stable) so chunked argmin tie-breaks to the smallest pid."""
+    pids, ax, ay, bx, by = [], [], [], [], []
+    for poly in polygons:
+        ring = np.asarray(poly["ring"], dtype=np.float64)
+        pids.append(np.full(len(ring) - 1, int(poly["poly_id"]), dtype=np.int64))
+        ax.append(ring[:-1, 0])
+        ay.append(ring[:-1, 1])
+        bx.append(ring[1:, 0])
+        by.append(ring[1:, 1])
+    pids = np.concatenate(pids)
+    order = np.lexsort((pids,))
+    return (
+        pids[order],
+        np.concatenate(ax)[order],
+        np.concatenate(ay)[order],
+        np.concatenate(bx)[order],
+        np.concatenate(by)[order],
+    )
+
+
+def _seg_d2_np(lon, lat, ax, ay, bx, by):
+    """NumPy twin of seg_d2_expr — identical op order, elementwise IEEE."""
+    dx = bx - ax
+    dy = by - ay
+    px = lon - ax
+    py = lat - ay
+    dot = px * dx + py * dy
+    len2 = dx * dx + dy * dy
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = np.where(dot <= 0.0, 0.0, np.where(dot >= len2, 1.0, dot / len2))
+    ex = px - t * dx
+    ey = py - t * dy
+    return ex * ex + ey * ey
+
+
+def knn_edge_bruteforce(pages: DataFrame, polygons: list[dict[str, Any]]) -> DataFrame:
+    """(url, nearest poly_id, dist_sq) by exact scan over all SEGMENTS —
+    vectorized per Arrow batch; ties break to the smaller poly_id."""
+    pids, ax, ay, bx, by = _segment_arrays(polygons)
+
+    result_type = T.StructType(
+        [
+            T.StructField("poly_id", T.IntegerType()),
+            T.StructField("dist_sq", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(result_type)
+    def nearest(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lon_np = lon.to_numpy(dtype=np.float64)[:, None]
+        lat_np = lat.to_numpy(dtype=np.float64)[:, None]
+        n = len(lon_np)
+        best = np.full(n, np.inf)
+        best_pid = np.full(n, -1, dtype=np.int64)
+        for s in range(0, len(ax), BRUTEFORCE_CHUNK):
+            d2 = _seg_d2_np(
+                lon_np,
+                lat_np,
+                ax[None, s : s + BRUTEFORCE_CHUNK],
+                ay[None, s : s + BRUTEFORCE_CHUNK],
+                bx[None, s : s + BRUTEFORCE_CHUNK],
+                by[None, s : s + BRUTEFORCE_CHUNK],
+            )
+            idx = d2.argmin(axis=1)
+            dmin = d2[np.arange(n), idx]
+            take = dmin < best
+            best[take] = dmin[take]
+            best_pid[take] = pids[s : s + BRUTEFORCE_CHUNK][idx[take]]
+        return pd.DataFrame({"poly_id": best_pid.astype("int32"), "dist_sq": best})
+
+    return pages.select(
+        "url", "lat", "lon", nearest(F.col("lon"), F.col("lat")).alias("_nn")
+    ).select(
+        "url",
+        "lat",
+        "lon",
+        F.col("_nn.poly_id").alias("poly_id"),
+        F.col("_nn.dist_sq").alias("dist_sq"),
+    )
+
+
+def segment_index_df(
+    spark: SparkSession, polygons: list[dict[str, Any]], res: int = KNN_RES
+) -> DataFrame:
+    """Segments indexed by the cells of sample points at Euclidean spacing
+    <= cell_size (the broadcast side). Sampling only drives candidate
+    generation — the reported distance is always the exact segment
+    distance — so the ceil() here needs no cross-engine determinism."""
+    import math
+
+    size = cellgrid.cell_size_deg(res)
+    pids, ax, ay, bx, by = _segment_arrays(polygons)
+    rows_cell, rows = [], []
+    for i in range(len(pids)):
+        seg_len = math.hypot(bx[i] - ax[i], by[i] - ay[i])
+        n_samples = max(1, int(math.ceil(seg_len / size)))
+        seen = set()
+        for j in range(n_samples + 1):
+            t = j / n_samples
+            cell = int(
+                cellgrid.encode_np(
+                    np.array([ax[i] + t * (bx[i] - ax[i])]),
+                    np.array([ay[i] + t * (by[i] - ay[i])]),
+                    res,
+                )[0]
+            )
+            if cell not in seen:
+                seen.add(cell)
+                rows.append((cell, int(pids[i]), float(ax[i]), float(ay[i]), float(bx[i]), float(by[i])))
+    pdf = pd.DataFrame(rows, columns=["vcell", "poly_id", "ax", "ay", "bx", "by"])
+    pdf["poly_id"] = pdf["poly_id"].astype("int32")
+    return spark.createDataFrame(pdf)
+
+
+def segment_index_from_table(polygons_df: DataFrame, res: int = KNN_RES) -> DataFrame:
+    """Distributed segment index from a polygons TABLE: consecutive ring
+    points zipped into segments, sample offsets exploded with sequence(),
+    cells via the codegen cell expression — no UDF, no driver
+    materialization (the same scale shape as vertex_index_from_table)."""
+    ring = F.col("ring")
+    segs = F.zip_with(
+        F.slice(ring, 1, F.size(ring) - 1),
+        F.slice(ring, 2, F.size(ring) - 1),
+        lambda a, b: F.struct(
+            a[0].alias("ax"), a[1].alias("ay"), b[0].alias("bx"), b[1].alias("by")
+        ),
+    )
+    size = cellgrid.cell_size_deg(res)
+    seg_df = polygons_df.select(
+        F.col("poly_id").cast("int").alias("poly_id"), F.explode(segs).alias("s")
+    ).select("poly_id", "s.ax", "s.ay", "s.bx", "s.by")
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    n_samples = F.greatest(
+        F.lit(1), F.ceil(F.sqrt(dx * dx + dy * dy) / F.lit(size)).cast("int")
+    )
+    sampled = seg_df.select(
+        "poly_id",
+        "ax",
+        "ay",
+        "bx",
+        "by",
+        F.explode(F.sequence(F.lit(0), n_samples)).alias("j"),
+        n_samples.alias("n"),
+    )
+    t = F.col("j").cast("double") / F.col("n").cast("double")
+    sx = F.col("ax") + t * (F.col("bx") - F.col("ax"))
+    sy = F.col("ay") + t * (F.col("by") - F.col("ay"))
+    return sampled.select(
+        cellgrid.cell_id_col(sx, sy, res).alias("vcell"),
+        "poly_id",
+        "ax",
+        "ay",
+        "bx",
+        "by",
+    ).dropDuplicates(["vcell", "poly_id", "ax", "ay", "bx", "by"])
+
+
+def knn_edge_bruteforce_distributed(pages: DataFrame, segs: DataFrame) -> DataFrame:
+    """Exact nearest-segment scan with the segment side as a TABLE:
+    broadcast the (small) page tail against every segment partition, then
+    one min-by aggregation — the edge twin of knn_bruteforce_distributed."""
+    tail = pages.select("url", "lat", "lon")
+    return (
+        segs.crossJoin(F.broadcast(tail))
+        .select("url", "lat", "lon", "poly_id", seg_d2_expr().alias("d2"))
+        .groupBy("url")
+        .agg(
+            F.first("lat").alias("lat"),
+            F.first("lon").alias("lon"),
+            F.min(F.struct(F.col("d2"), F.col("poly_id"))).alias("_b"),
+        )
+        .select(
+            "url",
+            "lat",
+            "lon",
+            F.col("_b.poly_id").alias("poly_id"),
+            F.col("_b.d2").alias("dist_sq"),
+        )
+    )
+
+
+_SEG_PAYLOAD = ("ax", "ay", "bx", "by")
+
+
+def knn_edge_ring_expansion(
+    pages: DataFrame,
+    polygons: list[dict[str, Any]],
+    res: int = KNN_RES,
+    windows: tuple[tuple[int, int], ...] = ((0, 1), (2, 15)),
+    small_input_rows: int = SMALL_INPUT_ROWS,
+) -> DataFrame:
+    """(url, poly_id, dist_sq) with EXACT point-to-segment distance via the
+    shared ring-expansion loop over a sampled segment index (see module
+    docstring; bound_margin=0.5 accounts for the <= cell_size sampling)."""
+    spark = pages.sparkSession
+    n_segments = sum(len(p["ring"]) - 1 for p in polygons)
+
+    if small_input_rows and n_segments <= SMALL_INDEX_VERTICES:
+        probe = pages.select("url").limit(small_input_rows + 1).count()
+        if probe <= small_input_rows:
+            return knn_edge_bruteforce(pages.select("url", "lat", "lon"), polygons).select(*OUT_COLS)
+
+    sindex = segment_index_df(spark, polygons, res)
+    n_index = sindex.count()
+
+    def fallback(tail: DataFrame) -> DataFrame:
+        return knn_edge_bruteforce(tail.select("url", "lat", "lon"), polygons).select(*OUT_COLS)
+
+    return _expansion_loop(
+        pages,
+        sindex,
+        n_index,
+        res,
+        windows,
+        fallback,
+        payload_cols=_SEG_PAYLOAD,
+        d2_expr=seg_d2_expr(),
+        bound_margin=0.5,
+    )
+
+
+def knn_edge_ring_expansion_table(
+    pages: DataFrame,
+    polygons_df: DataFrame,
+    res: int = KNN_RES,
+    windows: tuple[tuple[int, int], ...] = ((0, 1), (2, 15)),
+) -> DataFrame:
+    """Edge-exact kNN with the polygon side as a TABLE end to end: segment
+    index built by distributed zip/explode + codegen cell encode, tail scan
+    over the segment TABLE — nothing polygon-shaped on the driver. Same
+    rows as knn_edge_ring_expansion (distance + tie-break contract shared)."""
+    sindex = (
+        segment_index_from_table(polygons_df, res)
+        .coalesce(pages.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+    n_index = sindex.count()
+
+    if n_index <= SMALL_INDEX_VERTICES:
+        probe = pages.select("url").limit(SMALL_INPUT_ROWS + 1).count()
+        if probe <= SMALL_INPUT_ROWS:
+            return knn_edge_bruteforce_distributed(pages, sindex).select(*OUT_COLS)
+
+    def fallback(tail: DataFrame) -> DataFrame:
+        return knn_edge_bruteforce_distributed(tail, sindex).select(*OUT_COLS)
+
+    return _expansion_loop(
+        pages,
+        sindex,
+        n_index,
+        res,
+        windows,
+        fallback,
+        payload_cols=_SEG_PAYLOAD,
+        d2_expr=seg_d2_expr(),
+        bound_margin=0.5,
+    )

@@ -135,6 +135,36 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist_sq, poly_id) A
 WHERE rn = 1"""
 
 
+def sql_knn_edge() -> str:
+    """Edge-exact kNN oracle: minimum squared point-to-SEGMENT distance
+    over the embedded edges, identical op order to operators/knn.seg_d2_expr
+    (dot/len2 projection clamped via CASE; degenerate segments hit the
+    dot <= 0 branch, so no division by zero) — every intermediate is a
+    single-rounded IEEE double, hash-identical across engines."""
+    return f"""WITH {pages_with()},
+seg AS (
+  SELECT p.url, e.poly_id,
+         (e.x2 - e.x1) AS dx, (e.y2 - e.y1) AS dyy,
+         (p.lon - e.x1) AS px, (p.lat - e.y1) AS py
+  FROM pages p JOIN {edges_values()} ON TRUE
+),
+tt AS (
+  SELECT url, poly_id, dx, dyy, px, py,
+         (px * dx + py * dyy) AS dot, (dx * dx + dyy * dyy) AS len2
+  FROM seg
+),
+dd AS (
+  SELECT url, poly_id,
+         (px - (CASE WHEN dot <= 0 THEN 0 WHEN dot >= len2 THEN 1 ELSE dot / len2 END) * dx) AS ex,
+         (py - (CASE WHEN dot <= 0 THEN 0 WHEN dot >= len2 THEN 1 ELSE dot / len2 END) * dyy) AS ey
+  FROM tt
+),
+d AS (SELECT url, poly_id, MIN(ex * ex + ey * ey) AS dist_sq FROM dd GROUP BY url, poly_id)
+SELECT url, poly_id, dist_sq
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist_sq, poly_id) AS rn FROM d)
+WHERE rn = 1"""
+
+
 def sql_tile_doc_counts(res: int = DEFAULT_TILE_RES) -> str:
     return (
         f"WITH {pages_with()} "
