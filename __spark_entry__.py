@@ -848,6 +848,26 @@ def q_inverted_index(spark, sf_dir):
     return inverted_index(_docs(spark, sf_dir))
 
 
+
+def q_repeated_grams(spark, sf_dir):
+    """Cross-document repeated 8-word grams (boilerplate/memorization
+    report) — the substring-dedup primitive. No COUNT DISTINCT expand:
+    distinct-doc counts are COUNT(*) over the pre-aggregated (doc, gram)
+    level on both engines."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import repeated_grams
+
+    return repeated_grams(_docs(spark, sf_dir))
+
+
+def q_duplicated_span_stats(spark, sf_dir):
+    """Per-document duplicated-span statistics (inputs to a span-level
+    dedup / boilerplate-ratio filter): total gram positions, distinct
+    duplicated grams, positions covered — exact BIGINTs end to end."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import duplicated_span_stats
+
+    return duplicated_span_stats(_docs(spark, sf_dir))
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-3 salient terms per document by tf x (N/df) — the exactly-
     reproducible tf-idf ranking family (no libm log); broadcast df +
@@ -1173,6 +1193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_complement": q_sample_complement,
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
+        "repeated_grams": q_repeated_grams,
+        "duplicated_span_stats": q_duplicated_span_stats,
         "kmv_distinct": q_kmv_distinct,
         "bigram_pmi": q_bigram_pmi,
         "token_rarity": q_token_rarity,
@@ -1270,6 +1292,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_complement": oracle.sql_sample_complement(),
         "inverted_index": oracle.sql_inverted_index(),
         "tfidf_topk": oracle.sql_tfidf_topk(k=3),
+        "repeated_grams": oracle.sql_repeated_grams(),
+        "duplicated_span_stats": oracle.sql_duplicated_span_stats(),
         "kmv_distinct": oracle.sql_kmv_distinct(k=16),
         "bigram_pmi": oracle.sql_bigram_pmi(top=20),
         "token_rarity": oracle.sql_token_rarity(),

@@ -24,8 +24,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (shingles), all JVM-side.
+def word_shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-grams (shingles), all JVM-side — distinct by default, or the
+    full position-ordered sequence with distinct=False (span-level ops).
 
     Built by zipping n shifted slices of the word array — O(words), and no
     reference to the (expensive) split expression inside any lambda body:
@@ -39,7 +40,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     for arr in shifted[1:]:
         zipped = F.zip_with(zipped, arr, lambda a, b: F.concat(a, F.lit(" "), b))
     grams = F.when(k > 0, zipped).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:

@@ -276,3 +276,90 @@ def token_rarity(
             "mean_token_freq"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated-span analytics (substring-dedup primitive)
+# ---------------------------------------------------------------------------
+#
+# The span-level counterpart of document-level dedup: find word n-grams that
+# recur across documents (training-data memorization / boilerplate audit —
+# the primitive behind exact-substring dedup a la Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", public method). Both
+# operators avoid COUNT(DISTINCT ...) expansion: the (doc, gram) level is
+# aggregated first, so the per-gram distinct-document count is a plain
+# COUNT(*) over one-row-per-document keys.
+
+
+def _doc_gram_counts(
+    documents: DataFrame, width: int, key_col: str, text_col: str
+) -> DataFrame:
+    """(key, gram, n_pos): occurrence count of every width-word gram per
+    document. Docs shorter than `width` words contribute nothing (and are
+    absent from downstream outputs — documented contract). One shuffle on
+    (key, gram) with map-side partial aggregation."""
+    from .dedup import word_shingles
+
+    grams = word_shingles(F.col(text_col), width, distinct=False)
+    return (
+        documents.select(F.col(key_col).alias("key"), F.explode(grams).alias("gram"))
+        .groupBy("key", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pos"))
+    )
+
+
+def repeated_grams(
+    documents: DataFrame,
+    width: int = 8,
+    min_docs: int = 2,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(gram, n_docs, n_occ) for width-word grams appearing in >= min_docs
+    DISTINCT documents — the corpus boilerplate/memorization report.
+
+    Scale shape: two map-side-partial shuffles ((key, gram) then gram);
+    n_docs is a COUNT(*) over the pre-aggregated per-document rows, so no
+    distinct-aggregate expand ever touches the corpus-sized gram stream.
+    The min_docs filter bounds the output to actually-repeated grams."""
+    dg = _doc_gram_counts(documents, width, key_col, text_col)
+    return (
+        dg.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_pos").cast("bigint").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= F.lit(min_docs))
+    )
+
+
+def duplicated_span_stats(
+    documents: DataFrame,
+    width: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span statistics: (key, n_grams,
+    n_dup_grams, n_dup_positions) where a gram is 'duplicated' if it occurs
+    in >= 2 distinct documents. n_grams counts all gram positions,
+    n_dup_grams the distinct duplicated grams, n_dup_positions the
+    positions covered by them — the inputs to a span-level dedup or
+    boilerplate-ratio filter. Docs shorter than `width` words are absent.
+
+    Scale shape: the (doc, gram) level aggregates before anything joins;
+    the per-gram n_docs table has ONE row per distinct gram, so the
+    join-back is a plain shuffle equi-join on gram with no fan-out (hot
+    boilerplate grams multiply only on their true per-document row count),
+    and exact BIGINT counts flow end to end."""
+    dg = _doc_gram_counts(documents, width, key_col, text_col)
+    gd = dg.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    dup = F.col("n_docs") >= F.lit(2)
+    return (
+        dg.join(gd, "gram")
+        .groupBy("key")
+        .agg(
+            F.sum("n_pos").cast("bigint").alias("n_grams"),
+            F.sum(F.when(dup, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias("n_dup_grams"),
+            F.sum(F.when(dup, F.col("n_pos")).otherwise(F.lit(0))).cast("bigint").alias("n_dup_positions"),
+        )
+    )

@@ -1442,6 +1442,41 @@ SELECT term, COUNT(*) AS doc_freq,
 FROM p GROUP BY term"""
 
 
+def _doc_gram_counts_cte(width: int) -> str:
+    """Shared (doc, gram, n_pos) CTE body for the repeated-span oracles:
+    positional width-word grams via list slicing (DuckDB slices are
+    1-based, end-inclusive), counts exact BIGINT."""
+    return f"""w AS (SELECT doc_id AS key, {_WORDS} AS words FROM documents),
+g AS (
+  SELECT key, UNNEST(list_transform(generate_series(1, len(words) - {width - 1}),
+                                    i -> array_to_string(words[i : i + {width - 1}], ' '))) AS gram
+  FROM w WHERE len(words) >= {width}
+),
+dg AS (SELECT key, gram, CAST(COUNT(*) AS BIGINT) AS n_pos FROM g GROUP BY key, gram)"""
+
+
+def sql_repeated_grams(width: int = 8, min_docs: int = 2) -> str:
+    """terms.repeated_grams twin: per-gram distinct-doc count as a plain
+    COUNT(*) over the pre-aggregated (doc, gram) rows — independent SQL,
+    same no-COUNT-DISTINCT-expand semantics."""
+    return f"""WITH {_doc_gram_counts_cte(width)}
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_pos) AS BIGINT) AS n_occ
+FROM dg GROUP BY gram HAVING COUNT(*) >= {min_docs}"""
+
+
+def sql_duplicated_span_stats(width: int = 8) -> str:
+    """terms.duplicated_span_stats twin: join the one-row-per-gram n_docs
+    table back to the (doc, gram) level, aggregate per document. Exact
+    BIGINTs end to end (SUM widens to HUGEINT -> cast back)."""
+    return f"""WITH {_doc_gram_counts_cte(width)},
+gd AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dg GROUP BY gram)
+SELECT dg.key AS key,
+       CAST(SUM(dg.n_pos) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       CAST(SUM(CASE WHEN gd.n_docs >= 2 THEN dg.n_pos ELSE 0 END) AS BIGINT) AS n_dup_positions
+FROM dg JOIN gd USING (gram) GROUP BY dg.key"""
+
+
 def sql_tfidf_topk(k: int = 3) -> str:
     """terms.tfidf_topk twin: score = CAST(tf) * (CAST(n_docs) / CAST(df))
     with the identical parenthesization — three single-rounded IEEE ops on

@@ -680,3 +680,29 @@ def test_quantization_error_plan_no_reinline_and_inplace_guard(spark, tmp_path):
     assert plan.count("array_max") == 2
     with pytest.raises(ValueError, match="distinct out_dir"):
         compact_parquet(spark, str(tmp_path / "d"), str(tmp_path / "d"))
+
+
+def test_repeated_span_operators_hand_case(spark):
+    """Hand-computable repeated-span case: 'a b c' recurs across three
+    docs (twice in one of them); too-short docs are absent by contract."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import (
+        duplicated_span_stats,
+        repeated_grams,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),  # grams: "a b c", "b c d"
+            (1, "x a b c"),  # grams: "x a b", "a b c"
+            (2, "q r"),  # shorter than width: absent
+            (3, "a b c a b c"),  # grams: "a b c" x2, "b c a", "c a b"
+        ],
+        "doc_id bigint, text string",
+    )
+    rg = {r["gram"]: (r["n_docs"], r["n_occ"]) for r in repeated_grams(df, width=3).collect()}
+    assert rg == {"a b c": (3, 4)}
+    ds = {
+        r["key"]: (r["n_grams"], r["n_dup_grams"], r["n_dup_positions"])
+        for r in duplicated_span_stats(df, width=3).collect()
+    }
+    assert ds == {0: (2, 1, 1), 1: (2, 1, 1), 3: (4, 1, 2)}

@@ -79,7 +79,40 @@ def _job_terms(spark, data_dir: str):
     return docs, lambda: tfidf_topk(docs, k=3, broadcast_vocab=False).count()
 
 
-JOBS = {"spatial": _job_spatial, "dedup": _job_dedup, "terms": _job_terms}
+def synth_edges(spark, n: int):
+    """Deterministic random graph for the triangle-count scaling job:
+    n edges over n/8 nodes (avg undirected degree ~16), endpoints from md5
+    chunks — same no-RNG-state convention as every synthetic source."""
+    from pyspark.sql import functions as F
+
+    v = max(n // 8, 1)
+
+    def h(salt: str):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(salt))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % v
+        )
+
+    return spark.range(n).select(h("-s").alias("src"), h("-d").alias("dst"))
+
+
+def _job_graph(spark, data_dir: str):
+    """Triangle counting — the ITERATIVE/graph operator family (r3 VERDICT
+    item 6: spatial, dedup, terms and launch-mode had N->4N rows; the
+    multi-join graph algorithms had none). Work is dominated by the
+    degree-ordered wedge build + closing probe: three shuffling equi-joins
+    over the edge table, the opposite shape from the one-pass scan jobs."""
+    from openaip_yaixm_to_geojson_spark.operators.graph import triangle_count
+
+    edges = spark.read.parquet(data_dir)
+    return edges, lambda: triangle_count(edges).count()
+
+
+JOBS = {"spatial": _job_spatial, "dedup": _job_dedup, "terms": _job_terms, "graph": _job_graph}
 
 
 def measure(cores: int, data_dir: str, reps: int, job: str = "spatial") -> dict:
@@ -107,6 +140,25 @@ def measure(cores: int, data_dir: str, reps: int, job: str = "spatial") -> dict:
     }
 
 
+def _splice_section(marker: str, md: str) -> None:
+    """Replace this writer's own BENCH.md section in place (marker .. next
+    '\\n## ' heading or EOF), appending if absent — the same
+    only-touch-your-own-section contract the launch-mode writer follows."""
+    path = os.path.join(REPO, "BENCH.md")
+    text = open(path).read() if os.path.exists(path) else ""
+    start = text.find(marker)
+    if start == -1:
+        with open(path, "a") as fh:
+            fh.write(md)
+        return
+    nxt = text.find("\n## ", start + len(marker))
+    end = len(text) if nxt == -1 else nxt + 1  # keep the next heading's newline
+    # md carries its own leading blank lines; strip the old section cleanly
+    new = text[:start].rstrip("\n") + md + ("" if nxt == -1 else text[end - 1 :])
+    with open(path, "w") as fh:
+        fh.write(new)
+
+
 def main() -> None:
     docs = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -120,7 +172,12 @@ def main() -> None:
     pages_dir = tempfile.mkdtemp(prefix="scaling_pages_")
     gen = build_session(app_name="scaling-datagen", master="local[32]", shuffle_partitions=32)
     gen.sparkContext.setLogLevel("ERROR")
-    source = synth_pages(gen, docs, with_payload=False) if job == "spatial" else synth_docs(gen, docs)
+    if job == "spatial":
+        source = synth_pages(gen, docs, with_payload=False)
+    elif job == "graph":
+        source = synth_edges(gen, docs)
+    else:
+        source = synth_docs(gen, docs)
 
     source.write.mode("overwrite").parquet(pages_dir)
     gen.stop()
@@ -159,6 +216,29 @@ def main() -> None:
         "efficiency": round(efficiency, 3),
     }
     print(json.dumps(summary))
+
+    if job == "graph":
+        md = f"""
+
+## Fourth evidence: triangle counting — iterative/graph family (N vs 4N)
+
+Same methodology, fourth operator family: {small['n_docs']:,} synthetic
+edges over {small['n_docs'] // 8:,} nodes (deterministic md5 endpoints,
+avg undirected degree ~16) -> dedupe/orient by (degree, id) -> wedge
+build -> closing-edge probe; three shuffling equi-joins, the opposite
+shape from the one-pass scan jobs. Vertex-triangle-count rows forced.
+
+| config | best wall (s) | edges/sec | samples (s) |
+| --- | --- | --- | --- |
+| local[{n_small}] (N) | {small['best_sec']} | {small['docs_per_sec']:,} | {small['samples_sec']} |
+| local[{n_big}] (4N) | {big['best_sec']} | {big['docs_per_sec']:,} | {big['samples_sec']} |
+
+**Speedup {n_small}->{n_big}: {speedup:.2f}x — scaling efficiency {efficiency:.3f}**
+
+Raw: `{json.dumps(summary)}`
+"""
+        _splice_section("## Fourth evidence:", md)
+        return
 
     if job == "terms":
         md = f"""
