@@ -124,6 +124,29 @@ def q_spatial_join_table(spark, sf_dir):
     )
 
 
+
+def q_polygon_overlap(spark, sf_dir):
+    """Polygon-polygon overlap join (airspace conflict pairs): cover
+    self-join candidates -> exact refine with the even-odd + proper-cross
+    predicate FORMULATION-shared with the oracle (deterministic even on
+    abutting sectors sharing boundary edges)."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import polygon_overlap_pairs
+
+    return polygon_overlap_pairs(spark, fixture_polygons())
+
+
+def q_polygon_overlap_table(spark, sf_dir):
+    """Overlap join with the polygon side a TABLE end to end (distributed
+    polyfill cover + ring-attach joins + mapInPandas refine) — nothing
+    polygon-shaped on the driver; same oracle as polygon_overlap."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        polygon_overlap_pairs_table,
+        polygons_to_df,
+    )
+
+    return polygon_overlap_pairs_table(polygons_to_df(spark, fixture_polygons()))
+
+
 def q_join_count_by_airspace(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir)
     return (
@@ -1130,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_compact": q_spatial_join_compact,
         "spatial_join_compact_table": q_spatial_join_compact_table,
         "join_count_by_airspace": q_join_count_by_airspace,
+        "polygon_overlap": q_polygon_overlap,
+        "polygon_overlap_table": q_polygon_overlap_table,
         "knn": q_knn,
         "knn_table": q_knn_table,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1229,6 +1254,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_compact": oracle.sql_spatial_join(),
         "spatial_join_compact_table": oracle.sql_spatial_join(),
         "join_count_by_airspace": oracle.sql_join_count_by_airspace(),
+        "polygon_overlap": oracle.sql_polygon_overlap_pairs(),
+        "polygon_overlap_table": oracle.sql_polygon_overlap_pairs(),
         "knn": oracle.sql_knn(),
         "knn_table": oracle.sql_knn(),
         "knn_bruteforce": oracle.sql_knn(),

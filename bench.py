@@ -117,11 +117,16 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     pages = pages_from_documents(spark, SF_DIR)
 
+    from openaip_yaixm_to_geojson_spark.operators.dedup import simhash64
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_edge_ring_expansion
+
     timed("spatial_join_sf", lambda: spatial_join(pages, polys).count())
     timed("knn_sf", lambda: knn_ring_expansion(pages, polys).count())
+    timed("knn_edge_sf", lambda: knn_edge_ring_expansion(pages, polys).count())
     timed("dedup_exact", lambda: exact_dedup(docs).count())
     timed("minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs).count())
     timed("simhash", lambda: docs.select(simhash16(F.col("text"))).count())
+    timed("simhash64", lambda: docs.select(simhash64(F.col("text"))).count())
     timed("text_analyze", lambda: analyze_documents(docs).select(F.max("n_tokens_bpe")).count())
     timed(
         "ann_topk",
@@ -160,8 +165,11 @@ def main() -> None:
     )
     from openaip_yaixm_to_geojson_spark.operators.relational import corpus_cube
 
+    from openaip_yaixm_to_geojson_spark.operators.terms import repeated_grams
+
     timed("triangle_count", lambda: triangle_count(synth_link_graph(docs)).count())
     timed("corpus_cube", lambda: corpus_cube(docs).count())
+    timed("repeated_grams", lambda: repeated_grams(docs).count())
     timed(
         "pack_documents",
         lambda: pack_documents(docs, capacity=512, n_streams=8).count(),

@@ -428,3 +428,135 @@ def choose_salt(pages: DataFrame, res: int = DEFAULT_JOIN_RES, rows_per_task: in
     clamped to [1, 64]. Same data -> same plan at any parallelism."""
     hottest = cell_histogram(pages, res).agg(F.max("n_pages")).first()[0] or 0
     return int(max(1, min(64, -(-hottest // rows_per_task))))
+
+
+# ---------------------------------------------------------------------------
+# polygon-polygon overlap join (airspace conflict pairs)
+# ---------------------------------------------------------------------------
+#
+# Overlap predicate (shared FORMULATION with the SQL oracle — not merely
+# equivalent semantics): pair (A, B) overlaps iff
+#   (a) some ring vertex of A is inside B by the EVEN-ODD crossing test
+#       written with the oracle's exact op order
+#       (px < x1 + (x2 - x1) * (py - y1) / (y2 - y1)), or vice versa; or
+#   (b) some edge of A PROPERLY crosses an edge of B: strict sign tests on
+#       cross products (d1*d2 < 0 AND d3*d4 < 0) — no division at all.
+# Every comparison is on doubles computed by the identical single-rounded
+# IEEE sequence in NumPy and DuckDB, so even boundary-degenerate inputs
+# (abutting sectors sharing edges/vertices — common in real airspace)
+# produce the SAME verdict in both engines. Geometrically, pairs that only
+# TOUCH (shared edge, disjoint interiors) may report either way — that is
+# a property of float predicates, documented here, deterministic across
+# engines; exactness on degenerate inputs would need rational arithmetic.
+#
+# Candidate completeness: if the predicate holds there is a witness point
+# q on both polygons' closed regions (a vertex of one inside the other, or
+# a crossing point), so cell(q) intersects both rings and both cell COVERS
+# contain it — the cover self-join on `cell` never misses a true pair.
+
+
+def _even_odd_inside_np(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd crossing parity, op-for-op the SQL oracle's formula."""
+    x1 = ring[:-1, 0][None, :]
+    y1 = ring[:-1, 1][None, :]
+    x2 = ring[1:, 0][None, :]
+    y2 = ring[1:, 1][None, :]
+    pxc = px[:, None]
+    pyc = py[:, None]
+    straddle = (y1 > pyc) != (y2 > pyc)
+    # the divide only matters where straddle (y2 != y1); elsewhere inf/nan
+    # sentinels are masked out
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        xcross = x1 + (x2 - x1) * (pyc - y1) / (y2 - y1)
+    cnt = (straddle & (pxc < xcross)).sum(axis=1)
+    return (cnt % 2) == 1
+
+
+def _proper_cross_np(A: np.ndarray, B: np.ndarray) -> bool:
+    """Any strict edge crossing between rings A and B (sign tests only)."""
+    ax1 = A[:-1, 0][:, None]
+    ay1 = A[:-1, 1][:, None]
+    ax2 = A[1:, 0][:, None]
+    ay2 = A[1:, 1][:, None]
+    bx1 = B[:-1, 0][None, :]
+    by1 = B[:-1, 1][None, :]
+    bx2 = B[1:, 0][None, :]
+    by2 = B[1:, 1][None, :]
+    d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+    d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    return bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0)))
+
+
+def _rings_overlap_np(A: np.ndarray, B: np.ndarray) -> bool:
+    if _even_odd_inside_np(A[:-1, 0], A[:-1, 1], B).any():
+        return True
+    if _even_odd_inside_np(B[:-1, 0], B[:-1, 1], A).any():
+        return True
+    return _proper_cross_np(A, B)
+
+
+def _overlap_candidates(cover: DataFrame) -> DataFrame:
+    """Distinct (poly_a < poly_b) pairs whose covers share a cell — the
+    same equi-join shuffle shape as every other spatial candidate step."""
+    a = cover.select(F.col("cell"), F.col("poly_id").alias("poly_a"))
+    b = cover.select(F.col("cell"), F.col("poly_id").alias("poly_b"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("poly_a") < F.col("poly_b"))
+        .select("poly_a", "poly_b")
+        .distinct()
+    )
+
+
+def polygon_overlap_pairs(
+    spark: SparkSession, polygons: list[dict[str, Any]], res: int = DEFAULT_JOIN_RES
+) -> DataFrame:
+    """(poly_a, poly_b) pairs of overlapping polygons, driver-list variant:
+    candidates from the cover self-join, exact refine per pair with the
+    rings held in the UDF closure (vectorized vertex-in + edge-cross per
+    candidate — candidates are few, each test O(|A| * |B|) NumPy)."""
+    rings = {int(p["poly_id"]): np.asarray(p["ring"], dtype=np.float64) for p in polygons}
+    cover = polygon_cover_df(spark, polygons, res).select("cell", "poly_id")
+
+    @F.pandas_udf(T.BooleanType())
+    def overlaps(pa: pd.Series, pb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_rings_overlap_np(rings[int(x)], rings[int(y)]) for x, y in zip(pa, pb)]
+        )
+
+    return _overlap_candidates(cover).where(overlaps(F.col("poly_a"), F.col("poly_b")))
+
+
+def polygon_overlap_pairs_table(polygons_df: DataFrame, res: int = DEFAULT_JOIN_RES) -> DataFrame:
+    """Overlap pairs with the polygon side a TABLE end to end: distributed
+    polyfill cover -> cover self-join candidates -> ring arrays attached by
+    two equi-joins on poly_id -> mapInPandas exact refine. Nothing
+    polygon-shaped touches the driver; ring payloads travel only on the
+    (few) candidate pairs."""
+    cover = polygon_cover_distributed(polygons_df, res).select("cell", "poly_id")
+    cand = _overlap_candidates(cover)
+    rings = polygons_df.select(F.col("poly_id").cast("int").alias("poly_id"), "ring")
+    cand = (
+        cand.join(rings.withColumnRenamed("poly_id", "poly_a").withColumnRenamed("ring", "ring_a"), "poly_a")
+        .join(rings.withColumnRenamed("poly_id", "poly_b").withColumnRenamed("ring", "ring_b"), "poly_b")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("poly_a", T.IntegerType()),
+            T.StructField("poly_b", T.IntegerType()),
+        ]
+    )
+
+    def refine(batches):
+        for pdf in batches:
+            keep = []
+            for row in pdf.itertuples(index=False):
+                A = np.vstack([np.asarray(pt, dtype=np.float64) for pt in row.ring_a])
+                B = np.vstack([np.asarray(pt, dtype=np.float64) for pt in row.ring_b])
+                keep.append(_rings_overlap_np(A, B))
+            yield pdf.loc[keep, ["poly_a", "poly_b"]]
+
+    return cand.mapInPandas(refine, schema=out_schema)

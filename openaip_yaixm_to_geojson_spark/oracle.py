@@ -135,6 +135,38 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist_sq, poly_id) A
 WHERE rn = 1"""
 
 
+def sql_polygon_overlap_pairs() -> str:
+    """Polygon-overlap oracle over the embedded edges, formulation-shared
+    with operators/spatial._rings_overlap_np: even-odd vertex containment
+    (the pip_hits_cte op order) OR a strict proper edge crossing
+    (d1*d2 < 0 AND d3*d4 < 0 sign tests, no division) — identical IEEE
+    sequences in both engines, so boundary-degenerate abutting sectors get
+    the same deterministic verdict. Candidates here are ALL pairs (the
+    oracle is independent of the engine's cover-join candidate step)."""
+    d1 = "((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))"
+    d2 = "((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1))"
+    d3 = "((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))"
+    d4 = "((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1))"
+    return f"""WITH e AS (SELECT * FROM {edges_values()}),
+verts AS (SELECT DISTINCT poly_id, x1 AS vx, y1 AS vy FROM e),
+vin AS (
+  SELECT LEAST(v.poly_id, e.poly_id) AS poly_a, GREATEST(v.poly_id, e.poly_id) AS poly_b
+  FROM verts v JOIN e ON e.poly_id <> v.poly_id
+  GROUP BY v.poly_id, e.poly_id, v.vx, v.vy
+  HAVING SUM(CASE WHEN (e.y1 > v.vy) <> (e.y2 > v.vy)
+              THEN (CASE WHEN v.vx < e.x1 + (e.x2 - e.x1) * (v.vy - e.y1) / (e.y2 - e.y1)
+                    THEN 1 ELSE 0 END)
+              ELSE 0 END) % 2 = 1
+),
+xs AS (
+  SELECT a.poly_id AS poly_a, b.poly_id AS poly_b
+  FROM e a JOIN e b ON a.poly_id < b.poly_id
+  WHERE {d1} * {d2} < 0 AND {d3} * {d4} < 0
+)
+SELECT DISTINCT poly_a, poly_b
+FROM (SELECT poly_a, poly_b FROM vin UNION ALL SELECT poly_a, poly_b FROM xs)"""
+
+
 def sql_knn_edge() -> str:
     """Edge-exact kNN oracle: minimum squared point-to-SEGMENT distance
     over the embedded edges, identical op order to operators/knn.seg_d2_expr
