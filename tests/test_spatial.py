@@ -583,3 +583,41 @@ def test_knn_edge_degenerate_and_boundary(spark):
     out = {r["url"]: r["dist_sq"] for r in knn_edge_bruteforce(pages, polygons).collect()}
     assert out["on_seg"] == 0.0
     assert abs(out["off"] - 1.0) < 1e-12  # nearest point is vertex (1,1)
+
+
+def test_polygon_overlap_pairs(spark):
+    """Overlap join: vertex-containment overlaps, crossing-only overlaps
+    (the plus/cross case — NO vertex of either inside the other), and
+    disjoint pairs; list and TABLE variants agree row-for-row."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        polygon_overlap_pairs,
+        polygon_overlap_pairs_table,
+        polygons_to_df,
+    )
+
+    def box(pid, x0, y0, x1, y1):
+        return {
+            "poly_id": pid,
+            "name": f"B{pid}",
+            "type": "CTA",
+            "class": "D",
+            "ring": [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+        }
+
+    polys = [
+        box(1, 0.0, 0.0, 2.0, 2.0),      # overlaps 2 (vertex-in)
+        box(2, 1.0, 1.0, 3.0, 3.0),
+        # cross pair: tall thin box x wide flat box — every vertex of each
+        # is OUTSIDE the other; only proper edge crossings connect them
+        box(3, 10.0, 8.0, 11.0, 13.0),
+        box(4, 8.0, 10.0, 13.0, 11.0),
+        box(5, 20.0, 20.0, 21.0, 21.0),  # disjoint from everything
+    ]
+    expected = {(1, 2), (3, 4)}
+    got = {(r["poly_a"], r["poly_b"]) for r in polygon_overlap_pairs(spark, polys).collect()}
+    assert got == expected
+    got_tab = {
+        (r["poly_a"], r["poly_b"])
+        for r in polygon_overlap_pairs_table(polygons_to_df(spark, polys)).collect()
+    }
+    assert got_tab == expected
