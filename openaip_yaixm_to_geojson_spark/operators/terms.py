@@ -292,17 +292,24 @@ def token_rarity(
 
 
 def _doc_gram_counts(
-    documents: DataFrame, width: int, key_col: str, text_col: str
+    documents: DataFrame, width: int, key_col: str, text_col: str, hash_grams: bool = False
 ) -> DataFrame:
     """(key, gram, n_pos): occurrence count of every width-word gram per
     document. Docs shorter than `width` words contribute nothing (and are
     absent from downstream outputs — documented contract). One shuffle on
-    (key, gram) with map-side partial aggregation."""
+    (key, gram) with map-side partial aggregation.
+
+    hash_grams=True replaces the gram text with its md5 digest BEFORE the
+    first shuffle — a width-8 gram is ~50+ bytes vs the fixed 32-char
+    digest, so every downstream shuffle/join key shrinks (the exact_dedup
+    digest-key precedent). Only for callers that never output gram text."""
     from .dedup import word_shingles
 
     grams = word_shingles(F.col(text_col), width, distinct=False)
+    gram = F.md5(F.col("_g")) if hash_grams else F.col("_g")
     return (
-        documents.select(F.col(key_col).alias("key"), F.explode(grams).alias("gram"))
+        documents.select(F.col(key_col).alias("key"), F.explode(grams).alias("_g"))
+        .select("key", gram.alias("gram"))
         .groupBy("key", "gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pos"))
     )
@@ -350,8 +357,9 @@ def duplicated_span_stats(
     the per-gram n_docs table has ONE row per distinct gram, so the
     join-back is a plain shuffle equi-join on gram with no fan-out (hot
     boilerplate grams multiply only on their true per-document row count),
-    and exact BIGINT counts flow end to end."""
-    dg = _doc_gram_counts(documents, width, key_col, text_col)
+    and exact BIGINT counts flow end to end. Gram text never appears in
+    the output, so grams shuffle as md5 digests (hash_grams)."""
+    dg = _doc_gram_counts(documents, width, key_col, text_col, hash_grams=True)
     gd = dg.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     dup = F.col("n_docs") >= F.lit(2)
     return (
