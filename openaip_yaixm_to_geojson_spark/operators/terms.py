@@ -356,10 +356,20 @@ def duplicated_span_stats(
     Scale shape: the (doc, gram) level aggregates before anything joins;
     the per-gram n_docs table has ONE row per distinct gram, so the
     join-back is a plain shuffle equi-join on gram with no fan-out (hot
-    boilerplate grams multiply only on their true per-document row count),
-    and exact BIGINT counts flow end to end. Gram text never appears in
-    the output, so grams shuffle as md5 digests (hash_grams)."""
-    dg = _doc_gram_counts(documents, width, key_col, text_col, hash_grams=True)
+    boilerplate grams multiply only on their true per-document row count,
+    and AQE's skew-join split applies — a window-over-gram formulation
+    would pin each hot gram to a single task with no such backstop), and
+    exact BIGINT counts flow end to end. Gram text never appears in the
+    output, so grams shuffle as md5 digests (hash_grams).
+
+    The (doc, gram) level feeds BOTH the per-gram count and the join, and
+    its two consumers optimize to different subtrees (distinct-style vs
+    counting aggregate), so exchange reuse can never kick in — without a
+    materialization the corpus-sized explode + aggregate runs TWICE (the
+    known fan-out-reuse trap). localCheckpoint pins it to one pass; the
+    checkpointed rows are (digest, digest, count) — far narrower than the
+    text they derive from."""
+    dg = _doc_gram_counts(documents, width, key_col, text_col, hash_grams=True).localCheckpoint()
     gd = dg.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     dup = F.col("n_docs") >= F.lit(2)
     return (

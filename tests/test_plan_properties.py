@@ -165,3 +165,49 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_repeated_grams_two_shuffles_pure_codegen(spark):
+    from openaip_yaixm_to_geojson_spark.operators.terms import repeated_grams
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(repeated_grams(docs))
+    # (key, gram) aggregate + per-gram aggregate: exactly two exchanges,
+    # one parquet scan, no Python anywhere
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("FileScan parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_duplicated_span_stats_single_pass_materialized(spark):
+    """The (doc, gram) level feeds two consumers whose subtrees optimize
+    differently (no exchange reuse possible) — without the localCheckpoint
+    the corpus-sized explode + aggregate ran TWICE (caught in r4: two
+    FileScan/Generate pairs in the executed plan)."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import duplicated_span_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(duplicated_span_stats(docs))
+    # downstream of the checkpoint: no rescan, no re-explode
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("Generate explode") == 0
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_knn_edge_fast_path_no_shuffle(spark, pages):
+    from openaip_yaixm_to_geojson_spark.functions.convert_local import fixture_polygons
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_edge_ring_expansion
+
+    plan = plan_of(knn_edge_ring_expansion(pages, fixture_polygons()))
+    # tiny-input exact path: one Arrow batch scan, zero exchanges
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_simhash64_kernel_no_shuffle(spark):
+    from openaip_yaixm_to_geojson_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(docs.select(simhash64(F.col("text"))))
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
