@@ -469,6 +469,18 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
+
+def q_lsh_recall_monitor(spark, sf_dir):
+    """Sampled LSH recall report (production monitoring loop): exact
+    all-pairs Jaccard truth within a deterministic md5 sample vs the
+    banded MinHash operator over the same sample — one row of exact
+    counts. Oracle recomputes the miss count with an independent
+    anti-join."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import lsh_recall_monitor
+
+    return lsh_recall_monitor(_docs(spark, sf_dir))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Banded SimHash near-dup pairs vs an EXHAUSTIVE all-pairs oracle —
     green only if the pigeonhole banding loses nothing."""
@@ -1186,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "lsh_recall_monitor": q_lsh_recall_monitor,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1287,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": oracle.sql_ngram_jaccard_pairs(),
         "dedup_clusters": oracle.sql_dedup_clusters(),
         "simhash": oracle.sql_simhash(),
+        "lsh_recall_monitor": oracle.sql_lsh_recall_monitor(),
         "simhash64": oracle.sql_simhash64(),
         "simhash64_pairs": oracle.sql_simhash64_pairs(),
         "simhash_pairs": oracle.sql_simhash_pairs(),

@@ -542,3 +542,62 @@ def simhash_neardup_pairs(
         .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"), "hamming")
         .dropDuplicates(["key_a", "key_b"])
     )
+
+
+def lsh_recall_monitor(
+    documents: DataFrame,
+    sample_mod: int = 4,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """One-row LSH recall report over a deterministic corpus sample:
+    (n_sampled, n_true_pairs, n_found_pairs, n_missed_pairs).
+
+    The production monitoring loop for banded MinHash: LSH recall is a
+    tunable (bands/rows trade-off), so a pipeline should MEASURE it —
+    sample docs by md5 (deterministic, no RNG state), compute the exact
+    all-pairs Jaccard truth WITHIN the sample, run the identical LSH
+    operator over the same sample, and report counts. Verified LSH pairs
+    are a subset of truth (candidates are re-checked against the exact
+    Jaccard), so n_missed = n_true - n_found; the oracle recomputes it
+    with an independent anti-join.
+
+    Scale shape: the all-pairs truth is O(sample^2) BY DESIGN — pick
+    sample_mod so the sample stays ~10^4 docs; everything stays in
+    DataFrames (three one-row aggregates cross-joined, nothing collected).
+    The sample is localCheckpoint-ed: it feeds three consumers and would
+    otherwise rescan the corpus three times (the fan-out-reuse trap)."""
+    hex8 = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+    sample = documents.where(hex8 % F.lit(sample_mod) == 0).localCheckpoint()
+
+    docs = sample.select(
+        F.col(key_col).alias("key"),
+        word_shingles(F.col(text_col)).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    jaccard = F.size(F.array_intersect("a.shingles", "b.shingles")) / F.size(
+        F.array_union("a.shingles", "b.shingles")
+    )
+    truth = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.col("a.key") < F.col("b.key"))
+        .where(jaccard.cast("double") >= F.lit(jaccard_threshold))
+    )
+    found = minhash_lsh_pairs(
+        sample,
+        text_col=text_col,
+        key_col=key_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    n_sampled = sample.agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    n_found = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found_pairs"))
+    return (
+        n_sampled.crossJoin(n_true)
+        .crossJoin(n_found)
+        .withColumn("n_missed_pairs", (F.col("n_true_pairs") - F.col("n_found_pairs")).cast("bigint"))
+    )

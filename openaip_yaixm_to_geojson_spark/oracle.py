@@ -607,13 +607,16 @@ SELECT doc_id, concat_ws('|', {cols}) AS signature FROM sig"""
 
 
 def sql_minhash_lsh_pairs(
-    num_hashes: int = 16, bands: int = 8, jaccard_threshold: float = 0.5
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    source: str = "documents",
 ) -> str:
     rows_per_band = num_hashes // bands
     sig_exprs = ", ".join(f"{e} AS h{j}" for j, e in enumerate(_minhash_exprs(num_hashes)))
     sig_list = "[" + ", ".join(f"h{j}" for j in range(num_hashes)) + "]"
     return f"""
-WITH sh AS (SELECT doc_id AS key, {SHINGLES_EXPR} AS shingles FROM documents),
+WITH sh AS (SELECT doc_id AS key, {SHINGLES_EXPR} AS shingles FROM {source}),
 hashed AS (SELECT key, shingles, {_minhash_hashes_expr()} AS hs FROM sh WHERE len(shingles) > 0),
 sig AS (SELECT key, shingles, {sig_exprs} FROM hashed),
 banded AS (
@@ -630,6 +633,44 @@ SELECT key_a, key_b,
        CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) AS jaccard
 FROM cands
 WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= {jaccard_threshold!r}"""
+
+
+def sql_lsh_recall_monitor(
+    sample_mod: int = 4,
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> str:
+    """dedup.lsh_recall_monitor twin: deterministic md5 sample -> exact
+    all-pairs Jaccard truth -> LSH pairs over the same sample (the shared
+    minhash oracle parameterized on the sample CTE) -> one-row counts.
+    n_missed is computed by an ANTI-join of truth against found here (the
+    engine uses n_true - n_found; equal because verified LSH pairs are a
+    subset of truth), keeping the oracle independent."""
+    sample = f"(SELECT * FROM documents WHERE {_hex8_sql('CAST(doc_id AS VARCHAR)')} % {sample_mod} = 0)"
+    jac = (
+        "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)"
+    )
+    lsh = sql_minhash_lsh_pairs(num_hashes, bands, jaccard_threshold, source="smp")
+    return f"""
+WITH smp AS (SELECT * FROM {sample} t),
+tsh0 AS (SELECT doc_id AS key, {SHINGLES_EXPR} AS shingles FROM smp),
+tsh AS (SELECT key, shingles FROM tsh0 WHERE len(shingles) > 0),
+truth AS (
+  SELECT a.key AS key_a, b.key AS key_b
+  FROM tsh a JOIN tsh b ON a.key < b.key
+  WHERE {jac} >= {jaccard_threshold!r}
+),
+found AS ({lsh}),
+missed AS (
+  SELECT t.key_a, t.key_b FROM truth t
+  ANTI JOIN found f ON t.key_a = f.key_a AND t.key_b = f.key_b
+)
+SELECT CAST((SELECT COUNT(*) FROM smp) AS BIGINT) AS n_sampled,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found_pairs,
+       CAST((SELECT COUNT(*) FROM missed) AS BIGINT) AS n_missed_pairs"""
 
 
 def sql_ngram_jaccard_pairs(threshold: float = 0.3) -> str:

@@ -817,3 +817,22 @@ def test_pagerank_int_matches_numpy_recurrence(spark):
     # hub nodes (src % 10 targets) must outrank the damping-floor nodes
     assert max(got.values()) > min(got.values())
     assert max(got, key=got.get) < 10
+
+
+def test_lsh_recall_monitor_counts_and_forced_miss(spark):
+    """The recall monitor reports exact counts: with 8 bands the moderate
+    pair is found (recall 1); with a single 16-row band the same pair needs
+    all 16 minhashes equal and is deterministically missed (md5-derived
+    signatures, no RNG) — the exact situation the monitor exists to
+    surface."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import lsh_recall_monitor
+
+    words = [f"w{i}" for i in range(40)]
+    near_a = " ".join(words)
+    near_b = " ".join(words[:30] + [f"z{i}" for i in range(10)])
+    rows = [(0, near_a), (4, near_b), (8, "c1 c2 c3 c4 c5"), (12, "solo text here completely different")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    found = lsh_recall_monitor(df, sample_mod=1, bands=8).collect()[0]
+    assert (found["n_sampled"], found["n_true_pairs"], found["n_found_pairs"], found["n_missed_pairs"]) == (4, 1, 1, 0)
+    missed = lsh_recall_monitor(df, sample_mod=1, bands=1).collect()[0]
+    assert (missed["n_true_pairs"], missed["n_found_pairs"], missed["n_missed_pairs"]) == (1, 0, 1)
