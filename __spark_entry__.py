@@ -125,6 +125,20 @@ def q_spatial_join_table(spark, sf_dir):
 
 
 
+
+def q_airspace_area(spark, sf_dir):
+    """Planar shoelace area + winding orientation over the ring COLUMN —
+    pure Catalyst fold (the 0.0-seeded left-fold double-sum rule), zero
+    shuffles. Spherical area stays golden-pinned (libm sin is not
+    cross-engine reproducible)."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        polygon_area_orientation,
+        polygons_to_df,
+    )
+
+    return polygon_area_orientation(polygons_to_df(spark, fixture_polygons()))
+
+
 def q_polygon_overlap(spark, sf_dir):
     """Polygon-polygon overlap join (airspace conflict pairs): cover
     self-join candidates -> exact refine with the even-odd + proper-cross
@@ -1165,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_compact": q_spatial_join_compact,
         "spatial_join_compact_table": q_spatial_join_compact_table,
         "join_count_by_airspace": q_join_count_by_airspace,
+        "airspace_area": q_airspace_area,
         "polygon_overlap": q_polygon_overlap,
         "polygon_overlap_table": q_polygon_overlap_table,
         "knn": q_knn,
@@ -1267,6 +1282,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_compact": oracle.sql_spatial_join(),
         "spatial_join_compact_table": oracle.sql_spatial_join(),
         "join_count_by_airspace": oracle.sql_join_count_by_airspace(),
+        "airspace_area": oracle.sql_polygon_area_orientation(),
         "polygon_overlap": oracle.sql_polygon_overlap_pairs(),
         "polygon_overlap_table": oracle.sql_polygon_overlap_pairs(),
         "knn": oracle.sql_knn(),

@@ -560,3 +560,32 @@ def polygon_overlap_pairs_table(polygons_df: DataFrame, res: int = DEFAULT_JOIN_
             yield pdf.loc[keep, ["poly_a", "poly_b"]]
 
     return cand.mapInPandas(refine, schema=out_schema)
+
+
+def polygon_area_orientation(polygons_df: DataFrame) -> DataFrame:
+    """(poly_id, area_deg2, is_ccw): planar shoelace area and winding
+    orientation of each ring, computed entirely in Catalyst expressions
+    over the ring COLUMN (zip_with cross terms -> 0.0-seeded left-fold
+    double sum — the determinism rule every ARRAY fold follows, so the
+    DOUBLE hash-gates bit-for-bit against the oracle's list_reduce).
+
+    Planar (degree^2) by design: the spherical area kernel
+    (geodesy.ring_area_m2) is trig-based and libm sin() is not
+    bit-reproducible across engines — it stays golden-pinned instead.
+    Orientation is the useful analytic here (GeoJSON exterior rings are
+    CCW); area ratios at airspace scales track the planar value closely.
+    Zero shuffles: one projection over the polygons table."""
+    ring = F.col("ring")
+    n = F.size(ring) - 1
+    head = F.slice(ring, 1, n)
+    tail = F.slice(ring, 2, n)
+    terms = F.zip_with(head, tail, lambda p, q: p[0] * q[1] - q[0] * p[1])
+    signed2 = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    staged = polygons_df.select(
+        F.col("poly_id").cast("int").alias("poly_id"), signed2.alias("_s2")
+    )
+    return staged.select(
+        "poly_id",
+        (F.abs(F.col("_s2")) / F.lit(2.0)).alias("area_deg2"),
+        (F.col("_s2") > F.lit(0.0)).alias("is_ccw"),
+    )

@@ -135,6 +135,31 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist_sq, poly_id) A
 WHERE rn = 1"""
 
 
+def rings_values() -> str:
+    """Embedded rings as ordered list literals (exact strtod doubles) —
+    for oracles that need the ring SEQUENCE, not the edge set."""
+    rows = []
+    for poly in _polys():
+        ring = np.asarray(poly["ring"])
+        pts = ", ".join(f"[{_dbl(x)}, {_dbl(y)}]" for x, y in ring)
+        rows.append(f"({poly['poly_id']}, [{pts}])")
+    return "(VALUES " + ", ".join(rows) + ") AS r(poly_id, ring)"
+
+
+def sql_polygon_area_orientation() -> str:
+    """spatial.polygon_area_orientation twin: shoelace cross terms via
+    list_transform, 0.0-seeded strict left-fold double sum (list_prepend +
+    list_reduce == Spark's aggregate(terms, 0.0, +) bit-for-bit), abs/2
+    and the sign as single IEEE ops."""
+    terms = (
+        "list_transform(generate_series(1, len(ring) - 1), "
+        "i -> ring[i][1] * ring[i + 1][2] - ring[i + 1][1] * ring[i][2])"
+    )
+    fold = f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), (x, y) -> x + y)"
+    return f"""WITH s AS (SELECT poly_id, {fold} AS s2 FROM {rings_values()})
+SELECT poly_id, abs(s2) / 2.0 AS area_deg2, s2 > 0.0 AS is_ccw FROM s"""
+
+
 def sql_polygon_overlap_pairs() -> str:
     """Polygon-overlap oracle over the embedded edges, formulation-shared
     with operators/spatial._rings_overlap_np: even-odd vertex containment

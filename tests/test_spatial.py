@@ -621,3 +621,24 @@ def test_polygon_overlap_pairs(spark):
         for r in polygon_overlap_pairs_table(polygons_to_df(spark, polys)).collect()
     }
     assert got_tab == expected
+
+
+def test_polygon_area_orientation(spark):
+    """Exact planar shoelace on hand-made squares: CCW positive winding,
+    CW detected, area exact; the fold evaluates once (staged projection)."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        polygon_area_orientation,
+        polygons_to_df,
+    )
+
+    ccw = [[0.0, 0.0], [2.0, 0.0], [2.0, 3.0], [0.0, 3.0], [0.0, 0.0]]
+    cw = list(reversed(ccw))
+    polys = [
+        {"poly_id": 1, "name": "CCW", "type": "CTA", "class": "D", "ring": ccw},
+        {"poly_id": 2, "name": "CW", "type": "CTA", "class": "D", "ring": cw},
+    ]
+    df = polygon_area_orientation(polygons_to_df(spark, polys))
+    got = {r["poly_id"]: (r["area_deg2"], r["is_ccw"]) for r in df.collect()}
+    assert got == {1: (6.0, True), 2: (6.0, False)}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("aggregate(zip_with") == 1  # staged: fold not re-inlined
