@@ -1116,6 +1116,16 @@ def q_chars_histogram(spark, sf_dir):
     return chars_histogram(_docs(spark, sf_dir), width=32)
 
 
+
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix: first-event cohort day x activity offset x
+    user count — activity deduped to (user, day) FIRST so the count is
+    COUNT(*), never a COUNT DISTINCT expand."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_retention
+
+    return events_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered view -> click -> purchase funnel (MATCH_RECOGNIZE-style
     sequential pattern): chained strictly-after minimums, integer
@@ -1261,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "events_sessions_native": q_events_sessions_native,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "chars_histogram": q_chars_histogram,
         "lang_p90_chars": q_lang_p90_chars,
         "events_sliding_windows": q_events_sliding_windows,
@@ -1364,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": oracle.sql_merge_upsert(),
         "events_sessions_native": oracle.sql_events_sessions_native(),
         "events_funnel": oracle.sql_events_funnel(),
+        "events_retention": oracle.sql_events_retention(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
         "events_sliding_windows": oracle.sql_events_sliding_windows(),

@@ -316,3 +316,27 @@ def events_sliding_windows(
             F.unix_timestamp("w.start").alias("window_start"), "event_type", "n_events", "total_value"
         )
     )
+
+
+def events_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: (cohort_day, day_offset, n_users) — users
+    whose FIRST event fell on cohort_day and who were active day_offset
+    days later. The classic warehouse retention triangle.
+
+    Scale shape: activity dedupes to the (user, day) level FIRST (one
+    shuffle; map-side partial distinct), so the per-(cohort, offset) user
+    count is a plain COUNT(*) — a user contributes at most one row per
+    day — never a COUNT DISTINCT expand. The cohort table is one row per
+    user joined back on user_id (shuffle equi-join; both sides already
+    narrow). Dates and integer offsets only — exact, hash-gateable."""
+    ud = events.select(F.col("user_id"), F.to_date("ts").alias("d")).distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ud.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

@@ -1825,6 +1825,20 @@ FROM documents b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
 WHERE c.op IS NULL OR c.op <> 'delete'"""
 
 
+def sql_events_retention() -> str:
+    """events.events_retention twin: (user, day)-level distinct first, so
+    the per-(cohort, offset) user count is COUNT(*) — same
+    no-COUNT-DISTINCT-expand rule as the engine; dates and ints only."""
+    return """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+c AS (SELECT user_id, MIN(d) AS cohort_day FROM ud GROUP BY user_id)
+SELECT c.cohort_day AS cohort_day,
+       CAST(date_diff('day', c.cohort_day, ud.d) AS INTEGER) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2"""
+
+
 def sql_events_funnel(steps: tuple[str, str, str] = ("view", "click", "purchase")) -> str:
     """events.events_funnel twin: the same chained strictly-after minimum
     selection in CTEs, integer microseconds via epoch_us."""

@@ -836,3 +836,31 @@ def test_lsh_recall_monitor_counts_and_forced_miss(spark):
     assert (found["n_sampled"], found["n_true_pairs"], found["n_found_pairs"], found["n_missed_pairs"]) == (4, 1, 1, 0)
     missed = lsh_recall_monitor(df, sample_mod=1, bands=1).collect()[0]
     assert (missed["n_true_pairs"], missed["n_found_pairs"], missed["n_missed_pairs"]) == (1, 0, 1)
+
+
+def test_events_retention_hand_case(spark):
+    """Hand-computed retention triangle: multiple same-day events collapse
+    to one user-day; offsets measured from each user's first day."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 11:00:00"),  # same day: one user-day
+        (1, "2024-01-03 09:00:00"),
+        (2, "2024-01-01 23:59:59"),
+        (3, "2024-01-02 00:00:00"),
+        (3, "2024-01-05 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts")
+    )
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in events_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # users 1 and 2
+        ("2024-01-01", 2): 1,  # user 1 back on day 3
+        ("2024-01-02", 0): 1,  # user 3
+        ("2024-01-02", 3): 1,  # user 3 back on day 5
+    }
