@@ -1117,6 +1117,16 @@ def q_chars_histogram(spark, sf_dir):
 
 
 
+
+def q_events_moving_stats(spark, sf_dir):
+    """Trailing ROWS-frame moving aggregate per user (count + DECIMAL-exact
+    value sum, one DOUBLE cast at the boundary) — the ordered-frame window
+    surface; incremental O(1)-per-row frame maintenance."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_moving_stats
+
+    return events_moving_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_events_retention(spark, sf_dir):
     """Cohort retention matrix: first-event cohort day x activity offset x
     user count — activity deduped to (user, day) FIRST so the count is
@@ -1272,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions_native": q_events_sessions_native,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_moving_stats": q_events_moving_stats,
         "chars_histogram": q_chars_histogram,
         "lang_p90_chars": q_lang_p90_chars,
         "events_sliding_windows": q_events_sliding_windows,
@@ -1376,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions_native": oracle.sql_events_sessions_native(),
         "events_funnel": oracle.sql_events_funnel(),
         "events_retention": oracle.sql_events_retention(),
+        "events_moving_stats": oracle.sql_events_moving_stats(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
         "events_sliding_windows": oracle.sql_events_sliding_windows(),

@@ -340,3 +340,31 @@ def events_retention(events: DataFrame) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+def events_moving_stats(events: DataFrame, frame_rows: int = 5) -> DataFrame:
+    """Per-user ROWS-frame moving aggregate: for each event (ordered by
+    ts, event_id within user), the count and value-sum of the trailing
+    `frame_rows`-row frame — the sliding-window-over-ordered-rows surface
+    (ROWS BETWEEN n PRECEDING AND CURRENT ROW) the lag/row_number and
+    session-window operators don't exercise.
+
+    Determinism: the frame sum is DECIMAL-exact per the cross-row rule (a
+    double sum's value depends on reduction order), cast to DOUBLE once at
+    the output boundary — both engines round identically. Scale shape: one
+    Exchange on user_id + a per-user spillable sort; the running frame is
+    maintained incrementally (O(1) per row), never recomputed per frame."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-(frame_rows - 1), 0)
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("int").alias("frame_n"),
+        F.sum(v).over(w).cast("decimal(38,2)").cast("double").alias("moving_sum"),
+    )

@@ -1839,6 +1839,19 @@ FROM ud JOIN c USING (user_id)
 GROUP BY 1, 2"""
 
 
+def sql_events_moving_stats(frame_rows: int = 5) -> str:
+    """events.events_moving_stats twin: the same ROWS frame over
+    (ts, event_id) order, DECIMAL-exact frame sum, one DOUBLE cast at the
+    boundary (both engines round the exact decimal once)."""
+    return f"""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS INTEGER) AS frame_n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS moving_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {frame_rows - 1} PRECEDING AND CURRENT ROW)"""
+
+
 def sql_events_funnel(steps: tuple[str, str, str] = ("view", "click", "purchase")) -> str:
     """events.events_funnel twin: the same chained strictly-after minimum
     selection in CTEs, integer microseconds via epoch_us."""

@@ -864,3 +864,28 @@ def test_events_retention_hand_case(spark):
         ("2024-01-02", 0): 1,  # user 3
         ("2024-01-02", 3): 1,  # user 3 back on day 5
     }
+
+
+def test_events_moving_stats_hand_case(spark):
+    """Trailing 3-row frame: partial frames at the head, exact decimal
+    sums, (ts, event_id) tie order."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_moving_stats
+
+    rows = [
+        (1, 7, "2024-01-01 00:00:01", 1.25),
+        (2, 7, "2024-01-01 00:00:02", 2.50),
+        (3, 7, "2024-01-01 00:00:03", 4.00),
+        (4, 7, "2024-01-01 00:00:04", 8.00),
+        (5, 9, "2024-01-01 00:00:01", 100.00),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts_s string, value double").select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    got = {r["event_id"]: (r["frame_n"], r["moving_sum"]) for r in events_moving_stats(df, frame_rows=3).collect()}
+    assert got == {
+        1: (1, 1.25),
+        2: (2, 3.75),
+        3: (3, 7.75),
+        4: (3, 14.50),
+        5: (1, 100.00),
+    }
