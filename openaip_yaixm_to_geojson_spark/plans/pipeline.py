@@ -164,6 +164,30 @@ def run_corpus_pipeline(
     if stop_after == "corpus_stats":
         return out
 
+    # corpus QA stages: the span-level duplication profile (how much
+    # cross-document boilerplate survived dedup) and the sampled LSH
+    # recall report (is the near-dup banding still catching what exact
+    # verification finds) — the two numbers a production corpus build
+    # watches between dedup and export; both derive only from the stored
+    # corpus stage
+    def build_span_stats() -> DataFrame:
+        from ..operators.terms import duplicated_span_stats
+
+        return duplicated_span_stats(out["corpus"])
+
+    out["span_stats"] = runner.run("span_stats", build_span_stats)
+    if stop_after == "span_stats":
+        return out
+
+    def build_dedup_qa() -> DataFrame:
+        from ..operators.dedup import lsh_recall_monitor
+
+        return lsh_recall_monitor(out["corpus"])
+
+    out["dedup_qa"] = runner.run("dedup_qa", build_dedup_qa)
+    if stop_after == "dedup_qa":
+        return out
+
     # training-data EXPORT stages: the cleaned corpus chunked into
     # overlapping context windows, and the same corpus packed into
     # fixed-capacity token streams (the two standard pre-training input

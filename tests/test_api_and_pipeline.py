@@ -327,7 +327,10 @@ def test_corpus_pipeline_resume_and_byte_identity(spark, tmp_path):
     h_analyzed = runner.content_hash("analyzed")
 
     full = run_corpus_pipeline(spark, SF_DIR, ckpt)
-    assert set(full) == {"analyzed", "deduped", "corpus", "corpus_stats", "chunks", "packed"}
+    assert set(full) == {
+        "analyzed", "deduped", "corpus", "corpus_stats",
+        "span_stats", "dedup_qa", "chunks", "packed",
+    }
     assert runner.content_hash("analyzed") == h_analyzed  # resumed, not rebuilt
     for stage in full:
         assert runner.manifest(stage)["status"] == "complete"
@@ -351,6 +354,14 @@ def test_corpus_pipeline_resume_and_byte_identity(spark, tmp_path):
     chunk_keys = {r["key"] for r in full["chunks"].select("key").distinct().collect()}
     assert chunk_keys == corpus_ids
     assert full["packed"].count() == n_corpus
+
+    # QA stages: span profile keys are corpus docs; the recall report is
+    # one row of consistent counts over the corpus sample
+    span_keys = {r["key"] for r in full["span_stats"].select("key").collect()}
+    assert span_keys <= corpus_ids
+    qa = full["dedup_qa"].collect()[0]
+    assert qa["n_missed_pairs"] == qa["n_true_pairs"] - qa["n_found_pairs"]
+    assert 0 <= qa["n_found_pairs"] <= qa["n_true_pairs"] and qa["n_sampled"] <= n_corpus
 
     # second full run over the same checkpoint: all stage hashes stable
     again = run_corpus_pipeline(spark, SF_DIR, ckpt)
