@@ -325,3 +325,84 @@ def stream_stream_interval_join(
         "view_id",
         (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("lag_seconds"),
     )
+
+
+def tile_state_merge_batch(state_dir: str, tile_res: int = DEFAULT_TILE_RES):
+    """foreachBatch body for incremental tile-table maintenance: aggregate
+    the micro-batch to per-tile deltas and merge them into the stored tile
+    state (read state -> union + sum -> write to a fresh directory ->
+    atomic rename swap).
+
+    Idempotent under micro-batch REPLAY — the failure mode of every
+    non-transactional foreachBatch sink: the applied batch_id is written
+    INSIDE the swapped directory (`_applied_batch` sidecar), so data and
+    marker move atomically and a replayed batch (same id after recovery)
+    is skipped instead of double-counted. Only additive statistics live in
+    the state (doc_count, total_chars) — distinct-style stats are not
+    incrementally mergeable and belong to the batch rollups."""
+    import os
+    import shutil
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(state_dir, "_applied_batch")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip()) >= batch_id:
+                    return  # replayed batch: already merged
+        delta = (
+            batch_df.withColumn(
+                "tile_id", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), tile_res)
+            )
+            .groupBy("tile_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+                F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            )
+        )
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            merged = (
+                state.unionByName(delta)
+                .groupBy("tile_id")
+                .agg(
+                    F.sum("doc_count").cast("bigint").alias("doc_count"),
+                    F.sum("total_chars").cast("bigint").alias("total_chars"),
+                )
+            )
+        else:
+            merged = delta
+        tmp = state_dir.rstrip("/") + f"._tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
+        old = state_dir.rstrip("/") + f"._old_{batch_id}"
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return merge_batch
+
+
+def run_tile_merge_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    tile_res: int = DEFAULT_TILE_RES,
+    max_files_per_trigger: int | None = None,
+):
+    """Drain all available page files into the incremental tile state via
+    foreachBatch merge (see tile_state_merge_batch) and stop. The streaming
+    counterpart of maintaining a materialized tile rollup: each new WARC
+    drop updates the serving table without rescanning history."""
+    pages = stream_pages(spark, input_dir, max_files_per_trigger)
+    query = (
+        pages.writeStream.foreachBatch(tile_state_merge_batch(state_dir, tile_res))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -323,3 +323,75 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert got.count() > 0
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+
+def test_incremental_tile_merge_matches_batch(spark, tmp_path):
+    """foreachBatch tile-state maintenance: three single-file micro-batches
+    merged incrementally equal one batch recompute over all pages; a
+    replayed batch id is skipped (idempotent), and a later drop keeps
+    merging without rescanning history."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openaip_yaixm_to_geojson_spark.functions import cellgrid
+    from openaip_yaixm_to_geojson_spark.operators.tiles import DEFAULT_TILE_RES
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+    from openaip_yaixm_to_geojson_spark.streaming.pages_stream import (
+        run_tile_merge_available_now,
+        tile_state_merge_batch,
+    )
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").select(
+        "url", "warc_ts", "text", "lang", "lat", "lon"
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    parts = pages.limit(300).collect()
+    splits = [parts[:100], parts[100:200], parts[200:]]
+    for i, chunk in enumerate(splits[:2]):  # first two drops
+        df = spark.createDataFrame(chunk, pages.schema)
+        df.coalesce(1).write.parquet(str(in_dir / f"drop{i}"))
+        os.utime(str(in_dir / f"drop{i}"), (1700000000 + i, 1700000000 + i))
+
+    state = str(tmp_path / "tile_state")
+    ckpt = str(tmp_path / "ckpt")
+    run_tile_merge_available_now(
+        spark, str(in_dir) + "/*", state, ckpt, max_files_per_trigger=1
+    )
+
+    def batch_expect(rows):
+        df = spark.createDataFrame(rows, pages.schema)
+        return {
+            r["tile_id"]: (r["doc_count"], r["total_chars"])
+            for r in df.withColumn(
+                "tile_id", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), DEFAULT_TILE_RES)
+            )
+            .groupBy("tile_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+                F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            )
+            .collect()
+        }
+
+    read_state = lambda: {  # noqa: E731
+        r["tile_id"]: (r["doc_count"], r["total_chars"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert read_state() == batch_expect(parts[:200])
+
+    # replayed batch id: marker inside the state dir makes it a no-op
+    applied = int(open(os.path.join(state, "_applied_batch")).read())
+    stale = spark.createDataFrame(splits[0], pages.schema)
+    tile_state_merge_batch(state)(stale, applied)
+    assert read_state() == batch_expect(parts[:200])
+
+    # third drop: incremental merge, still equal to the full recompute
+    df3 = spark.createDataFrame(splits[2], pages.schema)
+    df3.coalesce(1).write.parquet(str(in_dir / "drop2"))
+    os.utime(str(in_dir / "drop2"), (1700000002, 1700000002))
+    run_tile_merge_available_now(
+        spark, str(in_dir) + "/*", state, ckpt, max_files_per_trigger=1
+    )
+    assert read_state() == batch_expect(parts)
