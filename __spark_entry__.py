@@ -840,6 +840,32 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+
+def q_multimodal_real_features(spark, sf_dir):
+    """REAL multimodal decode (r4): payloads are genuine P6 PPM images and
+    stdlib-written PCM WAV files; the extractor sniffs magic bytes, parses
+    the real headers (wave module for WAV) and computes statistics from
+    DECODED pixels/samples. The oracle recomputes the identical statistics
+    from the byte layout with exact integer arithmetic — so the real
+    decode path itself is hash-gated. Codec-library formats (JPEG/PNG/...)
+    remain behind the loud env-blocked slot; video rows (no stdlib
+    container format) are excluded here."""
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        extract_features,
+        real_media_features,
+        synth_media_real,
+    )
+
+    media = synth_media_real(spark, 500).where(F.col("kind") != "video")
+    feats = extract_features(media, decoder=real_media_features)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[F.col("feature")[j].cast("double").alias(f"f{j}") for j in range(8)],
+    )
+
+
 def q_lang_median_chars(spark, sf_dir):
     """Exact per-language median document length as an order statistic
     (interpolated percentiles are float-divergent across engines; the
@@ -1260,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition_local": q_ngram_repetition_local,
         "contamination": q_contamination,
         "multimodal_features": q_multimodal_features,
+        "multimodal_real_features": q_multimodal_real_features,
         "multimodal_frames": q_multimodal_frames,
         "pagerank": q_pagerank,
         "lang_median_chars": q_lang_median_chars,
@@ -1365,6 +1392,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_repetition_local": oracle.sql_ngram_repetition(),
         "contamination": oracle.sql_contamination(),
         "multimodal_features": oracle.sql_multimodal_features(),
+        "multimodal_real_features": oracle.sql_multimodal_real_features(),
         "multimodal_frames": oracle.sql_multimodal_frames(),
         "pagerank": oracle.sql_pagerank_int(),
         "lang_median_chars": oracle.sql_lang_median_chars(),

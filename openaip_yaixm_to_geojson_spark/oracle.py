@@ -1119,6 +1119,99 @@ SELECT media_id, kind, CAST(length(p) AS INTEGER) AS n_bytes,
 FROM p"""
 
 
+def _md5_byte_sql(seed: str, off: str) -> str:
+    """BIGINT value of digest byte `off` (0-based SQL expression) of
+    md5(seed): two hex chars at positions 2*off+1, 2*off+2, ascii
+    arithmetic (lowercase hex)."""
+
+    def d(q: str) -> str:
+        c = f"ascii(substring(md5({seed}), {q}, 1))"
+        return f"(CASE WHEN {c} >= 97 THEN {c} - 87 ELSE {c} - 48 END)"
+
+    return f"({d(f'2 * ({off}) + 1')} * 16 + {d(f'2 * ({off}) + 2')})"
+
+
+def sql_multimodal_real_features(n: int = 500) -> str:
+    """Oracle for the REAL multimodal decode path: synth_media_real's
+    payloads are genuine P6 PPM / PCM WAV files whose pixel/sample bytes
+    come from chained md5 digests (seed '{id}-px-{k}' / '{id}-au-{k}'),
+    so every decoded value is recomputable with exact integer arithmetic —
+    the engine must parse the real headers and land on the identical
+    statistics (fixed float64 sequence sum/n, var = sumsq/n - mean*mean,
+    one FLOAT rounding; the same contract as the fake-decode oracle)."""
+    npx = 8 * 8 * 3
+    nsm = 128
+    px_byte = _md5_byte_sql(
+        "concat(CAST(media_id AS VARCHAR), '-px-', CAST(j // 16 AS VARCHAR))", "j % 16"
+    )
+    lo = _md5_byte_sql(
+        "concat(CAST(media_id AS VARCHAR), '-au-', CAST((2 * j) // 16 AS VARCHAR))",
+        "(2 * j) % 16",
+    )
+    hi = _md5_byte_sql(
+        "concat(CAST(media_id AS VARCHAR), '-au-', CAST((2 * j + 1) // 16 AS VARCHAR))",
+        "(2 * j + 1) % 16",
+    )
+
+    def f32(expr: str) -> str:
+        return f"CAST(CAST({expr} AS FLOAT) AS DOUBLE)"
+
+    img_mean = lambda c: f"(s{c} / CAST(64.0 AS DOUBLE))"  # noqa: E731
+    img_var = lambda c: f"((ss{c} / CAST(64.0 AS DOUBLE)) - {img_mean(c)} * {img_mean(c)})"  # noqa: E731
+    return f"""
+WITH m AS (SELECT UNNEST(generate_series(0, {n - 1})) AS media_id),
+px AS (
+  SELECT media_id, t.j, CAST({px_byte} AS BIGINT) AS v
+  FROM (SELECT media_id FROM m WHERE media_id % 3 = 0) i,
+       (SELECT UNNEST(generate_series(0, {npx - 1})) AS j) t
+),
+chan AS (
+  SELECT media_id, j % 3 AS c, CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+  FROM px GROUP BY 1, 2
+),
+chanw AS (
+  SELECT media_id,
+         MAX(CASE WHEN c = 0 THEN s END) AS s0, MAX(CASE WHEN c = 0 THEN ss END) AS ss0,
+         MAX(CASE WHEN c = 1 THEN s END) AS s1, MAX(CASE WHEN c = 1 THEN ss END) AS ss1,
+         MAX(CASE WHEN c = 2 THEN s END) AS s2, MAX(CASE WHEN c = 2 THEN ss END) AS ss2
+  FROM chan GROUP BY media_id
+),
+imgf AS (
+  SELECT media_id, 'image' AS kind, CAST(203 AS INTEGER) AS n_bytes,
+         {f32("8.0")} AS f0, {f32("8.0")} AS f1,
+         {f32(img_mean(0))} AS f2, {f32(img_mean(1))} AS f3, {f32(img_mean(2))} AS f4,
+         {f32(img_var(0))} AS f5, {f32(img_var(1))} AS f6, {f32(img_var(2))} AS f7
+  FROM chanw
+),
+sm AS (
+  SELECT media_id, t.j,
+         CAST({lo} + 256 * {hi} - (CASE WHEN {lo} + 256 * {hi} >= 32768 THEN 65536 ELSE 0 END) AS BIGINT) AS v
+  FROM (SELECT media_id FROM m WHERE media_id % 3 = 1) a,
+       (SELECT UNNEST(generate_series(0, {nsm - 1})) AS j) t
+),
+smagg AS (
+  SELECT media_id, CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss,
+         MIN(v) AS mn, MAX(v) AS mx, CAST(SUM(ABS(v)) AS BIGINT) AS sabs
+  FROM sm GROUP BY media_id
+),
+zc AS (
+  SELECT a.media_id, COUNT(*) AS zcr
+  FROM sm a JOIN sm b ON a.media_id = b.media_id AND b.j = a.j + 1 AND a.v * b.v < 0
+  GROUP BY a.media_id
+),
+audf AS (
+  SELECT g.media_id, 'audio' AS kind, CAST(300 AS INTEGER) AS n_bytes,
+         {f32("16000.0")} AS f0, {f32(f"{nsm}.0")} AS f1,
+         {f32(f"(s / CAST({nsm}.0 AS DOUBLE))")} AS f2,
+         {f32(f"((ss / CAST({nsm}.0 AS DOUBLE)) - (s / CAST({nsm}.0 AS DOUBLE)) * (s / CAST({nsm}.0 AS DOUBLE)))")} AS f3,
+         {f32("CAST(mn AS DOUBLE)")} AS f4, {f32("CAST(mx AS DOUBLE)")} AS f5,
+         {f32("CAST(COALESCE(z.zcr, 0) AS DOUBLE)")} AS f6,
+         {f32(f"(sabs / CAST({nsm}.0 AS DOUBLE))")} AS f7
+  FROM smagg g LEFT JOIN zc z ON g.media_id = z.media_id
+)
+SELECT * FROM imgf UNION ALL SELECT * FROM audf"""
+
+
 def sql_fingerprint() -> str:
     return (
         "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint "

@@ -889,3 +889,88 @@ def test_events_moving_stats_hand_case(spark):
         4: (3, 14.50),
         5: (1, 100.00),
     }
+
+
+def test_real_format_decoders():
+    """decode_ppm / decode_wav_pcm16 parse REAL format bytes: hand-built
+    images (with a header comment — the spec feature a fake parser would
+    miss), stdlib-written WAVs, and loud failures on unsupported shapes."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+        real_media_features,
+    )
+
+    # 2x1 image, known pixels, comment in header
+    ppm = b"P6\n# a comment\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    px = decode_ppm(ppm)
+    assert px.shape == (1, 2, 3) and px.tolist() == [[[10, 20, 30], [40, 50, 60]]]
+    feats = real_media_features(ppm, "image")
+    assert feats[:2].tolist() == [2.0, 1.0]
+    assert feats[2] == np.float32((10 + 40) / 2.0)  # meanR
+    assert feats[5] == np.float32((100 + 1600) / 2.0 - 25.0 * 25.0)  # varR
+
+    # stdlib-written WAV with known samples decodes to those samples
+    buf = io.BytesIO()
+    samples = [0, 1000, -1000, 32767, -32768]
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<5h", *samples))
+    rate, got = decode_wav_pcm16(buf.getvalue())
+    assert rate == 8000 and got.tolist() == samples
+    af = real_media_features(buf.getvalue(), "audio")
+    assert af[0] == 8000.0 and af[1] == 5.0 and af[4] == -32768.0 and af[5] == 32767.0
+    assert af[6] == 3.0  # sign flips: 1000->-1000, -1000->32767, 32767->-32768
+
+    # stereo WAV refused loudly
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(buf2.getvalue())
+
+    # unsupported magic stays env-blocked, loudly
+    with pytest.raises(NotImplementedError):
+        real_media_features(b"\x89PNG\r\n\x1a\n....", "image")
+
+
+def test_synth_media_real_payloads_are_real_formats(spark):
+    """The generated payloads parse with the REAL decoders and the gated
+    feature path equals a local recompute from the decoded values."""
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+        extract_features,
+        real_media_features,
+        synth_media_real,
+    )
+
+    media = synth_media_real(spark, 30)
+    rows = {r["media_id"]: (r["kind"], bytes(r["payload"])) for r in media.collect()}
+    assert {k for k, _ in rows.values()} == {"image", "audio", "video"}
+    for mid, (kind, payload) in rows.items():
+        if kind == "image":
+            assert decode_ppm(payload).shape == (8, 8, 3)
+        elif kind == "audio":
+            rate, s = decode_wav_pcm16(payload)
+            assert rate == 16000 and len(s) == 128
+    feats = extract_features(
+        media.where("kind != 'video'"), decoder=real_media_features
+    ).collect()
+    for r in feats:
+        kind, payload = rows[r["media_id"]]
+        expect = real_media_features(payload, kind)
+        assert np.array_equal(np.asarray(r["feature"], dtype=np.float32), expect)
