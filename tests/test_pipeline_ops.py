@@ -974,3 +974,34 @@ def test_synth_media_real_payloads_are_real_formats(spark):
         kind, payload = rows[r["media_id"]]
         expect = real_media_features(payload, kind)
         assert np.array_equal(np.asarray(r["feature"], dtype=np.float32), expect)
+
+
+def test_resize_images_over_real_ppm_decode(spark):
+    """The block-mean resize runs over REAL decoded PPM pixels (red
+    channel): operator output equals a local NumPy recompute from
+    decode_ppm on the same payloads."""
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        decode_ppm,
+        resize_images,
+        synth_media_real,
+    )
+
+    def red_channel(payload: bytes, w: int, h: int) -> np.ndarray:
+        px = decode_ppm(payload)
+        assert px.shape == (h, w, 3)
+        return px[:, :, 0]
+
+    media = synth_media_real(spark, 24)
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where("kind = 'image'").collect()
+    }
+    out = resize_images(media, out_w=4, out_h=4, decoder=red_channel).collect()
+    assert {r["media_id"] for r in out} == set(payloads)
+    for r in out:
+        px = decode_ppm(payloads[r["media_id"]])[:, :, 0].astype(np.float64)
+        small = px.reshape(4, 2, 4, 2).mean(axis=(1, 3))
+        assert bytes(r["resized"]) == np.rint(small).astype(np.uint8).tobytes()
+        assert r["px_mean"] == float(small.mean())
