@@ -344,7 +344,24 @@ def tile_state_merge_batch(state_dir: str, tile_res: int = DEFAULT_TILE_RES):
     import shutil
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import glob
+
         spark = batch_df.sparkSession
+        # crash recovery: a failure between the two swap renames leaves the
+        # previous state parked as `._old_<id>` with no live state_dir —
+        # restore the newest parked state before merging (the in-flight
+        # batch replays on top of it); stale tmp dirs are just deleted.
+        if not os.path.isdir(state_dir):
+            parked = sorted(
+                glob.glob(state_dir.rstrip("/") + "._old_*"),
+                key=lambda p: int(p.rsplit("_", 1)[-1]),
+            )
+            if parked:
+                os.rename(parked[-1], state_dir)
+                for p in parked[:-1]:
+                    shutil.rmtree(p, ignore_errors=True)
+        for p in glob.glob(state_dir.rstrip("/") + "._tmp_*"):
+            shutil.rmtree(p, ignore_errors=True)
         marker = os.path.join(state_dir, "_applied_batch")
         if os.path.isfile(marker):
             with open(marker) as fh:

@@ -395,3 +395,59 @@ def test_incremental_tile_merge_matches_batch(spark, tmp_path):
         spark, str(in_dir) + "/*", state, ckpt, max_files_per_trigger=1
     )
     assert read_state() == batch_expect(parts)
+
+
+def test_tile_merge_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves the previous state
+    parked as ._old_<id> with no live state dir; the next merge must
+    restore it (no silent data loss) before applying its batch."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+    from openaip_yaixm_to_geojson_spark.streaming.pages_stream import (
+        tile_state_merge_batch,
+    )
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").select(
+        "url", "warc_ts", "text", "lang", "lat", "lon"
+    )
+    rows = pages.limit(120).collect()
+    state = str(tmp_path / "state")
+    merge = tile_state_merge_batch(state)
+
+    merge(spark.createDataFrame(rows[:60], pages.schema), 0)
+    snapshot = {
+        r["tile_id"]: (r["doc_count"], r["total_chars"])
+        for r in spark.read.parquet(state).collect()
+    }
+    # simulate the mid-swap crash: state parked aside, plus a stale tmp
+    os.rename(state, state + "._old_1")
+    shutil.copytree(state + "._old_1", state + "._tmp_1")
+
+    merge(spark.createDataFrame(rows[60:], pages.schema), 1)
+    got = {
+        r["tile_id"]: (r["doc_count"], r["total_chars"])
+        for r in spark.read.parquet(state).collect()
+    }
+    # equal to merging both halves cleanly (batch 0 state recovered)
+    expect_df = spark.createDataFrame(rows, pages.schema)
+    from openaip_yaixm_to_geojson_spark.functions import cellgrid
+    from openaip_yaixm_to_geojson_spark.operators.tiles import DEFAULT_TILE_RES
+
+    expect = {
+        r["tile_id"]: (r["doc_count"], r["total_chars"])
+        for r in expect_df.withColumn(
+            "tile_id", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), DEFAULT_TILE_RES)
+        )
+        .groupBy("tile_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .collect()
+    }
+    assert got == expect and snapshot  # recovered + merged, nothing lost
+    assert not os.path.isdir(state + "._old_1") and not os.path.isdir(state + "._tmp_1")
