@@ -328,8 +328,17 @@ def events_retention(events: DataFrame) -> DataFrame:
     count is a plain COUNT(*) — a user contributes at most one row per
     day — never a COUNT DISTINCT expand. The cohort table is one row per
     user joined back on user_id (shuffle equi-join; both sides already
-    narrow). Dates and integer offsets only — exact, hash-gateable."""
-    ud = events.select(F.col("user_id"), F.to_date("ts").alias("d")).distinct()
+    narrow). Dates and integer offsets only — exact, hash-gateable.
+
+    The (user, day) level feeds BOTH the cohort aggregate and the join
+    (AQE's broadcast conversion breaks exchange-reuse symmetry, so without
+    a materialization the corpus-sized distinct ran twice — the fan-out
+    trap, caught by plan audit); localCheckpoint pins it to one pass."""
+    ud = (
+        events.select(F.col("user_id"), F.to_date("ts").alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
     cohort = ud.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     return (
         ud.join(cohort, "user_id")

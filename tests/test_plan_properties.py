@@ -211,3 +211,15 @@ def test_simhash64_kernel_no_shuffle(spark):
     plan = plan_of(docs.select(simhash64(F.col("text"))))
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_events_retention_single_pass(spark):
+    """(user, day) distinct feeds both the cohort aggregate and the join;
+    AQE's broadcast conversion breaks exchange-reuse symmetry, so without
+    the localCheckpoint the corpus-sized distinct ran twice (r4 audit)."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_retention
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = plan_of(events_retention(ev))
+    assert plan.count("FileScan parquet") == 0  # downstream of the checkpoint
+    assert plan.count("Exchange hashpartitioning") <= 2
