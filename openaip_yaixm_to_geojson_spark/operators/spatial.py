@@ -535,7 +535,14 @@ def polygon_overlap_pairs_table(polygons_df: DataFrame, res: int = DEFAULT_JOIN_
     two equi-joins on poly_id -> mapInPandas exact refine. Nothing
     polygon-shaped touches the driver; ring payloads travel only on the
     (few) candidate pairs."""
-    cover = polygon_cover_distributed(polygons_df, res).select("cell", "poly_id")
+    # the cover feeds BOTH sides of the candidate self-join; without a
+    # materialization the pandas-UDF polyfill executes once per side
+    # (plan-audited: two ArrowEvalPython stages) — the fan-out-reuse trap
+    cover = (
+        polygon_cover_distributed(polygons_df, res)
+        .select("cell", "poly_id")
+        .localCheckpoint()
+    )
     cand = _overlap_candidates(cover)
     rings = polygons_df.select(F.col("poly_id").cast("int").alias("poly_id"), "ring")
     cand = (

@@ -223,3 +223,18 @@ def test_events_retention_single_pass(spark):
     plan = plan_of(events_retention(ev))
     assert plan.count("FileScan parquet") == 0  # downstream of the checkpoint
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_polygon_overlap_table_cover_single_eval(spark):
+    """The distributed polyfill cover feeds both sides of the candidate
+    self-join — without the localCheckpoint the pandas-UDF cover executed
+    once per side (r4 audit: two ArrowEvalPython stages)."""
+    from openaip_yaixm_to_geojson_spark.functions.convert_local import fixture_polygons
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        polygon_overlap_pairs_table,
+        polygons_to_df,
+    )
+
+    plan = plan_of(polygon_overlap_pairs_table(polygons_to_df(spark, fixture_polygons())))
+    # downstream of the checkpointed cover: no polyfill UDF re-evaluation
+    assert plan.count("ArrowEvalPython") == 0
