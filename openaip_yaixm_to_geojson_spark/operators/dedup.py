@@ -269,10 +269,17 @@ def ngram_jaccard_pairs(
     lengths cluster, so any length-derived key is skew-prone at scale; pass
     `block_on` (e.g. a MinHash band key) when the corpus has a heavy modal
     length."""
-    docs = documents.select(
-        F.col(key_col).alias("key"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    # materialize the shingle arrays: they ride both sides of the block
+    # self-join (and the Jaccard verification), so without the checkpoint
+    # the shingle build ran once per side (r4 plan audit)
+    docs = (
+        documents.select(
+            F.col(key_col).alias("key"),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+        .localCheckpoint()
+    )
     if block_on is not None:
         docs = docs.withColumn("block", block_on)
     else:
@@ -515,7 +522,11 @@ def simhash_neardup_pairs(
         )
     n_bands = max_hamming + 1
     sim = simhash16(F.col(text_col)) if n_bits == 16 else simhash64(F.col(text_col))
-    docs = documents.select(F.col(key_col).alias("key"), sim.alias("sim"))
+    # materialize the sketches: the sim column feeds the band array AND the
+    # output, on BOTH sides of the self-join — without the checkpoint the
+    # sketch computation (64 folds, or the Arrow kernel) executed up to 4x
+    # over the corpus (r4 plan audit)
+    docs = documents.select(F.col(key_col).alias("key"), sim.alias("sim")).localCheckpoint()
     # arithmetic shiftright + mask extracts band bits correctly even when the
     # 64-bit sketch is negative (bit 63 set); bigint keys cover bands > 31 bits
     key_type = "int" if n_bits == 16 else "bigint"

@@ -105,13 +105,21 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     never explodes on the hub key — the classic skew bound, Schank &
     Wagner / Suri & Vassilvitskii). Three equi-joins total: two to build
     wedges, one semi-join-shaped probe to close them; degrees ride along
-    as columns so no rank assignment (and no global sort) is ever needed."""
+    as columns so no rank assignment (and no global sort) is ever needed.
+
+    Both multi-consumer frames materialize (localCheckpoint): `und` feeds
+    the degree count plus two degree joins and `e` feeds both wedge sides
+    plus the closing probe — without the checkpoints each consumer
+    re-derived the whole upstream (r4 plan audit: 18 source scans for a
+    3-join algorithm). Materializing the deduped/oriented edge list is the
+    standard multi-pass triangle-count shape."""
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         und.select(F.explode(F.array("a", "b")).alias("v"))
@@ -127,7 +135,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint()
     e1 = e.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
     e2 = e.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
     wedges = e1.join(e2, "u").where(F.struct("dx", "x") < F.struct("dy", "y"))

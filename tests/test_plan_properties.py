@@ -238,3 +238,27 @@ def test_polygon_overlap_table_cover_single_eval(spark):
     plan = plan_of(polygon_overlap_pairs_table(polygons_to_df(spark, fixture_polygons())))
     # downstream of the checkpointed cover: no polyfill UDF re-evaluation
     assert plan.count("ArrowEvalPython") == 0
+
+
+def test_self_join_operators_single_source_pass(spark):
+    """r4 audit: self-join operators re-derived their expensive upstream
+    once per consumer (simhash sketches up to 4x, shingles 2x, the
+    triangle edge subtree 18x). All three now materialize the multi-
+    consumer frame — no source scan, sketch kernel, or shingle build
+    survives downstream of the checkpoint."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_neardup_pairs,
+    )
+    from openaip_yaixm_to_geojson_spark.operators.graph import (
+        synth_link_graph,
+        triangle_count,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(simhash_neardup_pairs(docs, max_hamming=3, n_bits=64))
+    assert p.count("ArrowEvalPython") == 0 and p.count("FileScan parquet") == 0
+    p = plan_of(ngram_jaccard_pairs(docs))
+    assert p.count("FileScan parquet") == 0
+    p = plan_of(triangle_count(synth_link_graph(docs)))
+    assert p.count("FileScan parquet") == 0
