@@ -384,7 +384,10 @@ def embedding_neardup_pairs(
             dim = len(embeddings.select(vec_col).first()[0])
         planes = hyperplanes(dim, n_planes)
         cols.append(bucket_assign_col(F.col(vec_col), planes).alias("bucket"))
-    bucketed = embeddings.select(*cols)
+    # materialize before the self-join: norms (and at high dim the Arrow
+    # bucket kernel) would otherwise evaluate once per side (the r4
+    # fan-out-reuse audit)
+    bucketed = embeddings.select(*cols).localCheckpoint()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cond = F.col("a.key") < F.col("b.key")

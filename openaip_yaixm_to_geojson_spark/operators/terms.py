@@ -219,10 +219,14 @@ def bigram_pmi(
 
     grams = documents.select(F.explode(_word_ngrams_col(F.col(text_col), 2)).alias("gram"))
     c_ab = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c_ab"))
+    # the unigram table feeds THREE consumers (left join, right join, the
+    # corpus total) — materialize the vocabulary-sized counts so the
+    # corpus-sized unigram explode runs once, not three times (r4 audit)
     uni = (
         documents.select(F.explode(_words(text_col)).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     total = uni.agg(F.sum("c").alias("n_tokens"))
     hint = F.broadcast if broadcast_vocab else (lambda df: df)

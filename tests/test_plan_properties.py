@@ -262,3 +262,18 @@ def test_self_join_operators_single_source_pass(spark):
     assert p.count("FileScan parquet") == 0
     p = plan_of(triangle_count(synth_link_graph(docs)))
     assert p.count("FileScan parquet") == 0
+
+
+def test_pmi_and_embedding_neardup_single_pass(spark):
+    """r4 audit continued: bigram_pmi's unigram table fed three consumers
+    (4 corpus explodes total); embedding_neardup's norms/buckets evaluated
+    once per self-join side. Both now materialize."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import embedding_neardup_pairs
+    from openaip_yaixm_to_geojson_spark.operators.terms import bigram_pmi
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan_of(bigram_pmi(docs))
+    assert p.count("FileScan parquet") == 1 and p.count("Generate") == 1
+    p = plan_of(embedding_neardup_pairs(emb))
+    assert p.count("FileScan parquet") == 0
