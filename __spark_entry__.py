@@ -126,6 +126,17 @@ def q_spatial_join_table(spark, sf_dir):
 
 
 
+def q_ring_decimate(spark, sf_dir):
+    """Tile-rendering vertex decimation: one Visvalingam sweep over the
+    ring column — densified arcs collapse, corners and endpoints survive."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        polygons_to_df,
+        ring_decimate,
+    )
+
+    return ring_decimate(polygons_to_df(spark, fixture_polygons()))
+
+
 def q_airspace_area(spark, sf_dir):
     """Planar shoelace area + winding orientation over the ring COLUMN —
     pure Catalyst fold (the 0.0-seeded left-fold double-sum rule), zero
@@ -308,6 +319,38 @@ def q_events_interval_join(spark, sf_dir):
         F.unix_timestamp("ts").alias("t"),
     )
     return interval_join(points, sessions)
+
+
+def q_tpch_local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped same-nation customer/supplier revenue: broadcast
+    dims into the two-shuffle fact chain."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import (
+        local_supplier_revenue,
+        table,
+    )
+
+    return local_supplier_revenue(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC between corpus snapshots: digests-only full-outer join ->
+    |delta|-sized (key, change_type)."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import (
+        snapshot_diff,
+        snapshot_v2_sql,
+    )
+
+    docs = _docs(spark, sf_dir)
+    docs.createOrReplaceTempView("documents")
+    v2 = spark.sql(snapshot_v2_sql("spark"))
+    return snapshot_diff(docs, v2)
 
 
 def q_tpch_pricing_summary(spark, sf_dir):
@@ -816,6 +859,32 @@ def q_contamination(spark, sf_dir):
     return contamination(docs, docs.where(F.col("doc_id") % 101 == 0), n=8)
 
 
+def q_link_extract(spark, sf_dir):
+    """Outgoing hrefs per page over the deterministic linked-html corpus:
+    decode + regex + explode, all codegen."""
+    from openaip_yaixm_to_geojson_spark.operators.web import extract_links, synth_linked_pages
+
+    return extract_links(synth_linked_pages(spark, sf_dir))
+
+
+def q_host_link_graph(spark, sf_dir):
+    """Host-level hyperlink graph (src_host, dst_host, n_links)."""
+    from openaip_yaixm_to_geojson_spark.operators.web import host_link_graph, synth_linked_pages
+
+    return host_link_graph(synth_linked_pages(spark, sf_dir))
+
+
+def q_bloom_contamination(spark, sf_dir):
+    """Scale-path decontamination: the benchmark gram set compressed into a
+    distributed-built Bloom bitmap (groupBy word_idx + bit_or, never
+    collected); deterministic integer probes make false positives
+    hash-gateable."""
+    from openaip_yaixm_to_geojson_spark.operators.text import bloom_contamination
+
+    docs = _docs(spark, sf_dir)
+    return bloom_contamination(docs, docs.where(F.col("doc_id") % 101 == 0), n=8)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end to end: synthetic binary media table ->
     bounded mapInPandas feature extraction. The deterministic fake decode
@@ -1134,6 +1203,14 @@ def q_lang_p90_chars(spark, sf_dir):
     return lang_percentile_chars(_docs(spark, sf_dir), p_num=9, p_den=10)
 
 
+def q_sampled_p90_chars(spark, sf_dir):
+    """Quantile ESTIMATE at scale: exact rank selection over the
+    deterministic md5-bucket sample — sketch accuracy, hash-gateable."""
+    from openaip_yaixm_to_geojson_spark.operators.text import sampled_percentile_chars
+
+    return sampled_percentile_chars(_docs(spark, sf_dir), fraction=0.25, p_num=9, p_den=10)
+
+
 def q_chars_histogram(spark, sf_dir):
     """Fixed-width document-length histogram: exact integer bucketing
     (div), one map-side-partial shuffle."""
@@ -1226,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_compact_table": q_spatial_join_compact_table,
         "join_count_by_airspace": q_join_count_by_airspace,
         "airspace_area": q_airspace_area,
+        "ring_decimate": q_ring_decimate,
         "polygon_overlap": q_polygon_overlap,
         "polygon_overlap_table": q_polygon_overlap_table,
         "knn": q_knn,
@@ -1247,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "events_pivot": q_events_pivot,
         "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_local_supplier_revenue": q_tpch_local_supplier_revenue,
+        "snapshot_diff": q_snapshot_diff,
         "tpch_segment_topk": q_tpch_segment_topk,
         "ceiling_parse": q_ceiling_parse,
         "class_type_mapping": q_class_type_mapping,
@@ -1285,6 +1365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "ngram_repetition_local": q_ngram_repetition_local,
         "contamination": q_contamination,
+        "bloom_contamination": q_bloom_contamination,
+        "link_extract": q_link_extract,
+        "host_link_graph": q_host_link_graph,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_features": q_multimodal_real_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1312,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_stats": q_events_moving_stats,
         "chars_histogram": q_chars_histogram,
         "lang_p90_chars": q_lang_p90_chars,
+        "sampled_p90_chars": q_sampled_p90_chars,
         "events_sliding_windows": q_events_sliding_windows,
         "json_roundtrip": q_json_roundtrip,
         "sql_exists_subquery": q_sql_exists_subquery,
@@ -1332,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_compact_table": oracle.sql_spatial_join(),
         "join_count_by_airspace": oracle.sql_join_count_by_airspace(),
         "airspace_area": oracle.sql_polygon_area_orientation(),
+        "ring_decimate": oracle.sql_ring_decimate(),
         "polygon_overlap": oracle.sql_polygon_overlap_pairs(),
         "polygon_overlap_table": oracle.sql_polygon_overlap_pairs(),
         "knn": oracle.sql_knn(),
@@ -1353,6 +1438,8 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": oracle.sql_events_interval_join(),
         "events_pivot": oracle.sql_events_pivot(),
         "tpch_pricing_summary": oracle.sql_pricing_summary(),
+        "tpch_local_supplier_revenue": oracle.sql_local_supplier_revenue(),
+        "snapshot_diff": oracle.sql_snapshot_diff(),
         "tpch_segment_topk": oracle.sql_segment_revenue_topk(),
         "ceiling_parse": oracle.sql_ceiling_parse(),
         "class_type_mapping": oracle.sql_class_type_mapping(),
@@ -1391,6 +1478,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_repetition": oracle.sql_ngram_repetition(),
         "ngram_repetition_local": oracle.sql_ngram_repetition(),
         "contamination": oracle.sql_contamination(),
+        "bloom_contamination": oracle.sql_bloom_contamination(),
+        "link_extract": oracle.sql_link_extract(),
+        "host_link_graph": oracle.sql_host_link_graph(),
         "multimodal_features": oracle.sql_multimodal_features(),
         "multimodal_real_features": oracle.sql_multimodal_real_features(),
         "multimodal_frames": oracle.sql_multimodal_frames(),
@@ -1418,6 +1508,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_stats": oracle.sql_events_moving_stats(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
+        "sampled_p90_chars": oracle.sql_sampled_percentile_chars(fraction=0.25, p_num=9, p_den=10),
         "events_sliding_windows": oracle.sql_events_sliding_windows(),
         "json_roundtrip": oracle.sql_json_roundtrip_stats(),
         "embedding_quantize": oracle.sql_embedding_quantize(),

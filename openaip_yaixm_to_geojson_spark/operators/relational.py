@@ -75,6 +75,58 @@ def segment_revenue_topk(
     )
 
 
+def local_supplier_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped: per-nation revenue where customer and supplier sit
+    in the same nation of one region, over one order-date year.
+
+    Join strategy for the 100-TB layout: region->nation (25 rows) and
+    supplier (small dim) BROADCAST into the fact chain; the only shuffles
+    are the two fact joins (orders onto customer by custkey, lineitem onto
+    that by orderkey) plus the final 5-row agg — the same-nation condition
+    rides the supplier broadcast as a post-join filter, never a shuffle
+    key. Date filter pushes to the orders scan. Revenue uses the shared
+    DECIMAL-exact sum, one DOUBLE cast at the boundary."""
+    disc_price = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    nat = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(year_start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(year_end).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    supp = supplier.select("s_suppkey", "s_nationkey")
+    return (
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey", disc_price.alias("dp")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("dp").cast("decimal(38,6)").cast("double").alias("revenue"))
+    )
+
+
 def corpus_cube(documents: DataFrame) -> DataFrame:
     """All four (lang x source) grouping combinations in ONE pass: CUBE
     with grouping_id disambiguating rolled-up NULLs (Spark and DuckDB
@@ -161,6 +213,54 @@ def merge_upsert(
     survivors = base.join(touched, key_col, "left_anti")
     upserts = changes.where(F.col("op") == "upsert").select(*base.columns)
     return survivors.unionByName(upserts)
+
+
+SNAPSHOT_V2_RULES = (
+    "doc_id % 13 == removed",
+    "doc_id % 7 == text suffixed (changed)",
+    "doc_id % 11 == cloned at doc_id + 10^9 (added)",
+)
+
+
+def snapshot_v2_sql(dialect: str) -> str:
+    """SQL deriving the deterministic 'next corpus snapshot' from
+    `documents` — drops % 13, edits % 7, clones % 11 under a disjoint id
+    range. Identical text in both engines (string concat only)."""
+    cast = "AS STRING" if dialect == "spark" else "AS VARCHAR"
+    base = (
+        "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2') ELSE text END AS text "
+        "FROM documents WHERE doc_id % 13 <> 0"
+    )
+    added = (
+        f"SELECT doc_id + 1000000000 AS doc_id, concat('clone of ', CAST(doc_id {cast})) AS text "
+        "FROM documents WHERE doc_id % 11 = 0"
+    )
+    return f"{base} UNION ALL {added}"
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """CDC between two corpus snapshots: (key, change_type) for every
+    added / removed / changed document, content compared by md5 so only
+    32-char digests travel through the join (never the text payloads).
+
+    One full-outer shuffle join on the key — the minimal distributed diff;
+    unchanged rows are filtered OUT so the output is |delta|-sized, which
+    is what downstream incremental maintenance consumes. At Iceberg scale
+    both sides arrive partition-pruned by the snapshot metadata and the
+    join keys inherit the table bucketing."""
+    o = old.select(F.col(key_col).alias("key"), F.md5(content_col).alias("oh"))
+    n = new.select(F.col(key_col).alias("key"), F.md5(content_col).alias("nh"))
+    joined = o.join(n, "key", "full_outer")
+    change = (
+        F.when(F.col("oh").isNull(), F.lit("added"))
+        .when(F.col("nh").isNull(), F.lit("removed"))
+        .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+    )
+    return joined.select("key", change.alias("change_type")).where(
+        F.col("change_type").isNotNull()
+    )
 
 
 def chars_histogram(documents: DataFrame, width: int = 32) -> DataFrame:

@@ -569,6 +569,48 @@ def polygon_overlap_pairs_table(polygons_df: DataFrame, res: int = DEFAULT_JOIN_
     return cand.mapInPandas(refine, schema=out_schema)
 
 
+def ring_decimate(polygons_df: DataFrame, tol_area_deg2: float = 1e-6) -> DataFrame:
+    """One-pass vertex decimation for tile rendering (single Visvalingam
+    sweep): interior vertex i survives iff the triangle it spans with its
+    neighbours has area > tol — densified arc/circle chains (tiny, nearly
+    collinear triangles) collapse to sparse outlines while true corners
+    stay. Endpoints always survive, so closure is preserved.
+
+    Expressed entirely as array expressions over the ring COLUMN (filter
+    over an index sequence + element_at — the ring is a materialized input
+    column, so per-element access is attribute lookup, not expression
+    re-inlining). Zero shuffles; the explode is narrow. The area test is
+    sub/mul/abs/compare — single-rounded IEEE ops, so kept coordinates
+    hash-gate bit-for-bit against the DuckDB twin.
+
+    Output: (poly_id, vertex_idx, x, y) of surviving vertices with their
+    ORIGINAL 1-based index (consumers re-assemble rings by sorting)."""
+    ring = F.col("ring")
+    n = F.size(ring)
+
+    def keep_vertex(i):
+        pm = F.element_at(ring, i - 1)
+        p = F.element_at(ring, i)
+        pp = F.element_at(ring, i + 1)
+        cross = (p[0] - pm[0]) * (pp[1] - p[1]) - (p[1] - pm[1]) * (pp[0] - p[0])
+        return F.abs(cross) > F.lit(2.0 * tol_area_deg2)
+
+    interior = F.filter(F.sequence(F.lit(2), n - 1), keep_vertex)
+    keep = F.when(
+        n >= 3, F.concat(F.array(F.lit(1)), interior, F.array(n))
+    ).otherwise(F.sequence(F.lit(1), n))
+    return (
+        polygons_df.select("poly_id", "ring", keep.alias("keep"))
+        .select("poly_id", "ring", F.explode("keep").alias("vertex_idx"))
+        .select(
+            F.col("poly_id").cast("int").alias("poly_id"),
+            F.col("vertex_idx").cast("int").alias("vertex_idx"),
+            F.element_at(ring, F.col("vertex_idx"))[0].alias("x"),
+            F.element_at(ring, F.col("vertex_idx"))[1].alias("y"),
+        )
+    )
+
+
 def polygon_area_orientation(polygons_df: DataFrame) -> DataFrame:
     """(poly_id, area_deg2, is_ccw): planar shoelace area and winding
     orientation of each ring, computed entirely in Catalyst expressions

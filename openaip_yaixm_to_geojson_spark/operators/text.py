@@ -281,6 +281,80 @@ def contamination(
     )
 
 
+BLOOM_BITS = 1 << 16  # m: filter width in bits (power of two -> cheap mod)
+BLOOM_WORD_BITS = 32  # bits packed per BIGINT word; masks stay positive
+BLOOM_K = 4  # probes per key (Kirsch-Mitzenmacher double hashing)
+
+
+def _bloom_probe_frame(grams: DataFrame) -> DataFrame:
+    """(.., gram_hash) -> one row per probe with (word_idx, mask).
+
+    g1/g2 are the two 32-bit halves of md5(gram); probe i lands at
+    (g1 + i*g2) mod m (Kirsch & Mitzenmacher 2006: two hashes simulate k).
+    Masks use 32 bits per BIGINT word so shiftleft never reaches the sign
+    bit — every mask is a positive BIGINT, identical in DuckDB."""
+    g1 = F.conv(F.substring("gram_hash", 1, 8), 16, 10).cast("bigint")
+    g2 = F.conv(F.substring("gram_hash", 9, 8), 16, 10).cast("bigint")
+    probes = F.transform(
+        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+        lambda i: (g1 + i.cast("bigint") * g2) % F.lit(BLOOM_BITS),
+    )
+    return grams.select("*", F.explode(probes).alias("p")).select(
+        F.col("*"),
+        (F.col("p") / F.lit(BLOOM_WORD_BITS)).cast("bigint").alias("word_idx"),
+        # pyspark's F.shiftleft only takes a literal int shift — expr form
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))").alias("mask"),
+    )
+
+
+def bloom_contamination(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination via a Bloom filter — the scale path of
+    `contamination` for when the benchmark gram set is too large to
+    broadcast raw (a few hundred GB of eval grams fits in a 8 KiB bitmap
+    here; production would size m up, the algebra is unchanged).
+
+    The filter is BUILT distributed (groupBy word_idx + bit_or — never
+    collected to the driver) and stays a <= m/32-row table that broadcasts
+    into the probe join. Probes are exact integer arithmetic on md5 halves,
+    so false positives are DETERMINISTIC and the whole operator is
+    hash-gateable. Output: (key, n_grams, n_bloom_hits) for documents with
+    at least one bloom-positive gram (superset of `contamination`'s exact
+    answer by construction — a pytest pins the containment)."""
+
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(key_col).alias("key"),
+            F.explode(F.array_distinct(_word_ngrams_col(F.col(text_col), n))).alias("gram"),
+        ).select("key", F.md5("gram").alias("gram_hash"))
+
+    bench_probes = _bloom_probe_frame(gram_hashes(benchmark).select("gram_hash").distinct())
+    bloom_words = bench_probes.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+
+    doc_probes = _bloom_probe_frame(gram_hashes(documents))
+    hit = (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask")).cast(
+        "int"
+    )
+    per_gram = (
+        doc_probes.join(F.broadcast(bloom_words), "word_idx", "left")
+        .groupBy("key", "gram_hash")
+        .agg(F.sum(hit).alias("n_hit_probes"))
+    )
+    return (
+        per_gram.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_hit_probes") == BLOOM_K).cast("bigint")).alias("n_bloom_hits"),
+        )
+        .where(F.col("n_bloom_hits") > 0)
+    )
+
+
 def analyze_documents(documents: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     ws_tokens, bpe_tokens = token_count_cols(text)
@@ -505,6 +579,24 @@ def lang_percentile_chars(documents: DataFrame, p_num: int = 9, p_den: int = 10)
     target = F.expr(f"({p_num} * cnt + {p_den - 1}) div {p_den}")
     return ranked.where(F.col("rn") == target).select(
         "lang", F.col("n_chars").alias("p_chars"), F.col("cnt").alias("n_docs")
+    )
+
+
+def sampled_percentile_chars(
+    documents: DataFrame, fraction: float = 0.25, p_num: int = 9, p_den: int = 10
+) -> DataFrame:
+    """Sketch-style quantile ESTIMATE: the exact rank-selected percentile
+    of a deterministic md5-bucket sample. The exact operator sorts every
+    group member (spills at corpus scale); this sorts only fraction*N rows
+    with the standard binomial rank-error bound — and, unlike t-digest/
+    KLL, the estimate is a pure function of the data (same sample set at
+    any parallelism), so it hash-gates across engines. One narrow filter
+    + the percentile's single shuffle."""
+    out = lang_percentile_chars(deterministic_sample(documents, fraction), p_num, p_den)
+    return out.select(
+        "lang",
+        F.col("p_chars").alias("p_chars_est"),
+        F.col("n_docs").alias("n_sampled"),
     )
 
 

@@ -237,6 +237,78 @@ def html_wrap_sql(dialect: str) -> str:
     )
 
 
+PAT_HREF = 'href="([^"]*)"'
+N_ANCHOR_SLOTS = 3
+
+
+def anchors_sql(dialect: str) -> str:
+    """SQL for the deterministic anchor block appended to a page's html:
+    slot i (1..3) renders only when i <= 1 + doc_id % 3, targeting host
+    (doc_id*37 + i*11) % 97 and page (doc_id*13 + i) % 1000 — pure integer
+    affine maps, identical in both engines, giving a variable out-degree
+    and a 97-host Zipf-free target lattice."""
+    cast = "AS STRING" if dialect == "spark" else "AS VARCHAR"
+    slots = []
+    for i in range(1, N_ANCHOR_SLOTS + 1):
+        host = f"CAST((doc_id * 37 + {i * 11}) % 97 {cast})"
+        page = f"CAST((doc_id * 13 + {i}) % 1000 {cast})"
+        slots.append(
+            f"(CASE WHEN 1 + doc_id % 3 >= {i} THEN "
+            f"concat('<a href=\"https://host', {host}, '.example.com/p/', {page}, "
+            f"'\">l{i}</a>') ELSE '' END)"
+        )
+    return "concat(" + ", ".join(slots) + ")"
+
+
+def linked_html_sql(dialect: str) -> str:
+    """html_wrap_sql payload with the anchor block spliced in before
+    </body> (replace() runs once — the wrap contains exactly one)."""
+    return (
+        f"replace({html_wrap_sql(dialect)}, '</body>', "
+        f"concat({anchors_sql(dialect)}, '</body>'))"
+    )
+
+
+def synth_linked_pages(spark, sf_dir: str) -> DataFrame:
+    """documents -> (url, doc_id, html binary) with deterministic anchors."""
+    from ..sources.pages import url_sql
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(
+        f"SELECT {url_sql('spark')} AS url, doc_id, "
+        f"encode({linked_html_sql('spark')}, 'utf-8') AS html FROM documents"
+    )
+
+
+def extract_links(
+    pages: DataFrame, html_col: str = "html", key_col: str = "doc_id"
+) -> DataFrame:
+    """One row per outgoing href: (key, link). Pure codegen — utf-8 decode
+    + one RE2-safe regexp_extract_all + explode; no Python touches the
+    bytes. The fan-out is bounded by the page's anchor count, so the
+    explode is shuffle-free (narrow) and downstream aggs do the only
+    exchanges."""
+    links = F.regexp_extract_all(F.decode(F.col(html_col), "utf-8"), F.lit(PAT_HREF), 1)
+    return pages.select(F.col(key_col).alias("key"), F.explode(links).alias("link"))
+
+
+def host_link_graph(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Host-level hyperlink graph: (src_host, dst_host, n_links) — the
+    CC-style web-graph rollup used for domain ranking and crawl frontier
+    scoring. One shuffle (the groupBy); the href explode stays narrow.
+    src hosts follow the corpus host distribution, so the agg's skew keys
+    are the big hosts — AQE's skew handling covers the exchange."""
+    links = extract_links(pages, html_col=html_col, key_col="url")
+    return (
+        links.select(
+            url_host_col(F.col("key")).alias("src_host"),
+            url_host_col(F.col("link")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
 def synth_html_pages(spark, sf_dir: str) -> DataFrame:
     """documents -> (url, html binary) with the deterministic wrap."""
     from ..sources.pages import url_sql

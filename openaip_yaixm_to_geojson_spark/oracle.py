@@ -160,6 +160,29 @@ def sql_polygon_area_orientation() -> str:
 SELECT poly_id, abs(s2) / 2.0 AS area_deg2, s2 > 0.0 AS is_ccw FROM s"""
 
 
+def sql_ring_decimate(tol_area_deg2: float = 1e-6) -> str:
+    """spatial.ring_decimate twin: identical neighbour-triangle area test
+    (same sub/mul order, single abs, same strtod threshold literal) over
+    the embedded exact rings; endpoints always kept."""
+    thr = repr(2.0 * tol_area_deg2)
+    cross = (
+        "abs((ring[i][1] - ring[i-1][1]) * (ring[i+1][2] - ring[i][2]) - "
+        "(ring[i][2] - ring[i-1][2]) * (ring[i+1][1] - ring[i][1]))"
+    )
+    return f"""WITH r AS (SELECT poly_id, ring FROM {rings_values()}),
+k AS (SELECT poly_id, ring,
+             CASE WHEN len(ring) >= 3 THEN
+               list_concat(list_concat([CAST(1 AS BIGINT)],
+                 list_filter(generate_series(2, len(ring) - 1), i -> {cross} > {thr})),
+                 [CAST(len(ring) AS BIGINT)])
+             ELSE generate_series(1, len(ring)) END AS keep
+      FROM r),
+u AS (SELECT poly_id, ring, unnest(keep) AS vertex_idx FROM k)
+SELECT CAST(poly_id AS INT) AS poly_id, CAST(vertex_idx AS INT) AS vertex_idx,
+       ring[vertex_idx][1] AS x, ring[vertex_idx][2] AS y
+FROM u"""
+
+
 def sql_polygon_overlap_pairs() -> str:
     """Polygon-overlap oracle over the embedded edges, formulation-shared
     with operators/spatial._rings_overlap_np: even-odd vertex containment
@@ -299,6 +322,46 @@ def sql_pricing_summary() -> str:
        CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+def sql_local_supplier_revenue(
+    region_name: str = "ASIA",
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+) -> str:
+    """relational.local_supplier_revenue twin (TPC-H Q5 shape), same
+    DECIMAL-exact revenue sum."""
+    return f"""SELECT n_name,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{region_name}'
+  AND o_orderdate >= TIMESTAMP '{year_start}'
+  AND o_orderdate < TIMESTAMP '{year_end}'
+GROUP BY n_name"""
+
+
+def sql_snapshot_diff() -> str:
+    """relational.snapshot_diff twin over the deterministic v2 snapshot:
+    same md5 content compare, same change classification."""
+    from .operators.relational import snapshot_v2_sql
+
+    return f"""WITH v2 AS ({snapshot_v2_sql('duckdb')}),
+o AS (SELECT doc_id AS key, md5(text) AS oh FROM documents),
+n AS (SELECT doc_id AS key, md5(text) AS nh FROM v2),
+j AS (SELECT COALESCE(o.key, n.key) AS key, oh, nh FROM o FULL OUTER JOIN n ON o.key = n.key)
+SELECT key,
+       CASE WHEN oh IS NULL THEN 'added'
+            WHEN nh IS NULL THEN 'removed'
+            WHEN oh <> nh THEN 'changed' END AS change_type
+FROM j
+WHERE (CASE WHEN oh IS NULL THEN 'added'
+            WHEN nh IS NULL THEN 'removed'
+            WHEN oh <> nh THEN 'changed' END) IS NOT NULL"""
 
 
 def sql_segment_revenue_topk(segment: str = "BUILDING", k: int = 10) -> str:
@@ -1455,6 +1518,84 @@ SELECT key, COUNT(*) AS n_shared_grams
 FROM cg JOIN gset USING (gram_hash) GROUP BY key"""
 
 
+def _linked_docs_with() -> str:
+    from .operators.web import linked_html_sql
+    from .sources.pages import url_sql
+
+    return (
+        f"h AS (SELECT doc_id, {url_sql('duckdb')} AS url, "
+        f"{linked_html_sql('duckdb')} AS html_text FROM documents)"
+    )
+
+
+def sql_link_extract() -> str:
+    """web.extract_links twin over the synth linked pages."""
+    from .operators.web import PAT_HREF
+
+    return f"""WITH {_linked_docs_with()}
+SELECT doc_id AS key, unnest(regexp_extract_all(html_text, '{PAT_HREF}', 1)) AS link
+FROM h"""
+
+
+def sql_host_link_graph() -> str:
+    """web.host_link_graph twin: same href regex, same host regex."""
+    from .operators.web import PAT_HOST, PAT_HREF
+
+    return f"""WITH {_linked_docs_with()},
+l AS (SELECT url, unnest(regexp_extract_all(html_text, '{PAT_HREF}', 1)) AS link FROM h)
+SELECT regexp_extract(url, '{PAT_HOST}', 1) AS src_host,
+       regexp_extract(link, '{PAT_HOST}', 1) AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links
+FROM l GROUP BY 1, 2"""
+
+
+def _hexcol_sql(col: str, start: int) -> str:
+    """BIGINT value of 8 hex chars of an ALREADY-MATERIALIZED hex-string
+    column, starting at 1-based `start` — same ascii arithmetic as
+    _hex8_sql but without re-running md5 per character."""
+    hexval = (
+        f"CAST((CASE WHEN ascii(substring({col}, {{i}}, 1)) >= 97 "
+        f"THEN ascii(substring({col}, {{i}}, 1)) - 87 "
+        f"ELSE ascii(substring({col}, {{i}}, 1)) - 48 END) AS BIGINT)"
+    )
+    return "(" + " + ".join(
+        f"{hexval.format(i=start + k)} * CAST({16 ** (7 - k)} AS BIGINT)" for k in range(8)
+    ) + ")"
+
+
+def sql_bloom_contamination(n: int = 8, bench_mod: int = 101) -> str:
+    """text.bloom_contamination twin: identical Kirsch-Mitzenmacher probe
+    arithmetic ((g1 + i*g2) mod m over the two 32-bit md5 halves), 32-bit
+    masks in BIGINT words, bit_or-built filter — false positives are pure
+    integer arithmetic so both engines flag the same gram set."""
+    from .operators.text import BLOOM_BITS, BLOOM_K, BLOOM_WORD_BITS
+
+    grams = _ngrams_list_sql(n)
+    g1, g2 = _hexcol_sql("gh", 1), _hexcol_sql("gh", 9)
+    m, w, k = BLOOM_BITS, BLOOM_WORD_BITS, BLOOM_K
+    return f"""WITH w AS (SELECT doc_id AS key, {_WORDS} AS words FROM documents),
+cg AS (SELECT key, md5(unnest(list_distinct({grams}))) AS gh FROM w),
+gv AS (SELECT key, gh, {g1} AS g1, {g2} AS g2 FROM cg),
+probes AS (SELECT unnest(generate_series(0, {k - 1})) AS i),
+bp AS (SELECT ((g1 + i * g2) % {m}) AS p
+       FROM (SELECT DISTINCT gh, g1, g2 FROM gv WHERE key % {bench_mod} = 0) b
+       CROSS JOIN probes),
+bw AS (SELECT p // {w} AS word_idx,
+              bit_or(CAST(1 AS BIGINT) << CAST(p % {w} AS INT)) AS word
+       FROM bp GROUP BY 1),
+pp AS (SELECT key, gh, ((g1 + i * g2) % {m}) // {w} AS word_idx,
+              (CAST(1 AS BIGINT) << CAST(((g1 + i * g2) % {m}) % {w} AS INT)) AS mask
+       FROM gv CROSS JOIN probes),
+ph AS (SELECT key, gh,
+              CASE WHEN (COALESCE(word, 0) & mask) = mask THEN 1 ELSE 0 END AS hit
+       FROM pp LEFT JOIN bw USING (word_idx)),
+hg AS (SELECT key, gh, SUM(hit) AS nh FROM ph GROUP BY key, gh)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN nh = {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+FROM hg GROUP BY key
+HAVING SUM(CASE WHEN nh = {k} THEN 1 ELSE 0 END) > 0"""
+
+
 def sql_tile_vector_export(res: int = DEFAULT_TILE_RES) -> str:
     """tiles.tile_vector_export twin: identical dyadic bounds arithmetic
     (integer decode via % and //, CAST-to-DOUBLE multiply by the exact
@@ -1981,6 +2122,26 @@ def sql_lang_percentile_chars(p_num: int = 9, p_den: int = 10) -> str:
   FROM documents
 )
 SELECT lang, n_chars AS p_chars, cnt AS n_docs
+FROM r WHERE rn = ({p_num} * cnt + {p_den - 1}) // {p_den}"""
+
+
+def sql_sampled_percentile_chars(
+    fraction: float = 0.25, p_num: int = 9, p_den: int = 10
+) -> str:
+    """text.sampled_percentile_chars twin: identical md5-bucket keep-set,
+    identical integer rank selection over the sample."""
+    from .operators.text import SAMPLE_BUCKETS
+
+    threshold = int(round(fraction * SAMPLE_BUCKETS))
+    bucket = f"{_hex8_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_BUCKETS}"
+    return f"""WITH s AS (SELECT lang, n_chars, doc_id FROM documents WHERE {bucket} < {threshold}),
+r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM s
+)
+SELECT lang, n_chars AS p_chars_est, cnt AS n_sampled
 FROM r WHERE rn = ({p_num} * cnt + {p_den - 1}) // {p_den}"""
 
 

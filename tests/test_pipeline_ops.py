@@ -603,6 +603,31 @@ def test_contamination_planted_overlap(spark):
     assert set(got) == {0, 2} and got[2] == 1 and got[0] >= 1
 
 
+def test_bloom_contamination_contains_exact_answer(spark):
+    """The Bloom path must never miss a truly contaminated document: for
+    every key the exact join flags, the bloom flags it with at least as
+    many positive grams (false positives only ever ADD). Checked on the
+    sf0.001 corpus against its % 101 pseudo-benchmark, plus a planted case."""
+    from openaip_yaixm_to_geojson_spark.operators.text import bloom_contamination, contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 101 == 0)
+    exact = {r["key"]: r["n_shared_grams"] for r in contamination(docs, bench, n=8).collect()}
+    bloom = {r["key"]: r for r in bloom_contamination(docs, bench, n=8).collect()}
+    assert exact, "fixture regression: the %101 bench set shares no grams"
+    for key, n_shared in exact.items():
+        assert key in bloom and bloom[key]["n_bloom_hits"] >= n_shared
+
+    shared = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [(0, f"lead in {shared} tail"), (1, "no overlap with anything in the benchmark here")],
+        "doc_id bigint, text string",
+    )
+    planted_bench = spark.createDataFrame([(9, shared)], "doc_id bigint, text string")
+    got = {r["key"]: r for r in bloom_contamination(corpus, planted_bench, n=8).collect()}
+    assert 0 in got and got[0]["n_bloom_hits"] >= 1
+
+
 def test_url_canonicalization_idempotent_and_invariant(spark):
     """Fixed-point + invariants over a seeded messy-URL grammar: applying
     canonicalization to its own output changes nothing, and every output
@@ -1005,3 +1030,35 @@ def test_resize_images_over_real_ppm_decode(spark):
         small = px.reshape(4, 2, 4, 2).mean(axis=(1, 3))
         assert bytes(r["resized"]) == np.rint(small).astype(np.uint8).tobytes()
         assert r["px_mean"] == float(small.mean())
+
+
+def test_snapshot_diff_classifies_planted_changes(spark):
+    from openaip_yaixm_to_geojson_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")], "doc_id bigint, text string"
+    )
+    got = {r["key"]: r["change_type"] for r in snapshot_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}  # unchanged key 1 absent
+
+
+def test_extract_links_targets_and_fanout_rule(spark):
+    """Every page emits 1 + doc_id % 3 anchors; targets follow the affine
+    host/page maps; the wrap's non-anchor attributes never match."""
+    from openaip_yaixm_to_geojson_spark.operators.web import extract_links, synth_linked_pages
+
+    pages = synth_linked_pages(spark, "/root/testdata/sf0.001")
+    rows = extract_links(pages).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r["link"])
+    for key, links in list(by_key.items())[:50]:
+        assert len(links) == 1 + key % 3
+        expect = {
+            f"https://host{(key * 37 + i * 11) % 97}.example.com/p/{(key * 13 + i) % 1000}"
+            for i in range(1, 2 + key % 3)
+        }
+        assert set(links) == expect

@@ -277,3 +277,46 @@ def test_pmi_and_embedding_neardup_single_pass(spark):
     assert p.count("FileScan parquet") == 1 and p.count("Generate") == 1
     p = plan_of(embedding_neardup_pairs(emb))
     assert p.count("FileScan parquet") == 0
+
+
+def test_local_supplier_revenue_broadcasts_dims_two_fact_shuffle_joins(spark):
+    from openaip_yaixm_to_geojson_spark.operators.relational import (
+        local_supplier_revenue,
+        table,
+    )
+
+    out = local_supplier_revenue(
+        *[table(spark, SF_DIR, t) for t in
+          ("customer", "orders", "lineitem", "supplier", "nation", "region")]
+    )
+    plan = plan_of(out)
+    # region->nation and supplier ride broadcasts; only the two fact joins
+    # (orders-customer by custkey, lineitem by orderkey) shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
+    # date filter reaches the orders parquet scan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_bloom_contamination_broadcasts_filter_words(spark):
+    from openaip_yaixm_to_geojson_spark.operators.text import bloom_contamination
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(bloom_contamination(docs, docs.where(F.col("doc_id") % 101 == 0)))
+    # the bitmap table broadcasts into the probe side; the probe stream
+    # itself never broadcasts or collects
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan  # pure codegen probes
+
+
+def test_link_extract_is_narrow_and_host_graph_single_exchange(spark):
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        extract_links,
+        host_link_graph,
+        synth_linked_pages,
+    )
+
+    pages = synth_linked_pages(spark, SF_DIR)
+    assert "Exchange" not in plan_of(extract_links(pages))  # decode+regex+explode: narrow
+    graph_plan = plan_of(host_link_graph(pages))
+    assert graph_plan.count("Exchange hashpartitioning") == 1  # the rollup only

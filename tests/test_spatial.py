@@ -642,3 +642,28 @@ def test_polygon_area_orientation(spark):
     assert got == {1: (6.0, True), 2: (6.0, False)}
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("aggregate(zip_with") == 1  # staged: fold not re-inlined
+
+
+def test_ring_decimate_keeps_corners_drops_collinear(spark):
+    """A square with near-collinear midpoints planted on its edges: the
+    midpoints (tiny neighbour-triangle area) drop, the 4 corners and both
+    endpoints survive; a fixture arc ring shrinks but stays closed."""
+    from openaip_yaixm_to_geojson_spark.functions.convert_local import fixture_polygons
+    from openaip_yaixm_to_geojson_spark.operators.spatial import polygons_to_df, ring_decimate
+
+    sq = [
+        [0.0, 0.0], [1.0, 1e-9], [2.0, 0.0],  # planted near-collinear midpoint
+        [2.0, 3.0], [0.0, 3.0], [0.0, 0.0],
+    ]
+    polys = [{"poly_id": 1, "name": "SQ", "type": "CTA", "class": "D", "ring": sq}]
+    kept = ring_decimate(polygons_to_df(spark, polys)).collect()
+    idx = sorted(r["vertex_idx"] for r in kept)
+    assert idx == [1, 3, 4, 5, 6]  # vertex 2 (the midpoint) decimated
+
+    fp = [p for p in fixture_polygons() if len(p["ring"]) > 50][:1]
+    assert fp, "fixture regression: no densified ring to decimate"
+    rows = ring_decimate(polygons_to_df(spark, fp)).collect()
+    n_orig = len(fp[0]["ring"])
+    idx = sorted(r["vertex_idx"] for r in rows)
+    assert idx[0] == 1 and idx[-1] == n_orig  # endpoints -> closure preserved
+    assert len(idx) < n_orig  # densified chain actually decimated
