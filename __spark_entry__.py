@@ -859,6 +859,15 @@ def q_contamination(spark, sf_dir):
     return contamination(docs, docs.where(F.col("doc_id") % 101 == 0), n=8)
 
 
+def q_geohash_counts(spark, sf_dir):
+    """Base32 geohash rollup of the page lattice — second standard index
+    family, closed-form floor quantization (cross-engine exact, no libm)."""
+    from openaip_yaixm_to_geojson_spark.operators.tiles import geohash_counts
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    return geohash_counts(pages_from_documents(spark, sf_dir), precision=5)
+
+
 def q_link_extract(spark, sf_dir):
     """Outgoing hrefs per page over the deterministic linked-html corpus:
     decode + regex + explode, all codegen."""
@@ -1367,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "bloom_contamination": q_bloom_contamination,
         "link_extract": q_link_extract,
+        "geohash_counts": q_geohash_counts,
         "host_link_graph": q_host_link_graph,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_features": q_multimodal_real_features,
@@ -1480,6 +1490,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": oracle.sql_contamination(),
         "bloom_contamination": oracle.sql_bloom_contamination(),
         "link_extract": oracle.sql_link_extract(),
+        "geohash_counts": oracle.sql_geohash_counts(),
         "host_link_graph": oracle.sql_host_link_graph(),
         "multimodal_features": oracle.sql_multimodal_features(),
         "multimodal_real_features": oracle.sql_multimodal_real_features(),

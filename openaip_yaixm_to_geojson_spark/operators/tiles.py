@@ -227,3 +227,22 @@ def polygon_raster_table(polygons_df: DataFrame, res: int = DEFAULT_TILE_RES) ->
     return polygon_cover_distributed(polygons_df, res).select(
         F.col("cell").alias("tile_id"), "poly_id", "airspace_class"
     )
+
+
+def geohash_counts(pages: DataFrame, precision: int = 5) -> DataFrame:
+    """Per-geohash-cell page counts — the base32 sibling of the native
+    cell grid and XYZ tiles (see functions/geohash.py for why the closed
+    floor form is cross-engine exact with NO margin proof). Staged
+    projections keep each quantization/interleave value nominally
+    single-use; even where CollapseProject re-inlines them the whole chain
+    is ~50 integer ops per row inside codegen. One shuffle (the rollup)."""
+    from ..functions import geohash as gh
+
+    lon_idx, lat_idx = gh.geohash_idx_sql("lat", "lon", precision)
+    return (
+        pages.selectExpr(f"{lon_idx} AS gh_lon_idx", f"{lat_idx} AS gh_lat_idx")
+        .selectExpr(f"{gh.geohash_interleave_sql(precision, 'spark')} AS gh_i")
+        .selectExpr(f"{gh.geohash_chars_sql(precision, 'spark')} AS geohash")
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )

@@ -1528,6 +1528,21 @@ def _linked_docs_with() -> str:
     )
 
 
+def sql_geohash_counts(precision: int = 5) -> str:
+    """tiles.geohash_counts twin: identical floor-scaling quantization,
+    bit interleave and base32 lookup (functions/geohash.py emits both
+    dialects from one generator — only the shift syntax differs)."""
+    from .functions import geohash as gh
+
+    lon_idx, lat_idx = gh.geohash_idx_sql("lat", "lon", precision)
+    return f"""WITH {pages_with()},
+gi AS (SELECT {lon_idx} AS gh_lon_idx, {lat_idx} AS gh_lat_idx FROM pages),
+ii AS (SELECT {gh.geohash_interleave_sql(precision, 'duckdb')} AS gh_i FROM gi)
+SELECT {gh.geohash_chars_sql(precision, 'duckdb')} AS geohash,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM ii GROUP BY 1"""
+
+
 def sql_link_extract() -> str:
     """web.extract_links twin over the synth linked pages."""
     from .operators.web import PAT_HREF

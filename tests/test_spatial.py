@@ -667,3 +667,48 @@ def test_ring_decimate_keeps_corners_drops_collinear(spark):
     idx = sorted(r["vertex_idx"] for r in rows)
     assert idx[0] == 1 and idx[-1] == n_orig  # endpoints -> closure preserved
     assert len(idx) < n_orig  # densified chain actually decimated
+
+
+def test_geohash_floor_form_matches_canonical_and_spark(spark):
+    """The closed floor form equals the classic successive-halving geohash
+    on the u4pruyd test vector and a 20k-point random sweep, and the Spark
+    expression chain reproduces the driver-side twin on real page rows."""
+    import random
+
+    from openaip_yaixm_to_geojson_spark.functions.geohash import GEOHASH_ALPHABET, geohash_py
+    from openaip_yaixm_to_geojson_spark.operators.tiles import geohash_counts
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    def canonical(lat, lon, p):
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        even, bit, ch, out = True, 0, 0, []
+        while len(out) < p:
+            r, v = (lon_r, lon) if even else (lat_r, lat)
+            mid = (r[0] + r[1]) / 2
+            ch <<= 1
+            if v >= mid:
+                ch |= 1
+                r[0] = mid
+            else:
+                r[1] = mid
+            even = not even
+            bit += 1
+            if bit == 5:
+                out.append(GEOHASH_ALPHABET[ch])
+                bit, ch = 0, 0
+        return "".join(out)
+
+    assert geohash_py(57.64911, 10.40744, 7) == "u4pruyd" == canonical(57.64911, 10.40744, 7)
+    rng = random.Random(20260817)
+    for _ in range(20000):
+        lat, lon = rng.uniform(-90, 90), rng.uniform(-180, 180)
+        assert geohash_py(lat, lon, 5) == canonical(lat, lon, 5)
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    got = {r["geohash"]: r["n_pages"] for r in geohash_counts(pages, precision=5).collect()}
+    import collections
+
+    expect = collections.Counter(
+        geohash_py(r["lat"], r["lon"], 5) for r in pages.select("lat", "lon").collect()
+    )
+    assert got == dict(expect)
