@@ -883,6 +883,14 @@ def q_host_link_graph(spark, sf_dir):
     return host_link_graph(synth_linked_pages(spark, sf_dir))
 
 
+def q_link_pagerank(spark, sf_dir):
+    """Integer-exact PageRank over the href-extracted host graph — the
+    end-to-end web composition (regex -> edges -> iterative rank)."""
+    from openaip_yaixm_to_geojson_spark.operators.web import link_pagerank, synth_linked_pages
+
+    return link_pagerank(synth_linked_pages(spark, sf_dir))
+
+
 def q_bloom_contamination(spark, sf_dir):
     """Scale-path decontamination: the benchmark gram set compressed into a
     distributed-built Bloom bitmap (groupBy word_idx + bit_or, never
@@ -1378,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "geohash_counts": q_geohash_counts,
         "host_link_graph": q_host_link_graph,
+        "link_pagerank": q_link_pagerank,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_features": q_multimodal_real_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1492,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
         "link_extract": oracle.sql_link_extract(),
         "geohash_counts": oracle.sql_geohash_counts(),
         "host_link_graph": oracle.sql_host_link_graph(),
+        "link_pagerank": oracle.sql_link_pagerank(),
         "multimodal_features": oracle.sql_multimodal_features(),
         "multimodal_real_features": oracle.sql_multimodal_real_features(),
         "multimodal_frames": oracle.sql_multimodal_frames(),

@@ -318,3 +318,29 @@ def synth_html_pages(spark, sf_dir: str) -> DataFrame:
         f"SELECT {url_sql('spark')} AS url, doc_id, text, lang, "
         f"encode({html_wrap_sql('spark')}, 'utf-8') AS html FROM documents"
     )
+
+
+def link_pagerank(pages: DataFrame, html_col: str = "html", iters: int = 3) -> DataFrame:
+    """Integer-exact PageRank over the REAL extracted host graph — the
+    end-to-end web pipeline composition (href regex -> host edges ->
+    graph.pagerank_int). Parallel edges (repeated links between the same
+    host pair) keep their multiplicity, the standard weighted-crawl
+    treatment. Host ids stay strings through the rank joins (no dense-id
+    pass needed — join keys hash either way); ranks are exact BIGINTs so
+    the whole composition hash-gates. Edges and the node set are
+    localCheckpoint()ed once: both feed 2+ consumers (degree + per-round
+    joins) and would otherwise re-run the regex explode per round."""
+    from .graph import pagerank_int
+
+    links = extract_links(pages, html_col=html_col, key_col="url")
+    edges = links.select(
+        url_host_col(F.col("key")).alias("src"),
+        url_host_col(F.col("link")).alias("dst"),
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    return pagerank_int(nodes, edges, iters=iters, key_col="host")

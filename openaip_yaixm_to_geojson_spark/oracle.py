@@ -1564,6 +1564,43 @@ SELECT regexp_extract(url, '{PAT_HOST}', 1) AS src_host,
 FROM l GROUP BY 1, 2"""
 
 
+def sql_link_pagerank(iters: int = 3) -> str:
+    """web.link_pagerank twin: same href/host extraction, same integer
+    PageRank recurrence unrolled as CTEs (sql_pagerank_int pattern) with
+    STRING host ids and parallel edges kept."""
+    from .operators.graph import RANK_SCALE
+    from .operators.web import PAT_HOST, PAT_HREF
+
+    base = 15 * RANK_SCALE // 100
+    parts = [
+        f"""{_linked_docs_with()},
+l AS (SELECT url, unnest(regexp_extract_all(html_text, '{PAT_HREF}', 1)) AS link FROM h),
+e AS (SELECT regexp_extract(url, '{PAT_HOST}', 1) AS src,
+             regexp_extract(link, '{PAT_HOST}', 1) AS dst FROM l),
+nodes AS (SELECT DISTINCT host AS id
+          FROM (SELECT src AS host FROM e UNION SELECT dst AS host FROM e)),
+ed AS (SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS out_deg FROM e),
+r0 AS (SELECT id, CAST({RANK_SCALE} AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""c{i} AS (
+  SELECT ed.dst, SUM(r{i}.rank // ed.out_deg) AS incoming
+  FROM ed JOIN r{i} ON ed.src = r{i}.id GROUP BY ed.dst
+),
+r{i + 1} AS (
+  SELECT r0.id,
+         CAST({base} + (85 * COALESCE(c{i}.incoming, 0)) // 100 AS BIGINT) AS rank
+  FROM r0 LEFT JOIN c{i} ON r0.id = c{i}.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id AS host, rank AS rank_int FROM r{iters}"
+    )
+
+
 def _hexcol_sql(col: str, start: int) -> str:
     """BIGINT value of 8 hex chars of an ALREADY-MATERIALIZED hex-string
     column, starting at 1-based `start` — same ascii arithmetic as
