@@ -303,9 +303,10 @@ def test_bloom_contamination_broadcasts_filter_words(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(bloom_contamination(docs, docs.where(F.col("doc_id") % 101 == 0)))
-    # the bitmap table broadcasts into the probe side; the probe stream
-    # itself never broadcasts or collects
-    assert "BroadcastHashJoin" in plan
+    # the dense bitmap is ONE broadcast row cross-joined into the probe
+    # stream (membership tests are pure expressions); the probe stream
+    # itself never broadcasts, collects, or explodes per-probe
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
     assert "ArrowEvalPython" not in plan  # pure codegen probes
 
 
