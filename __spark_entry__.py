@@ -868,6 +868,15 @@ def q_geohash_counts(spark, sf_dir):
     return geohash_counts(pages_from_documents(spark, sf_dir), precision=5)
 
 
+def q_geohash_pyramid(spark, sf_dir):
+    """Multi-resolution geohash rollup via prefix explode — one pass, one
+    aggregation for the whole zoom pyramid."""
+    from openaip_yaixm_to_geojson_spark.operators.tiles import geohash_pyramid
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    return geohash_pyramid(pages_from_documents(spark, sf_dir))
+
+
 def q_link_extract(spark, sf_dir):
     """Outgoing hrefs per page over the deterministic linked-html corpus:
     decode + regex + explode, all codegen."""
@@ -1385,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contamination": q_bloom_contamination,
         "link_extract": q_link_extract,
         "geohash_counts": q_geohash_counts,
+        "geohash_pyramid": q_geohash_pyramid,
         "host_link_graph": q_host_link_graph,
         "link_pagerank": q_link_pagerank,
         "multimodal_features": q_multimodal_features,
@@ -1500,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_contamination": oracle.sql_bloom_contamination(),
         "link_extract": oracle.sql_link_extract(),
         "geohash_counts": oracle.sql_geohash_counts(),
+        "geohash_pyramid": oracle.sql_geohash_pyramid(),
         "host_link_graph": oracle.sql_host_link_graph(),
         "link_pagerank": oracle.sql_link_pagerank(),
         "multimodal_features": oracle.sql_multimodal_features(),

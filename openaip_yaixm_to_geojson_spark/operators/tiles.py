@@ -246,3 +246,31 @@ def geohash_counts(pages: DataFrame, precision: int = 5) -> DataFrame:
         .groupBy("geohash")
         .agg(F.count(F.lit(1)).alias("n_pages"))
     )
+
+
+def geohash_pyramid(pages: DataFrame, precision: int = 5, min_precision: int = 3) -> DataFrame:
+    """Multi-resolution geohash rollup in ONE pass: a geohash prefix IS the
+    parent cell (the base32 hierarchy property), so the zoom pyramid is an
+    explode over prefixes of the finest hash + a single aggregation —
+    never one job per level. Output: (precision, geohash, n_pages)."""
+    from ..functions import geohash as gh
+
+    lon_idx, lat_idx = gh.geohash_idx_sql("lat", "lon", precision)
+    prefixes = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("precision"),
+                F.expr(f"substring(gh5, 1, {p})").alias("geohash"),
+            )
+            for p in range(min_precision, precision + 1)
+        ]
+    )
+    return (
+        pages.selectExpr(f"{lon_idx} AS gh_lon_idx", f"{lat_idx} AS gh_lat_idx")
+        .selectExpr(f"{gh.geohash_interleave_sql(precision, 'spark')} AS gh_i")
+        .selectExpr(f"{gh.geohash_chars_sql(precision, 'spark')} AS gh5")
+        .select(F.explode(prefixes).alias("pg"))
+        .select("pg.precision", "pg.geohash")
+        .groupBy("precision", "geohash")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )

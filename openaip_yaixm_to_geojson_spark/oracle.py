@@ -1543,6 +1543,23 @@ SELECT {gh.geohash_chars_sql(precision, 'duckdb')} AS geohash,
 FROM ii GROUP BY 1"""
 
 
+def sql_geohash_pyramid(precision: int = 5, min_precision: int = 3) -> str:
+    """tiles.geohash_pyramid twin: same finest-level hash, prefixes
+    unnested from a literal precision list."""
+    from .functions import geohash as gh
+
+    lon_idx, lat_idx = gh.geohash_idx_sql("lat", "lon", precision)
+    levels = ", ".join(str(p) for p in range(min_precision, precision + 1))
+    return f"""WITH {pages_with()},
+gi AS (SELECT {lon_idx} AS gh_lon_idx, {lat_idx} AS gh_lat_idx FROM pages),
+ii AS (SELECT {gh.geohash_interleave_sql(precision, 'duckdb')} AS gh_i FROM gi),
+g5 AS (SELECT {gh.geohash_chars_sql(precision, 'duckdb')} AS gh5 FROM ii),
+px AS (SELECT unnest([{levels}]) AS precision, gh5 FROM g5)
+SELECT CAST(precision AS INT) AS precision, substring(gh5, 1, precision) AS geohash,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM px GROUP BY 1, 2"""
+
+
 def sql_link_extract() -> str:
     """web.extract_links twin over the synth linked pages."""
     from .operators.web import PAT_HREF
