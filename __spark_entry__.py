@@ -1229,6 +1229,14 @@ def q_lang_p90_chars(spark, sf_dir):
     return lang_percentile_chars(_docs(spark, sf_dir), p_num=9, p_den=10)
 
 
+def q_mixture_allocate(spark, sf_dir):
+    """Training-mixture budget split across sources: Hamilton
+    largest-remainder in exact integers — quotas provably sum to budget."""
+    from openaip_yaixm_to_geojson_spark.operators.text import mixture_allocate
+
+    return mixture_allocate(_docs(spark, sf_dir), budget=1_000_000)
+
+
 def q_sampled_p90_chars(spark, sf_dir):
     """Quantile ESTIMATE at scale: exact rank selection over the
     deterministic md5-bucket sample — sketch accuracy, hash-gateable."""
@@ -1425,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chars_histogram": q_chars_histogram,
         "lang_p90_chars": q_lang_p90_chars,
         "sampled_p90_chars": q_sampled_p90_chars,
+        "mixture_allocate": q_mixture_allocate,
         "events_sliding_windows": q_events_sliding_windows,
         "json_roundtrip": q_json_roundtrip,
         "sql_exists_subquery": q_sql_exists_subquery,
@@ -1541,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         "chars_histogram": oracle.sql_chars_histogram(width=32),
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
         "sampled_p90_chars": oracle.sql_sampled_percentile_chars(fraction=0.25, p_num=9, p_den=10),
+        "mixture_allocate": oracle.sql_mixture_allocate(),
         "events_sliding_windows": oracle.sql_events_sliding_windows(),
         "json_roundtrip": oracle.sql_json_roundtrip_stats(),
         "embedding_quantize": oracle.sql_embedding_quantize(),

@@ -615,6 +615,60 @@ def lang_percentile_chars(documents: DataFrame, p_num: int = 9, p_den: int = 10)
     )
 
 
+def mixture_allocate(
+    documents: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Training-mixture budget allocation: split an integer token budget
+    across strata proportionally to their weight using Hamilton's
+    largest-remainder method — EXACT integer arithmetic end to end
+    (floor-quota via div, the leftover seats to the largest remainders,
+    ties broken by group name), so quotas always sum to the budget and the
+    result is a pure function of the data. The float alternative
+    (round(budget * w/T)) neither sums correctly nor hash-gates.
+
+    Scale shape: one map-side-partial aggregation to #groups rows; total
+    and leftover ride a broadcast single-row aggregate; the remainder rank
+    is a window over #groups rows (dozens), never the corpus."""
+    w = (
+        documents.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.sum(weight_col).alias("wt"))
+    )
+    tot = w.agg(F.sum("wt").alias("total"))
+    staged = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "wt",
+            F.expr(f"CAST({budget} AS BIGINT) * wt div total").alias("base"),
+            F.expr(f"(CAST({budget} AS BIGINT) * wt) % total").alias("rem"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # leftover = budget - sum(base): a window SUM over #groups rows
+    win_all = Window.partitionBy()
+    rank = F.row_number().over(Window.partitionBy().orderBy(F.col("rem").desc(), F.col("grp")))
+    return (
+        staged.select(
+            "grp",
+            "wt",
+            "base",
+            rank.alias("rem_rank"),
+            (F.lit(budget).cast("bigint") - F.sum("base").over(win_all)).alias("leftover"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("wt").alias("weight"),
+            (F.col("base") + (F.col("rem_rank") <= F.col("leftover")).cast("bigint")).alias(
+                "quota"
+            ),
+        )
+    )
+
+
 def sampled_percentile_chars(
     documents: DataFrame, fraction: float = 0.25, p_num: int = 9, p_den: int = 10
 ) -> DataFrame:

@@ -2194,6 +2194,25 @@ SELECT lang, n_chars AS p_chars, cnt AS n_docs
 FROM r WHERE rn = ({p_num} * cnt + {p_den - 1}) // {p_den}"""
 
 
+def sql_mixture_allocate(budget: int = 1_000_000) -> str:
+    """text.mixture_allocate twin: same largest-remainder integer
+    arithmetic (floor quota, remainder rank desc with name tie-break)."""
+    return f"""WITH w AS (SELECT source AS grp, CAST(SUM(n_chars) AS BIGINT) AS wt
+           FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(wt) AS BIGINT) AS total FROM w),
+s AS (SELECT grp, wt,
+             (CAST({budget} AS BIGINT) * wt) // total AS base,
+             (CAST({budget} AS BIGINT) * wt) % total AS rem
+      FROM w CROSS JOIN t),
+r AS (SELECT grp, wt, base,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, grp) AS rem_rank,
+             CAST({budget} AS BIGINT) - SUM(base) OVER () AS leftover
+      FROM s)
+SELECT grp AS source, wt AS weight,
+       CAST(base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r"""
+
+
 def sql_sampled_percentile_chars(
     fraction: float = 0.25, p_num: int = 9, p_den: int = 10
 ) -> str:

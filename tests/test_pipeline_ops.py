@@ -1062,3 +1062,22 @@ def test_extract_links_targets_and_fanout_rule(spark):
             for i in range(1, 2 + key % 3)
         }
         assert set(links) == expect
+
+
+def test_mixture_allocate_sums_to_budget_exactly(spark):
+    from openaip_yaixm_to_geojson_spark.operators.text import mixture_allocate
+
+    docs = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 1), (3, "b", 1), (4, "c", 1)],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    # weights 2/1/1 over budget 10 -> exact 5/2.5/2.5 -> floor 5/2/2,
+    # leftover 1 seat to the remainder tie broken by name ('b' < 'c')
+    got = {r["source"]: r["quota"] for r in mixture_allocate(docs, budget=10).collect()}
+    assert got == {"a": 5, "b": 3, "c": 2}
+    assert sum(got.values()) == 10
+
+    real = mixture_allocate(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), budget=999_983
+    ).collect()
+    assert sum(r["quota"] for r in real) == 999_983  # always exactly the budget
