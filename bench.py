@@ -175,6 +175,18 @@ def main() -> None:
         lambda: pack_documents(docs, capacity=512, n_streams=8).count(),
     )
 
+    from openaip_yaixm_to_geojson_spark.operators.text import bloom_contamination
+    from openaip_yaixm_to_geojson_spark.operators.tiles import geohash_counts
+    from openaip_yaixm_to_geojson_spark.operators.web import link_pagerank, synth_linked_pages
+
+    timed(
+        "bloom_contamination",
+        lambda: bloom_contamination(docs, docs.where(F.col("doc_id") % 101 == 0)).count(),
+    )
+    timed("geohash_counts", lambda: geohash_counts(pages).count())
+    linked = synth_linked_pages(spark, SF_DIR)
+    timed("link_pagerank", lambda: link_pagerank(linked).count())
+
     result = {
         "metric": "spatial_join_tile_rollup_wall",
         "value": round(headline_sec, 3),
