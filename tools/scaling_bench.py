@@ -112,7 +112,46 @@ def _job_graph(spark, data_dir: str):
     return edges, lambda: triangle_count(edges).count()
 
 
-JOBS = {"spatial": _job_spatial, "dedup": _job_dedup, "terms": _job_terms, "graph": _job_graph}
+def synth_linked_html(spark, n: int):
+    """Deterministic linked-HTML pages for the web scaling job: the same
+    md5-chunk text as synth_docs wrapped by web.linked_html_sql (title,
+    script/style blocks, two paragraphs, 1-3 deterministic anchors)."""
+    from pyspark.sql import functions as F
+
+    word = lambda i: F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"-{i // 4}"))), (i % 4) * 8 + 1, 8)  # noqa: E731
+    from openaip_yaixm_to_geojson_spark.operators.web import linked_html_sql
+
+    return (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"))
+        .select("doc_id", F.concat_ws(" ", *[word(i) for i in range(24)]).alias("text"))
+        .selectExpr(
+            "concat('https://s', CAST(doc_id % 20 AS STRING), '.example/', CAST(doc_id AS STRING)) AS url",
+            "doc_id",
+            f"encode({linked_html_sql('spark')}, 'utf-8') AS html",
+        )
+    )
+
+
+def _job_web(spark, data_dir: str):
+    """href extraction + host-graph rollup — the REGEX/STRING-dominated
+    regime (fifth family): utf-8 decode + regexp_extract_all + narrow
+    explode over binary html payloads, then the one host-pair exchange.
+    No family so far was bound by per-row string kernels; at a trillion
+    pages this is exactly the WARC-scan-adjacent work profile."""
+    from openaip_yaixm_to_geojson_spark.operators.web import host_link_graph
+
+    pages = spark.read.parquet(data_dir)
+    return pages, lambda: host_link_graph(pages).count()
+
+
+JOBS = {
+    "spatial": _job_spatial,
+    "dedup": _job_dedup,
+    "terms": _job_terms,
+    "graph": _job_graph,
+    "web": _job_web,
+}
 
 
 def measure(cores: int, data_dir: str, reps: int, job: str = "spatial") -> dict:
@@ -176,6 +215,8 @@ def main() -> None:
         source = synth_pages(gen, docs, with_payload=False)
     elif job == "graph":
         source = synth_edges(gen, docs)
+    elif job == "web":
+        source = synth_linked_html(gen, docs)
     else:
         source = synth_docs(gen, docs)
 
@@ -216,6 +257,29 @@ def main() -> None:
         "efficiency": round(efficiency, 3),
     }
     print(json.dumps(summary))
+
+    if job == "web":
+        md = f"""
+
+## Fifth evidence: href extraction + host link graph — regex/string family (N vs 4N)
+
+Same methodology, fifth operator family — the REGEX/STRING-dominated
+regime no other family covers: {small['n_docs']:,} synthetic linked-HTML
+pages (deterministic 1-3 anchors each) -> utf-8 decode ->
+regexp_extract_all href -> narrow explode -> host extraction -> ONE
+host-pair exchange. Per-row string kernels dominate; the shuffle is tiny.
+
+| config | best wall (s) | pages/sec | samples (s) |
+| --- | --- | --- | --- |
+| local[{n_small}] (N) | {small['best_sec']} | {small['docs_per_sec']:,} | {small['samples_sec']} |
+| local[{n_big}] (4N) | {big['best_sec']} | {big['docs_per_sec']:,} | {big['samples_sec']} |
+
+**Speedup {n_small}->{n_big}: {speedup:.2f}x — scaling efficiency {efficiency:.3f}**
+
+Raw: `{json.dumps(summary)}`
+"""
+        _splice_section("## Fifth evidence:", md)
+        return
 
     if job == "graph":
         md = f"""
