@@ -250,13 +250,21 @@ def snapshot_diff(
     is what downstream incremental maintenance consumes. At Iceberg scale
     both sides arrive partition-pruned by the snapshot metadata and the
     join keys inherit the table bucketing."""
-    o = old.select(F.col(key_col).alias("key"), F.md5(content_col).alias("oh"))
-    n = new.select(F.col(key_col).alias("key"), F.md5(content_col).alias("nh"))
+    o = old.select(
+        F.col(key_col).alias("key"), F.md5(content_col).alias("oh"), F.lit(True).alias("in_old")
+    )
+    n = new.select(
+        F.col(key_col).alias("key"), F.md5(content_col).alias("nh"), F.lit(True).alias("in_new")
+    )
     joined = o.join(n, "key", "full_outer")
+    # presence via explicit indicator columns, NEVER digest-nullness:
+    # md5(NULL content) is NULL, so a NULL-text row present on both sides
+    # would otherwise misreport as added/removed; the content compare is
+    # null-safe (eqNullSafe) for the same reason
     change = (
-        F.when(F.col("oh").isNull(), F.lit("added"))
-        .when(F.col("nh").isNull(), F.lit("removed"))
-        .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(~F.col("oh").eqNullSafe(F.col("nh")), F.lit("changed"))
     )
     return joined.select("key", change.alias("change_type")).where(
         F.col("change_type").isNotNull()

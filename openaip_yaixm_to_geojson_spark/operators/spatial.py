@@ -596,9 +596,15 @@ def ring_decimate(polygons_df: DataFrame, tol_area_deg2: float = 1e-6) -> DataFr
         return F.abs(cross) > F.lit(2.0 * tol_area_deg2)
 
     interior = F.filter(F.sequence(F.lit(2), n - 1), keep_vertex)
-    keep = F.when(
-        n >= 3, F.concat(F.array(F.lit(1)), interior, F.array(n))
-    ).otherwise(F.sequence(F.lit(1), n))
+    # the n >= 1 guard matters: Spark's sequence(1, 0) counts DOWN to
+    # [1, 0] (the documented _word_ngrams_col trap) and element_at(ring, 0)
+    # then throws under ANSI — an empty ring must yield zero rows, like
+    # the oracle's generate_series(1, 0) = []
+    keep = (
+        F.when(n >= 3, F.concat(F.array(F.lit(1)), interior, F.array(n)))
+        .when(n >= 1, F.sequence(F.lit(1), n))
+        .otherwise(F.array().cast("array<int>"))
+    )
     return (
         polygons_df.select("poly_id", "ring", keep.alias("keep"))
         .select("poly_id", "ring", F.explode("keep").alias("vertex_idx"))

@@ -301,9 +301,12 @@ def _bloom_probe_frame(grams: DataFrame) -> DataFrame:
     bit — every mask is a positive BIGINT, identical in DuckDB."""
     g1 = F.conv(F.substring("gram_hash", 1, 8), 16, 10).cast("bigint")
     g2 = F.conv(F.substring("gram_hash", 9, 8), 16, 10).cast("bigint")
-    probes = F.transform(
-        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
-        lambda i: (g1 + i.cast("bigint") * g2) % F.lit(BLOOM_BITS),
+    # a literal-unrolled array, NOT transform(sequence(...), lambda): outer
+    # expressions referenced inside a higher-order lambda re-inline per
+    # element with no CSE, whereas plain projections get whole-stage-codegen
+    # subexpression elimination for the repeated conv() terms
+    probes = F.array(
+        *[(g1 + F.lit(i).cast("bigint") * g2) % F.lit(BLOOM_BITS) for i in range(BLOOM_K)]
     )
     return grams.select("*", F.explode(probes).alias("p")).select(
         F.col("*"),

@@ -351,17 +351,16 @@ def sql_snapshot_diff() -> str:
     from .operators.relational import snapshot_v2_sql
 
     return f"""WITH v2 AS ({snapshot_v2_sql('duckdb')}),
-o AS (SELECT doc_id AS key, md5(text) AS oh FROM documents),
-n AS (SELECT doc_id AS key, md5(text) AS nh FROM v2),
-j AS (SELECT COALESCE(o.key, n.key) AS key, oh, nh FROM o FULL OUTER JOIN n ON o.key = n.key)
-SELECT key,
-       CASE WHEN oh IS NULL THEN 'added'
-            WHEN nh IS NULL THEN 'removed'
-            WHEN oh <> nh THEN 'changed' END AS change_type
-FROM j
-WHERE (CASE WHEN oh IS NULL THEN 'added'
-            WHEN nh IS NULL THEN 'removed'
-            WHEN oh <> nh THEN 'changed' END) IS NOT NULL"""
+o AS (SELECT doc_id AS key, md5(text) AS oh, TRUE AS in_old FROM documents),
+n AS (SELECT doc_id AS key, md5(text) AS nh, TRUE AS in_new FROM v2),
+j AS (SELECT COALESCE(o.key, n.key) AS key, oh, nh, in_old, in_new
+      FROM o FULL OUTER JOIN n ON o.key = n.key),
+c AS (SELECT key,
+             CASE WHEN in_old IS NULL THEN 'added'
+                  WHEN in_new IS NULL THEN 'removed'
+                  WHEN oh IS DISTINCT FROM nh THEN 'changed' END AS change_type
+      FROM j)
+SELECT key, change_type FROM c WHERE change_type IS NOT NULL"""
 
 
 def sql_segment_revenue_topk(segment: str = "BUILDING", k: int = 10) -> str:

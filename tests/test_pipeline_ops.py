@@ -1081,3 +1081,19 @@ def test_mixture_allocate_sums_to_budget_exactly(spark):
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), budget=999_983
     ).collect()
     assert sum(r["quota"] for r in real) == 999_983  # always exactly the budget
+
+
+def test_snapshot_diff_null_content_uses_presence_not_digest(spark):
+    """md5(NULL) is NULL — presence must come from join indicators, never
+    digest-nullness: a key present in BOTH snapshots with NULL text on one
+    side is 'changed', and NULL->NULL is unchanged (absent)."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "text"), (3, None), (4, None)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now populated"), (2, None), (3, None), (5, None)], "doc_id bigint, text string"
+    )
+    got = {r["key"]: r["change_type"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "changed", 4: "removed", 5: "added"}  # 3 unchanged

@@ -712,3 +712,22 @@ def test_geohash_floor_form_matches_canonical_and_spark(spark):
         geohash_py(r["lat"], r["lon"], 5) for r in pages.select("lat", "lon").collect()
     )
     assert got == dict(expect)
+
+
+def test_ring_decimate_degenerate_rings(spark):
+    """Empty ring -> zero rows (no ANSI element_at(ring, 0) crash from the
+    sequence(1, 0)-counts-down trap); 1- and 2-vertex rings pass through."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import polygons_to_df, ring_decimate
+
+    polys = [
+        {"poly_id": 1, "name": "E", "type": "CTA", "class": "D", "ring": []},
+        {"poly_id": 2, "name": "P", "type": "CTA", "class": "D", "ring": [[1.0, 2.0]]},
+        {"poly_id": 3, "name": "S", "type": "CTA", "class": "D", "ring": [[0.0, 0.0], [1.0, 1.0]]},
+    ]
+    rows = ring_decimate(polygons_to_df(spark, polys)).collect()
+    by_poly = {}
+    for r in rows:
+        by_poly.setdefault(r["poly_id"], []).append(r["vertex_idx"])
+    assert 1 not in by_poly
+    assert sorted(by_poly[2]) == [1]
+    assert sorted(by_poly[3]) == [1, 2]

@@ -17,9 +17,15 @@ Usage: python tools/scaling_bench.py [docs] [n_small] [reps] [job]
 
 job = "spatial" (default; headline join+rollup -> rewrites BENCH.md),
 "dedup" (MinHash LSH near-dup pairs over synthetic multi-word docs ->
-appends a second-evidence section to BENCH.md) or "terms" (tf-idf top-k
-with a non-broadcastable corpus-sized vocabulary -> appends a
-third-evidence section).
+second-evidence section), "terms" (tf-idf top-k with a non-broadcastable
+corpus-sized vocabulary -> third-evidence section), "graph" (triangle
+counting over a deterministic random graph -> fourth-evidence section) or
+"web" (href extraction + host link graph over linked HTML -> fifth-evidence
+section). Each writer splices only its own BENCH.md section.
+
+Fixed-cost note: size the input so the BIG-core pass is >> 10s — an 8s
+local[8] pass sits inside the ~3s/run fixed driver cost and UNDERSTATES
+efficiency (measured: web family 0.66 apparent at 8M pages, 0.94 at 32M).
 """
 
 from __future__ import annotations
@@ -35,18 +41,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _md5_words_col(id_col: str, n_words: int = 24):
+    """~n_words pseudo-words from md5 chunks of the given id column — the
+    one synthetic-text recipe shared by the dedup and web datagens."""
+    from pyspark.sql import functions as F
+
+    word = lambda i: F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-{i // 4}"))), (i % 4) * 8 + 1, 8)  # noqa: E731
+    return F.concat_ws(" ", *[word(i) for i in range(n_words)])
+
+
 def synth_docs(spark, n: int):
-    """Deterministic multi-word documents for the dedup scaling job: ~24
-    pseudo-words per doc from md5 chunks, with every 10th doc a near-copy
-    of its neighbour so the LSH bands are non-trivially populated."""
+    """Deterministic multi-word documents for the dedup scaling job, with
+    every 10th doc a near-copy of its neighbour so the LSH bands are
+    non-trivially populated."""
     from pyspark.sql import functions as F
 
     base_id = F.when(F.col("id") % 10 == 9, F.col("id") - 9).otherwise(F.col("id")).alias("bid")
-    word = lambda i: F.substring(F.md5(F.concat(F.col("bid").cast("string"), F.lit(f"-{i // 4}"))), (i % 4) * 8 + 1, 8)  # noqa: E731
     return (
         spark.range(n)
         .select(F.col("id").alias("doc_id"), base_id)
-        .select("doc_id", F.concat_ws(" ", *[word(i) for i in range(24)]).alias("text"))
+        .select("doc_id", _md5_words_col("bid").alias("text"))
     )
 
 
@@ -118,13 +132,12 @@ def synth_linked_html(spark, n: int):
     script/style blocks, two paragraphs, 1-3 deterministic anchors)."""
     from pyspark.sql import functions as F
 
-    word = lambda i: F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"-{i // 4}"))), (i % 4) * 8 + 1, 8)  # noqa: E731
     from openaip_yaixm_to_geojson_spark.operators.web import linked_html_sql
 
     return (
         spark.range(n)
         .select(F.col("id").alias("doc_id"))
-        .select("doc_id", F.concat_ws(" ", *[word(i) for i in range(24)]).alias("text"))
+        .select("doc_id", _md5_words_col("doc_id").alias("text"))
         .selectExpr(
             "concat('https://s', CAST(doc_id % 20 AS STRING), '.example/', CAST(doc_id AS STRING)) AS url",
             "doc_id",
