@@ -339,6 +339,14 @@ def q_tpch_local_supplier_revenue(spark, sf_dir):
     )
 
 
+def q_tpch_big_orders(spark, sf_dir):
+    """TPC-H Q18-shaped: aggregate -> HAVING sliver -> join back to
+    orders; DECIMAL-exact quantity threshold."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import big_orders, table
+
+    return big_orders(table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem"))
+
+
 def q_snapshot_diff(spark, sf_dir):
     """CDC between corpus snapshots: digests-only full-outer join ->
     |delta|-sized (key, change_type)."""
@@ -1361,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_local_supplier_revenue": q_tpch_local_supplier_revenue,
         "snapshot_diff": q_snapshot_diff,
+        "tpch_big_orders": q_tpch_big_orders,
         "tpch_segment_topk": q_tpch_segment_topk,
         "ceiling_parse": q_ceiling_parse,
         "class_type_mapping": q_class_type_mapping,
@@ -1478,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_pricing_summary": oracle.sql_pricing_summary(),
         "tpch_local_supplier_revenue": oracle.sql_local_supplier_revenue(),
         "snapshot_diff": oracle.sql_snapshot_diff(),
+        "tpch_big_orders": oracle.sql_big_orders(),
         "tpch_segment_topk": oracle.sql_segment_revenue_topk(),
         "ceiling_parse": oracle.sql_ceiling_parse(),
         "class_type_mapping": oracle.sql_class_type_mapping(),

@@ -215,6 +215,31 @@ def merge_upsert(
     return survivors.unionByName(upserts)
 
 
+def big_orders(
+    orders: DataFrame, lineitem: DataFrame, min_quantity: int = 300
+) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total line quantity exceeds a
+    threshold — the aggregate -> HAVING -> join-back-into-facts plan shape
+    (the other relational gates are scan->agg or dim-broadcast chains).
+
+    Scale shape: the lineitem agg is map-side partial on the order key;
+    the HAVING filter shrinks it to a sliver BEFORE the join back to
+    orders, so the join's build side is threshold-selected, never
+    corpus-sized. Quantity sums are DECIMAL-exact (the > threshold compare
+    happens on the exact value), one DOUBLE cast at the boundary."""
+    qty = (
+        lineitem.groupBy(F.col("l_orderkey"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("qd"))
+        .where(F.col("qd") > F.lit(min_quantity))
+    )
+    return orders.join(qty, orders.o_orderkey == qty.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("qd").cast("double").alias("total_qty"),
+    )
+
+
 SNAPSHOT_V2_RULES = (
     "doc_id % 13 == removed",
     "doc_id % 7 == text suffixed (changed)",

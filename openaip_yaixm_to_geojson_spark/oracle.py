@@ -345,6 +345,19 @@ WHERE r_name = '{region_name}'
 GROUP BY n_name"""
 
 
+def sql_big_orders(min_quantity: int = 300) -> str:
+    """relational.big_orders twin (TPC-H Q18 shape): same DECIMAL-exact
+    quantity sum, threshold compare on the exact value."""
+    return f"""WITH q AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qd
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) > {min_quantity}
+)
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(qd AS DOUBLE) AS total_qty
+FROM orders JOIN q ON o_orderkey = l_orderkey"""
+
+
 def sql_snapshot_diff() -> str:
     """relational.snapshot_diff twin over the deterministic v2 snapshot:
     same md5 content compare, same change classification."""
