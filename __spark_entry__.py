@@ -1281,6 +1281,17 @@ def q_events_retention(spark, sf_dir):
     return events_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_event_transitions(spark, sf_dir):
+    """Clickstream Markov transition matrix: deterministic per-user
+    sequence (micros + event_id tie-break) -> (from, to) counts."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        event_transitions,
+        events_from_dir,
+    )
+
+    return event_transitions(events_from_dir(spark, sf_dir))
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered view -> click -> purchase funnel (MATCH_RECOGNIZE-style
     sequential pattern): chained strictly-after minimums, integer
@@ -1437,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "events_sessions_native": q_events_sessions_native,
         "events_funnel": q_events_funnel,
+        "event_transitions": q_event_transitions,
         "events_retention": q_events_retention,
         "events_moving_stats": q_events_moving_stats,
         "chars_histogram": q_chars_histogram,
@@ -1555,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": oracle.sql_merge_upsert(),
         "events_sessions_native": oracle.sql_events_sessions_native(),
         "events_funnel": oracle.sql_events_funnel(),
+        "event_transitions": oracle.sql_event_transitions(),
         "events_retention": oracle.sql_events_retention(),
         "events_moving_stats": oracle.sql_events_moving_stats(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),

@@ -377,3 +377,28 @@ def events_moving_stats(events: DataFrame, frame_rows: int = 5) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("int").alias("frame_n"),
         F.sum(v).over(w).cast("decimal(38,2)").cast("double").alias("moving_sum"),
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Clickstream transition matrix: counts of consecutive
+    (from_type -> to_type) steps within each user's time-ordered event
+    sequence — the Markov-chain view funnels and session analyses start
+    from. Order is (unix_micros, event_id): micros ints with an id
+    tie-break, so the sequence (and therefore every count) is
+    deterministic under same-timestamp events at any parallelism.
+
+    One shuffle to order per user (window lag), one map-side-partial
+    rollup to the #types^2-row matrix."""
+    from pyspark.sql import Window
+
+    # TIMESTAMP_NTZ cast first — unix_micros on NTZ shifts by the session tz
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(t, F.col("event_id"))
+    prev = F.lag("event_type").over(w)
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .select(prev.alias("from_type"), F.col("event_type").alias("to_type"))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -1756,6 +1756,18 @@ SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
 FROM f"""
 
 
+def sql_event_transitions() -> str:
+    """events.event_transitions twin: same (ts, event_id) sequence order
+    (micros ints vs native TIMESTAMP order — identical total order)."""
+    return """WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events
+)
+SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2"""
+
+
 def sql_events_pivot() -> str:
     """events.events_pivot twin via conditional aggregation (the portable
     spelling of PIVOT); DECIMAL-exact value sum cast once to DOUBLE."""

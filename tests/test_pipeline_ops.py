@@ -1097,3 +1097,20 @@ def test_snapshot_diff_null_content_uses_presence_not_digest(spark):
     )
     got = {r["key"]: r["change_type"] for r in snapshot_diff(old, new).collect()}
     assert got == {1: "changed", 2: "changed", 4: "removed", 5: "added"}  # 3 unchanged
+
+
+def test_event_transitions_order_and_tiebreak(spark):
+    from openaip_yaixm_to_geojson_spark.operators.events import event_transitions
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "view"),
+        (1, "2024-01-01 00:00:01", 11, "click"),
+        (1, "2024-01-01 00:00:01", 12, "purchase"),  # same ts: event_id breaks the tie
+        (2, "2024-01-01 00:00:00", 20, "view"),  # single event -> no transition
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, e, ty) for u, t, e, ty in rows],
+        "user_id bigint, ts string, event_id bigint, event_type string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id", "event_type")
+    got = {(r["from_type"], r["to_type"]): r["n_transitions"] for r in event_transitions(ev).collect()}
+    assert got == {("view", "click"): 1, ("click", "purchase"): 1}
