@@ -1245,6 +1245,13 @@ def q_mixture_allocate(spark, sf_dir):
     return mixture_allocate(_docs(spark, sf_dir), budget=1_000_000)
 
 
+def q_length_quartiles(spark, sf_dir):
+    """Per-language NTILE quartile profile over (n_chars, doc_id)."""
+    from openaip_yaixm_to_geojson_spark.operators.text import length_quartiles
+
+    return length_quartiles(_docs(spark, sf_dir))
+
+
 def q_sampled_p90_chars(spark, sf_dir):
     """Quantile ESTIMATE at scale: exact rank selection over the
     deterministic md5-bucket sample — sketch accuracy, hash-gateable."""
@@ -1455,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_p90_chars": q_lang_p90_chars,
         "sampled_p90_chars": q_sampled_p90_chars,
         "mixture_allocate": q_mixture_allocate,
+        "length_quartiles": q_length_quartiles,
         "events_sliding_windows": q_events_sliding_windows,
         "json_roundtrip": q_json_roundtrip,
         "sql_exists_subquery": q_sql_exists_subquery,
@@ -1574,6 +1582,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
         "sampled_p90_chars": oracle.sql_sampled_percentile_chars(fraction=0.25, p_num=9, p_den=10),
         "mixture_allocate": oracle.sql_mixture_allocate(),
+        "length_quartiles": oracle.sql_length_quartiles(),
         "events_sliding_windows": oracle.sql_events_sliding_windows(),
         "json_roundtrip": oracle.sql_json_roundtrip_stats(),
         "embedding_quantize": oracle.sql_embedding_quantize(),

@@ -690,6 +690,27 @@ def sampled_percentile_chars(
     )
 
 
+def length_quartiles(documents: DataFrame, buckets: int = 4) -> DataFrame:
+    """Per-language length-quartile profile via NTILE over the total order
+    (n_chars, doc_id) — deterministic bucket assignment (both engines
+    define ntile identically: earlier buckets take the remainder rows),
+    rolled up to (lang, quartile, n_docs, min_chars, max_chars). One
+    window shuffle on lang + one tiny rollup."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        documents.select("lang", "n_chars", "doc_id")
+        .select("lang", "n_chars", F.ntile(buckets).over(w).alias("quartile"))
+        .groupBy("lang", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def json_roundtrip_stats(documents: DataFrame) -> DataFrame:
     """Schema-on-read JSON path end to end: serialize (doc_id, lang,
     token array) with to_json, parse it back with from_json against an

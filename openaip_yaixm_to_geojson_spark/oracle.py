@@ -2237,6 +2237,18 @@ SELECT grp AS source, wt AS weight,
 FROM r"""
 
 
+def sql_length_quartiles(buckets: int = 4) -> str:
+    """text.length_quartiles twin: identical ntile over (n_chars, doc_id)."""
+    return f"""WITH b AS (
+  SELECT lang, n_chars,
+         NTILE({buckets}) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+  FROM documents
+)
+SELECT lang, CAST(quartile AS INT) AS quartile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM b GROUP BY 1, 2"""
+
+
 def sql_sampled_percentile_chars(
     fraction: float = 0.25, p_num: int = 9, p_den: int = 10
 ) -> str:
