@@ -1245,6 +1245,14 @@ def q_mixture_allocate(spark, sf_dir):
     return mixture_allocate(_docs(spark, sf_dir), budget=1_000_000)
 
 
+def q_countmin_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch read-out for the top-20 tokens: deterministic
+    md5-salted counters, estimate >= exact pinned by pytest."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import countmin_heavy_hitters
+
+    return countmin_heavy_hitters(_docs(spark, sf_dir), k=20)
+
+
 def q_length_quartiles(spark, sf_dir):
     """Per-language NTILE quartile profile over (n_chars, doc_id)."""
     from openaip_yaixm_to_geojson_spark.operators.text import length_quartiles
@@ -1463,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_p90_chars": q_sampled_p90_chars,
         "mixture_allocate": q_mixture_allocate,
         "length_quartiles": q_length_quartiles,
+        "countmin_heavy_hitters": q_countmin_heavy_hitters,
         "events_sliding_windows": q_events_sliding_windows,
         "json_roundtrip": q_json_roundtrip,
         "sql_exists_subquery": q_sql_exists_subquery,
@@ -1583,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
         "sampled_p90_chars": oracle.sql_sampled_percentile_chars(fraction=0.25, p_num=9, p_den=10),
         "mixture_allocate": oracle.sql_mixture_allocate(),
         "length_quartiles": oracle.sql_length_quartiles(),
+        "countmin_heavy_hitters": oracle.sql_countmin_heavy_hitters(),
         "events_sliding_windows": oracle.sql_events_sliding_windows(),
         "json_roundtrip": oracle.sql_json_roundtrip_stats(),
         "embedding_quantize": oracle.sql_embedding_quantize(),

@@ -385,3 +385,69 @@ def duplicated_span_stats(
             F.sum(F.when(dup, F.col("n_pos")).otherwise(F.lit(0))).cast("bigint").alias("n_dup_positions"),
         )
     )
+
+
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 1 << 12  # columns per row (power of two -> cheap mod)
+
+
+def _cm_col(term: Column, row: int) -> Column:
+    """Column index of `term` in Count-Min row `row`: 32-bit md5-prefix
+    hash of the salted term, mod the row width — one md5 per (term, row),
+    identical arithmetic in the oracle."""
+    salted = F.concat(term, F.lit(f"-cm{row}"))
+    return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint") % F.lit(CM_WIDTH)
+
+
+def countmin_heavy_hitters(
+    documents: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Count-Min sketch demonstration over the token stream: build the
+    d x w counter table DISTRIBUTED (groupBy (row, col) — the sketch is
+    the aggregation state, nothing collects), then read back the k most
+    frequent tokens' estimates next to their exact counts. CM guarantees
+    estimate >= exact (one-sided error) and estimate <= exact + eps*N with
+    eps = e/w — the pytest pins the one-sided property row by row.
+
+    Unlike random-seeded sketches, every counter is a pure function of the
+    data (md5-salted row hashes), so the whole sketch read-out hash-gates
+    cross-engine. Scale shape: the token stream shuffles once per sketch
+    row as (row, col) pairs — d tiny integers per token, never the token
+    text; the probe join broadcasts the k-row top-token table."""
+    terms = documents.select(F.explode(_words(text_col)).alias("term"))
+    # exact counts once; top-k probes with deterministic (count desc, term) order
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.orderBy(F.col("exact_count").desc(), F.col("term")).limit(k)
+
+    cells = terms.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("row"), _cm_col(F.col("term"), r).alias("col"))
+                    for r in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.col")
+    sketch = cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+    probe_cells = probes.select(
+        "term",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("row"), _cm_col(F.col("term"), r).alias("col"))
+                    for r in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("term", "exact_count", "c.row", "c.col")
+    return (
+        sketch.join(F.broadcast(probe_cells), ["row", "col"])
+        .groupBy("term")
+        .agg(
+            F.min("exact_count").alias("exact_count"),
+            F.min("cnt").alias("cm_estimate"),
+        )
+    )

@@ -2249,6 +2249,30 @@ SELECT lang, CAST(quartile AS INT) AS quartile, CAST(COUNT(*) AS BIGINT) AS n_do
 FROM b GROUP BY 1, 2"""
 
 
+def sql_countmin_heavy_hitters(k: int = 20) -> str:
+    """terms.countmin_heavy_hitters twin: same md5-salted row hashes
+    (materialized once per (term, row) — never re-run per hex char), same
+    deterministic top-k probe order, same min-over-rows read-out."""
+    from .operators.terms import CM_DEPTH, CM_WIDTH
+
+    col = f"{_hexcol_sql('gh', 1)} % {CM_WIDTH}"
+    return f"""WITH t AS (SELECT unnest({_WORDS}) AS term FROM documents),
+exact AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count FROM t GROUP BY 1),
+probes AS (SELECT term, exact_count FROM exact ORDER BY exact_count DESC, term LIMIT {k}),
+rows AS (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS row),
+c0 AS (SELECT row, md5(concat(term, '-cm', CAST(row AS VARCHAR))) AS gh
+       FROM t CROSS JOIN rows),
+cells AS (SELECT row, {col} AS col FROM c0),
+sketch AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+p0 AS (SELECT term, exact_count, row,
+              md5(concat(term, '-cm', CAST(row AS VARCHAR))) AS gh
+       FROM probes CROSS JOIN rows),
+pc AS (SELECT term, exact_count, row, {col} AS col FROM p0)
+SELECT pc.term, MIN(pc.exact_count) AS exact_count, MIN(sketch.cnt) AS cm_estimate
+FROM sketch JOIN pc ON sketch.row = pc.row AND sketch.col = pc.col
+GROUP BY pc.term"""
+
+
 def sql_sampled_percentile_chars(
     fraction: float = 0.25, p_num: int = 9, p_den: int = 10
 ) -> str:

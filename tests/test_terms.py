@@ -706,3 +706,22 @@ def test_repeated_span_operators_hand_case(spark):
         for r in duplicated_span_stats(df, width=3).collect()
     }
     assert ds == {0: (2, 1, 1), 1: (2, 1, 1), 3: (4, 1, 2)}
+
+
+def test_countmin_one_sided_error(spark):
+    """CM property: estimate >= exact for every probe (counters only ever
+    absorb collisions); on a tiny vocabulary with no cross-token cell
+    collisions the estimates are exact."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import countmin_heavy_hitters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = countmin_heavy_hitters(docs, k=20).collect()
+    assert len(rows) == 20
+    assert all(r["cm_estimate"] >= r["exact_count"] for r in rows)
+
+    tiny = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "alpha alpha delta")], "doc_id bigint, text string"
+    )
+    got = {r["term"]: r for r in countmin_heavy_hitters(tiny, k=4).collect()}
+    assert got["alpha"]["exact_count"] == 3 and got["alpha"]["cm_estimate"] == 3
+    assert got["beta"]["exact_count"] == 2 and got["beta"]["cm_estimate"] == 2
