@@ -893,6 +893,16 @@ def q_link_extract(spark, sf_dir):
     return extract_links(synth_linked_pages(spark, sf_dir))
 
 
+def q_anchor_texts(spark, sf_dir):
+    """(key, link, anchor_text) per anchor — aligned capture groups."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        extract_anchor_texts,
+        synth_linked_pages,
+    )
+
+    return extract_anchor_texts(synth_linked_pages(spark, sf_dir))
+
+
 def q_host_link_graph(spark, sf_dir):
     """Host-level hyperlink graph (src_host, dst_host, n_links)."""
     from openaip_yaixm_to_geojson_spark.operators.web import host_link_graph, synth_linked_pages
@@ -1439,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_counts": q_geohash_counts,
         "geohash_pyramid": q_geohash_pyramid,
         "host_link_graph": q_host_link_graph,
+        "anchor_texts": q_anchor_texts,
         "link_pagerank": q_link_pagerank,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_features": q_multimodal_real_features,
@@ -1560,6 +1571,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_counts": oracle.sql_geohash_counts(),
         "geohash_pyramid": oracle.sql_geohash_pyramid(),
         "host_link_graph": oracle.sql_host_link_graph(),
+        "anchor_texts": oracle.sql_anchor_texts(),
         "link_pagerank": oracle.sql_link_pagerank(),
         "multimodal_features": oracle.sql_multimodal_features(),
         "multimodal_real_features": oracle.sql_multimodal_real_features(),

@@ -344,3 +344,23 @@ def link_pagerank(pages: DataFrame, html_col: str = "html", iters: int = 3) -> D
         .localCheckpoint()
     )
     return pagerank_int(nodes, edges, iters=iters, key_col="host")
+
+
+PAT_ANCHOR = '<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchor_texts(
+    pages: DataFrame, html_col: str = "html", key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, link, anchor_text) per anchor — the anchor-text corpus used
+    for link-prediction / title-augmentation training data. Both capture
+    groups come from the SAME pattern via two regexp_extract_all calls
+    zipped positionally (each anchor matches exactly once, so the arrays
+    align); RE2-safe — no backreferences or lookahead."""
+    html_text = F.decode(F.col(html_col), "utf-8")
+    links = F.regexp_extract_all(html_text, F.lit(PAT_ANCHOR), 1)
+    texts = F.regexp_extract_all(html_text, F.lit(PAT_ANCHOR), 2)
+    pairs = F.arrays_zip(links.alias("link"), texts.alias("anchor_text"))
+    return pages.select(F.col(key_col).alias("key"), F.explode(pairs).alias("a")).select(
+        "key", F.col("a.link").alias("link"), F.col("a.anchor_text").alias("anchor_text")
+    )

@@ -1581,6 +1581,20 @@ SELECT doc_id AS key, unnest(regexp_extract_all(html_text, '{PAT_HREF}', 1)) AS 
 FROM h"""
 
 
+def sql_anchor_texts() -> str:
+    """web.extract_anchor_texts twin: the two capture groups of the same
+    anchor pattern, zipped positionally."""
+    from .operators.web import PAT_ANCHOR
+
+    return f"""WITH {_linked_docs_with()},
+z AS (SELECT doc_id AS key,
+             regexp_extract_all(html_text, '{PAT_ANCHOR}', 1) AS links,
+             regexp_extract_all(html_text, '{PAT_ANCHOR}', 2) AS texts
+      FROM h),
+u AS (SELECT key, unnest(generate_series(1, len(links))) AS i, links, texts FROM z)
+SELECT key, links[i] AS link, texts[i] AS anchor_text FROM u"""
+
+
 def sql_host_link_graph() -> str:
     """web.host_link_graph twin: same href regex, same host regex."""
     from .operators.web import PAT_HOST, PAT_HREF
