@@ -1074,6 +1074,16 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_docs(spark, sf_dir), k=16)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Per-source distinct-term cardinality via a HyperLogLog sketch
+    (p=10, 32-bit md5-prefix hash) alongside the exact count — the
+    register sum is integer-exact and the estimate is one shared-literal
+    IEEE division, so the whole sketch is hash-gated."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir))
+
+
 def q_bigram_pmi(spark, sf_dir):
     """Top-20 bigram collocations by the PMI odds ratio c_ab*N/(c_a*c_b)
     (monotone in PMI, exact-integer products, single division);
@@ -1462,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_grams": q_repeated_grams,
         "duplicated_span_stats": q_duplicated_span_stats,
         "kmv_distinct": q_kmv_distinct,
+        "hll_distinct": q_hll_distinct,
         "bigram_pmi": q_bigram_pmi,
         "token_rarity": q_token_rarity,
         "inverted_index_capped": q_inverted_index_capped,
@@ -1584,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
         "repeated_grams": oracle.sql_repeated_grams(),
         "duplicated_span_stats": oracle.sql_duplicated_span_stats(),
         "kmv_distinct": oracle.sql_kmv_distinct(k=16),
+        "hll_distinct": oracle.sql_hll_distinct(),
         "bigram_pmi": oracle.sql_bigram_pmi(top=20),
         "token_rarity": oracle.sql_token_rarity(),
         "inverted_index_capped": oracle.sql_inverted_index(df_cap=300),

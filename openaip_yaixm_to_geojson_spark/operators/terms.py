@@ -198,6 +198,84 @@ def kmv_distinct(
     )
 
 
+# HyperLogLog layout: p index bits over a 32-bit md5-prefix hash, the
+# remaining HLL_REM_BITS carry the rank (leading-zero count + 1).
+HLL_P = 10
+HLL_M = 1 << HLL_P
+HLL_REM_BITS = 32 - HLL_P
+# alpha_m * m^2 * 2^REM_BITS, folded to ONE double literal shared with the
+# oracle — the estimate is then a single IEEE division by the exact
+# integer register sum (no cross-engine multiply chain to keep in order).
+HLL_NUMERATOR = (0.7213 / (1.0 + 1.079 / HLL_M)) * float(HLL_M * HLL_M * (1 << HLL_REM_BITS))
+
+
+def hll_distinct(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group distinct-term cardinality via a HyperLogLog sketch
+    (Flajolet et al. 2007), alongside the exact count so the gate verifies
+    the sketch math itself. Completes the sketch family (Bloom filter,
+    Count-Min, KMV): HLL is the mergeable cardinality sketch every
+    production pipeline actually ships.
+
+    Deterministic cross-engine construction (no libm anywhere):
+    h = 32-bit md5-prefix hash; register index = top HLL_P bits; rank =
+    leading zeros of the remaining HLL_REM_BITS + 1, computed as
+    (REM_BITS+1) - length(bin(rem)) — bin() prints without leading zeros
+    in both Spark and DuckDB, so its length IS floor(log2)+1 with zero
+    transcendentals. The harmonic sum 2^-M[j] is kept EXACT by scaling to
+    integers: reg_sum = sum(2^(REM_BITS - M[j])) over all m registers
+    (empty registers contribute 2^REM_BITS; max total m * 2^REM_BITS =
+    2^32 — BIGINT-exact). The estimate is one double division of the
+    shared HLL_NUMERATOR literal by reg_sum — a single IEEE rounding,
+    identical in both engines. The small-range linear-counting correction
+    (m * ln(m/V)) needs libm ln and is deliberately left to callers;
+    n_empty_registers in the output is exactly the V it needs.
+
+    Scale shape — MERGEABLE, two map-side-partial aggregations and
+    nothing else: (grp, register) max-rank, then per-grp sum over at most
+    m register rows. No windows, no collects; register state per group is
+    a fixed 2^HLL_P rows regardless of corpus size."""
+    pairs = (
+        documents.select(F.col(group_col).alias("grp"), F.explode(_words(text_col)).alias("term"))
+        .distinct()
+        .select(
+            "grp", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint").alias("h")
+        )
+    )
+    rem_mod = 1 << HLL_REM_BITS
+    ranks = pairs.select(
+        "grp",
+        F.expr(f"h div {rem_mod}").alias("idx"),
+        F.pmod("h", F.lit(rem_mod)).alias("rem"),
+    ).select(
+        "grp",
+        "idx",
+        F.when(F.col("rem") == 0, F.lit(HLL_REM_BITS + 1))
+        .otherwise(F.lit(HLL_REM_BITS + 1) - F.length(F.bin("rem")))
+        .alias("rnk"),
+    )
+    regs = ranks.groupBy("grp", "idx").agg(
+        F.max("rnk").alias("rmax"), F.count(F.lit(1)).alias("cnt")
+    )
+    empty_weight = 1 << HLL_REM_BITS
+    agg = regs.groupBy("grp").agg(
+        F.sum("cnt").alias("n_exact"),
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_REM_BITS} - rmax)")).alias("occ_sum"),
+    )
+    reg_sum = F.col("occ_sum") + (F.lit(HLL_M) - F.col("n_registers")) * F.lit(empty_weight)
+    return agg.select(
+        "grp",
+        "n_exact",
+        (F.lit(HLL_M) - F.col("n_registers")).alias("n_empty_registers"),
+        reg_sum.alias("reg_sum"),
+        (F.lit(HLL_NUMERATOR) / reg_sum.cast("double")).alias("hll_estimate"),
+    )
+
+
 def bigram_pmi(
     documents: DataFrame,
     top: int = 20,

@@ -1953,6 +1953,36 @@ SELECT grp, COUNT(*) AS n_exact,
 FROM r GROUP BY grp"""
 
 
+def sql_hll_distinct() -> str:
+    """terms.hll_distinct twin: same 32-bit md5-prefix hash (ascii
+    arithmetic over a materialized md5 column), rank = (REM_BITS+1) -
+    length(bin(rem)) — DuckDB's bin() also prints without leading zeros —
+    exact integer register sum, one shared-literal division."""
+    from .operators.terms import HLL_M, HLL_NUMERATOR, HLL_REM_BITS
+
+    rem_mod = 1 << HLL_REM_BITS
+    rb1 = HLL_REM_BITS + 1
+    return f"""WITH w AS (SELECT source, {_WORDS} AS words FROM documents),
+p0 AS (SELECT source AS grp, unnest(words) AS term FROM w),
+p AS (SELECT DISTINCT grp, term FROM p0),
+hm AS (SELECT grp, md5(term) AS mh FROM p),
+hs AS (SELECT grp, {_hexcol_sql('mh', 1)} AS h FROM hm),
+rg AS (SELECT grp, h // {rem_mod} AS idx, h % {rem_mod} AS rem FROM hs),
+rk AS (SELECT grp, idx,
+       CASE WHEN rem = 0 THEN {rb1} ELSE {rb1} - length(bin(rem)) END AS rnk FROM rg),
+ag AS (SELECT grp, idx, MAX(rnk) AS rmax, COUNT(*) AS cnt FROM rk GROUP BY grp, idx),
+fin AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_exact,
+        CAST(COUNT(*) AS BIGINT) AS n_registers,
+        CAST(SUM(CAST(1 AS BIGINT) << CAST({HLL_REM_BITS} - rmax AS INT)) AS BIGINT) AS occ_sum
+        FROM ag GROUP BY grp)
+SELECT grp, n_exact,
+       {HLL_M} - n_registers AS n_empty_registers,
+       occ_sum + ({HLL_M} - n_registers) * {rem_mod} AS reg_sum,
+       {_dbl(HLL_NUMERATOR)}
+         / CAST(occ_sum + ({HLL_M} - n_registers) * {rem_mod} AS DOUBLE) AS hll_estimate
+FROM fin"""
+
+
 def sql_bigram_pmi(top: int = 20) -> str:
     """terms.bigram_pmi twin: ratio = (c_ab * N) / (c_a * c_b) with both
     products formed from exact BIGINTs and the same association — rank by

@@ -725,3 +725,49 @@ def test_countmin_one_sided_error(spark):
     got = {r["term"]: r for r in countmin_heavy_hitters(tiny, k=4).collect()}
     assert got["alpha"]["exact_count"] == 3 and got["alpha"]["cm_estimate"] == 3
     assert got["beta"]["exact_count"] == 2 and got["beta"]["cm_estimate"] == 2
+
+
+def test_hll_distinct_estimator(spark):
+    """HLL with m=1024 registers: ~3.25% standard error in the raw-
+    estimator regime (n >> 2.5m). 40k distinct tokens lands there; pin a
+    5-sigma band plus the exact integer invariants."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import (
+        HLL_M,
+        HLL_NUMERATOR,
+        HLL_REM_BITS,
+        hll_distinct,
+    )
+
+    n = 40_000
+    docs = spark.range(n).select(
+        F.lit(0).alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("id").cast("string")).alias("text"),
+        F.lit("g").alias("source"),
+    )
+    (row,) = hll_distinct(docs).collect()
+    assert row["n_exact"] == n
+    assert 0 <= row["n_empty_registers"] <= HLL_M
+    # reg_sum bounds: every register in [1, 2^REM_BITS] scaled weight
+    assert HLL_M <= row["reg_sum"] <= HLL_M * (1 << HLL_REM_BITS)
+    assert row["hll_estimate"] == HLL_NUMERATOR / float(row["reg_sum"])
+    assert abs(row["hll_estimate"] - n) / n < 5 * 1.04 / (HLL_M ** 0.5)
+
+
+def test_hll_register_state_is_bounded(spark):
+    """The per-group register state is <= m rows whatever the corpus size
+    (the scale contract): two disjoint half-corpora merged by max-rank
+    reproduce the full-corpus registers exactly."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import hll_distinct
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    full = {r["grp"]: r for r in hll_distinct(docs).collect()}
+    halves = [
+        {r["grp"]: r for r in hll_distinct(docs.filter(F.col("doc_id") % 2 == i)).collect()}
+        for i in (0, 1)
+    ]
+    for grp, r in full.items():
+        # union cardinality <= sum of half cardinalities; registers merge
+        # by max so reg_sum of the union is <= either half's reg_sum
+        for h in halves:
+            if grp in h:
+                assert r["reg_sum"] <= h[grp]["reg_sum"]
