@@ -186,6 +186,16 @@ def q_knn(spark, sf_dir):
     return knn_ring_expansion(pages, fixture_polygons()).select("url", "poly_id", "dist_sq")
 
 
+def q_knn_points(spark, sf_dir):
+    """Point-point kNN self-join: the 8 nearest OTHER pages for each
+    md5-sampled query page (mod 7), cell-annulus expansion with the
+    query side exploded (the corpus is the index side), exact-scan
+    fallback — brute-force ROW_NUMBER oracle."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_points
+
+    return knn_points(pages_from_documents(spark, sf_dir), k=8, query_mod=7)
+
+
 def q_knn_table(spark, sf_dir):
     """Polygon-TABLE kNN: vertex index built by distributed explode +
     codegen cell encode, exact fallback over the vertex table — nothing
@@ -1396,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlap_table": q_polygon_overlap_table,
         "knn": q_knn,
         "knn_table": q_knn_table,
+        "knn_points": q_knn_points,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_edge": q_knn_edge,
         "knn_edge_table": q_knn_edge_table,
@@ -1519,6 +1530,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_overlap_table": oracle.sql_polygon_overlap_pairs(),
         "knn": oracle.sql_knn(),
         "knn_table": oracle.sql_knn(),
+        "knn_points": oracle.sql_knn_points(k=8, query_mod=7),
         "knn_bruteforce": oracle.sql_knn(),
         "knn_edge": oracle.sql_knn_edge(),
         "knn_edge_table": oracle.sql_knn_edge(),

@@ -653,3 +653,143 @@ def knn_edge_ring_expansion_table(
         d2_expr=seg_d2_expr(),
         bound_margin=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# point-point kNN: the k nearest OTHER pages for each sampled query page
+# ---------------------------------------------------------------------------
+
+KNN_POINTS_RES = 6  # ~5.6 deg cells — sized for geotag density, tunable
+
+
+def knn_points(
+    pages: DataFrame,
+    k: int = 8,
+    query_mod: int = 7,
+    res: int = KNN_POINTS_RES,
+    windows: tuple[tuple[int, int], ...] = ((0, 1), (2, 15)),
+) -> DataFrame:
+    """(url, rnk, neighbor, dist_sq): the k nearest OTHER pages for each
+    deterministically md5-sampled query page, planar squared-degree
+    distance, ties broken by neighbor url. The similarity-search shape the
+    polygon kNN family lacks: a point-point self kNN join.
+
+    Scale shape — the INDEX side is the whole corpus, so unlike the
+    polygon kNN the Chebyshev annulus is exploded on the QUERY side
+    (sampled, small): queries x |annulus| equi-join the corpus on its cell
+    key, broadcast while that stays small and a plain shuffle join past
+    BROADCAST_INDEX_MAX_ROWS. Per-round state is one top-k struct array
+    per query (slice(array_sort(concat))) — window annuli are disjoint so
+    a neighbor is scored exactly once. A query finalizes once it holds k
+    candidates with kth distance STRICTLY under (hi * cell_size)^2 — any
+    unseen point sits in a cell with Chebyshev distance > hi, hence at
+    Euclidean distance >= hi * cell_size, and the strict inequality keeps
+    an exactly-on-the-bound unseen point from stealing the kth slot via
+    the url tie-break. Queries unresolved past the last window fall back
+    to an exact scan (they are few: empty neighborhoods).
+
+    The planar-degree metric is the operator's contract (no wraparound:
+    longitudes 179.9 and -179.9 are far apart BY DEFINITION here, in both
+    engines), which is also why cell-id arithmetic at grid edges is safe:
+    aliased off-grid ids either match nothing or contribute far candidates
+    that lose the top-k."""
+    spark = pages.sparkSession
+    size = cellgrid.cell_size_deg(res)
+    best_t = "array<struct<d2:double,nid:string>>"
+    points = (
+        pages.select(
+            F.col("url").alias("nid"), F.col("lon").alias("plon"), F.col("lat").alias("plat")
+        )
+        .withColumn("pcell", cellgrid.cell_id_col(F.col("plon"), F.col("plat"), res))
+        .localCheckpoint()  # one consumer per round + fallback (fan-out audit)
+    )
+    qhash = F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("bigint")
+    pending = (
+        pages.where(qhash % F.lit(query_mod) == 0)
+        .select("url", "lat", "lon")
+        .withColumn("qcell", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), res))
+        .withColumn("best", F.expr(f"CAST(array() AS {best_t})"))
+        .localCheckpoint()
+    )
+    d2 = (F.col("plon") - F.col("lon")) * (F.col("plon") - F.col("lon")) + (
+        F.col("plat") - F.col("lat")
+    ) * (F.col("plat") - F.col("lat"))
+    finalized: list[DataFrame] = []
+
+    def explode_best(df: DataFrame) -> DataFrame:
+        return df.select("url", F.posexplode("best")).select(
+            "url",
+            (F.col("pos") + 1).cast("int").alias("rnk"),
+            F.col("col.nid").alias("neighbor"),
+            F.col("col.d2").alias("dist_sq"),
+        )
+
+    for lo, hi in windows:
+        n_pending = pending.count()
+        offsets = [
+            (dx, dy)
+            for dx in range(-hi, hi + 1)
+            for dy in range(-hi, hi + 1)
+            if lo <= max(abs(dx), abs(dy)) <= hi
+        ]
+        off_df = spark.createDataFrame(
+            [(dy * cellgrid._SHIFT + dx,) for dx, dy in offsets], "off bigint"
+        )
+        qx = (
+            pending.select("url", "lat", "lon", "qcell")
+            .crossJoin(off_df)
+            .select("url", "lat", "lon", (F.col("qcell") + F.col("off")).alias("pcell"))
+        )
+        if n_pending * len(offsets) <= BROADCAST_INDEX_MAX_ROWS:
+            qx = F.broadcast(qx)
+        cand = (
+            points.join(qx, "pcell")
+            .where(F.col("nid") != F.col("url"))
+            .withColumn("d2", d2)
+            .groupBy("url")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct(F.col("d2"), F.col("nid")))), 1, k
+                ).alias("cbest")
+            )
+        )
+        merged = pending.join(cand, "url", "left").select(
+            "url",
+            "lat",
+            "lon",
+            "qcell",
+            F.slice(
+                F.array_sort(
+                    F.concat(F.col("best"), F.coalesce(F.col("cbest"), F.expr(f"CAST(array() AS {best_t})")))
+                ),
+                1,
+                k,
+            ).alias("best"),
+        )
+        bound = float((hi * size) * (hi * size))
+        guarantee = (F.size("best") >= k) & (F.element_at("best", k)["d2"] < F.lit(bound))
+        finalized.append(explode_best(merged.where(guarantee)))
+        pending = merged.where(~guarantee).localCheckpoint()
+        if pending.isEmpty():
+            pending = None
+            break
+
+    if pending is not None and not pending.isEmpty():
+        # exact scan for the stragglers: all points, same top-k contract
+        tail = (
+            points.crossJoin(F.broadcast(pending.select("url", "lat", "lon")))
+            .where(F.col("nid") != F.col("url"))
+            .withColumn("d2", d2)
+            .groupBy("url")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct(F.col("d2"), F.col("nid")))), 1, k
+                ).alias("best")
+            )
+        )
+        finalized.append(explode_best(tail))
+
+    out = finalized[0]
+    for df in finalized[1:]:
+        out = out.unionByName(df)
+    return out

@@ -135,6 +135,24 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist_sq, poly_id) A
 WHERE rn = 1"""
 
 
+def sql_knn_points(k: int = 8, query_mod: int = 7) -> str:
+    """knn.knn_points twin, deliberately index-free: every md5-sampled
+    query ranked against the FULL page set by the identical planar
+    squared-degree distance (dx*dx + dy*dy, same op order), ROW_NUMBER
+    tie-broken on neighbor url — verifying the cell-annulus expansion,
+    finalization bound and fallback against brute force."""
+    return f"""WITH {pages_with()},
+qh AS (SELECT url, lat, lon, md5(url) AS mh FROM pages),
+q AS (SELECT url, lat, lon FROM qh WHERE {_hexcol_sql('mh', 1)} % {query_mod} = 0),
+pr AS (SELECT q.url, p.url AS neighbor,
+              (p.lon - q.lon) AS dx, (p.lat - q.lat) AS dy
+       FROM q JOIN pages p ON p.url <> q.url),
+d AS (SELECT url, neighbor, dx * dx + dy * dy AS dist_sq FROM pr),
+r AS (SELECT url, neighbor, dist_sq,
+      ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist_sq, neighbor) AS rn FROM d)
+SELECT url, CAST(rn AS INT) AS rnk, neighbor, dist_sq FROM r WHERE rn <= {k}"""
+
+
 def rings_values() -> str:
     """Embedded rings as ordered list literals (exact strtod doubles) —
     for oracles that need the ring SEQUENCE, not the edge set."""

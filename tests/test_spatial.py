@@ -731,3 +731,44 @@ def test_ring_decimate_degenerate_rings(spark):
     assert 1 not in by_poly
     assert sorted(by_poly[2]) == [1]
     assert sorted(by_poly[3]) == [1, 2]
+
+
+def test_knn_points_matches_bruteforce(spark):
+    """Point-point kNN: the cell-annulus expansion (both finalize rounds
+    and the fallback) must reproduce the exact brute-force top-k with the
+    (d2, neighbor) tie-break, and ranks must be 1..k dense per query."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_points
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    k = 5
+    got = {}
+    for r in knn_points(pages, k=k, query_mod=3).collect():
+        got.setdefault(r["url"], []).append((r["rnk"], r["neighbor"], r["dist_sq"]))
+    assert got, "no sampled queries"
+
+    pts = [(r["url"], r["lon"], r["lat"]) for r in pages.select("url", "lon", "lat").collect()]
+    by_url = {u: (lon, lat) for u, lon, lat in pts}
+    for url, rows in got.items():
+        qlon, qlat = by_url[url]
+        exact = sorted(
+            ((plon - qlon) * (plon - qlon) + (plat - qlat) * (plat - qlat), nid)
+            for nid, plon, plat in pts
+            if nid != url
+        )[:k]
+        rows.sort()
+        assert [rn for rn, _, _ in rows] == list(range(1, len(rows) + 1))
+        assert [(nid, d2) for d2, nid in exact] == [(n, d) for _, n, d in rows]
+
+
+def test_knn_points_single_window_forces_fallback(spark):
+    """With one tiny window no query can hold a sub-bound kth distance at
+    fixture density — every query must take the exact-scan fallback and
+    still match brute force (same assertion as above on a narrower run)."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_points
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    wide = knn_points(pages, k=3, query_mod=5).collect()
+    narrow = knn_points(pages, k=3, query_mod=5, windows=((0, 0),)).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, narrow))
