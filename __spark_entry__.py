@@ -1290,6 +1290,40 @@ def q_length_quartiles(spark, sf_dir):
     return length_quartiles(_docs(spark, sf_dir))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact over documents with deterministic synthetic
+    PII injected in-query (emails on doc_id%5, IPv4 on %7, phones on %11
+    — identical string construction in the oracle) so the counts and the
+    redacted text are meaningfully nonzero and hash-gated."""
+    from pyspark.sql import functions as F
+
+    from openaip_yaixm_to_geojson_spark.operators.text import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" call +1415555"), (F.lit(1000) + did % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scrub(docs.withColumn("text", inj))
+
+
 def q_sampled_p90_chars(spark, sf_dir):
     """Quantile ESTIMATE at scale: exact rank selection over the
     deterministic md5-bucket sample — sketch accuracy, hash-gateable."""
@@ -1501,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_stats": q_events_moving_stats,
         "chars_histogram": q_chars_histogram,
         "lang_p90_chars": q_lang_p90_chars,
+        "pii_scrub": q_pii_scrub,
         "sampled_p90_chars": q_sampled_p90_chars,
         "mixture_allocate": q_mixture_allocate,
         "length_quartiles": q_length_quartiles,
@@ -1625,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_stats": oracle.sql_events_moving_stats(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
+        "pii_scrub": oracle.sql_pii_scrub(),
         "sampled_p90_chars": oracle.sql_sampled_percentile_chars(fraction=0.25, p_num=9, p_den=10),
         "mixture_allocate": oracle.sql_mixture_allocate(),
         "length_quartiles": oracle.sql_length_quartiles(),

@@ -734,3 +734,39 @@ def json_roundtrip_stats(documents: DataFrame) -> DataFrame:
         F.element_at("r.words", 1).alias("first_word"),
         F.element_at("r.words", -1).alias("last_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+#
+# Pattern notes (shared verbatim between Spark's Java regex and DuckDB's
+# RE2): no lookarounds or backreferences (RE2 has neither), no alternation
+# whose order could differ, plain character classes and bounded quantifiers
+# only — for these constructs leftmost-first greedy matching is identical in
+# both engines. Counts are taken on the ORIGINAL text; redaction replaces
+# email -> ip -> phone in that fixed order (an IP-looking substring inside
+# an email is covered by the email pass first).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{7,15}"
+_PII_KINDS = (("email", PII_EMAIL, "<EMAIL>"), ("ipv4", PII_IPV4, "<IP>"), ("phone", PII_PHONE, "<PHONE>"))
+
+
+def pii_scrub(documents: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document PII detection + redaction: match counts per kind on
+    the original text and a redacted copy with typed placeholders — the
+    scrub stage every training corpus runs before export.
+
+    Scale shape: pure per-row codegen string expressions, zero shuffles;
+    the three patterns each scan the row once (no explode, no UDF)."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(f"n_{kind}")
+        for kind, pat, _ in _PII_KINDS
+    ]
+    red = F.col(text_col)
+    for _, pat, token in _PII_KINDS:
+        red = F.regexp_replace(red, pat, token)
+    return documents.select(
+        F.col(key_col).alias("key"), *counts, red.alias("redacted")
+    )

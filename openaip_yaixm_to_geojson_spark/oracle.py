@@ -2299,6 +2299,36 @@ SELECT grp AS source, wt AS weight,
 FROM r"""
 
 
+_PII_INJECT_SQL = """SELECT doc_id,
+  text || CASE WHEN doc_id % 5 = 0
+      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+       || CASE WHEN doc_id % 7 = 0
+      THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+       || CASE WHEN doc_id % 11 = 0
+      THEN ' call +1415555' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END AS text
+  FROM documents"""
+
+
+def sql_pii_scrub() -> str:
+    """text.pii_scrub twin: identical regexes (no lookarounds/alternation
+    — leftmost-first greedy matching agrees between Java regex and RE2),
+    counts on the injected original, email -> ip -> phone replace order."""
+    from .operators.text import _PII_KINDS
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{kind}"
+        for kind, pat, _ in _PII_KINDS
+    )
+    red = "text"
+    for _, pat, token in _PII_KINDS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""WITH t AS ({_PII_INJECT_SQL})
+SELECT doc_id AS key,
+  {counts},
+  {red} AS redacted
+FROM t"""
+
+
 def sql_length_quartiles(buckets: int = 4) -> str:
     """text.length_quartiles twin: identical ntile over (n_chars, doc_id)."""
     return f"""WITH b AS (

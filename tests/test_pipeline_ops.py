@@ -1114,3 +1114,30 @@ def test_event_transitions_order_and_tiebreak(spark):
     ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id", "event_type")
     got = {(r["from_type"], r["to_type"]): r["n_transitions"] for r in event_transitions(ev).collect()}
     assert got == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from openaip_yaixm_to_geojson_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail a.b-c%d@sub.example.org and ip 192.168.0.1 call +4915123456789"),
+        (2, "ip-in-email user@10.0.0.1 stays an email; bare 999.1.2.3 still matches"),
+        (3, "no pii here, just +123 (too short) and 1.2.3 (not an ip)"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["key"]: r for r in pii_scrub(df).collect()}
+    r1 = got[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (1, 1, 1)
+    assert r1["redacted"] == "mail <EMAIL> and ip <IP> call <PHONE>"
+    r2 = got[2]
+    # the email pass consumes user@10.0.0.1? no — the domain has no alpha
+    # TLD, so it is NOT an email; the ipv4 pass picks up both addresses
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 2, 0)
+    assert r2["redacted"] == "ip-in-email user@<IP> stays an email; bare <IP> still matches"
+    r3 = got[3]
+    assert (r3["n_email"], r3["n_ipv4"], r3["n_phone"]) == (0, 0, 0)
+    assert r3["redacted"] == rows[2][1]
+
+    # zero-shuffle contract: per-row expressions only
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
