@@ -1360,6 +1360,15 @@ def q_events_retention(spark, sf_dir):
     return events_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_scd2_build(spark, sf_dir):
+    """SCD type-2 dimension build: per-user runs of equal event_type
+    collapsed to validity intervals with the open current row — oracle
+    uses the independent gaps-and-islands (rn - rn_per_type) strategy."""
+    from openaip_yaixm_to_geojson_spark.operators.events import scd2_build
+
+    return scd2_build(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_event_transitions(spark, sf_dir):
     """Clickstream Markov transition matrix: deterministic per-user
     sequence (micros + event_id tie-break) -> (from, to) counts."""
@@ -1531,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions_native": q_events_sessions_native,
         "events_funnel": q_events_funnel,
         "event_transitions": q_event_transitions,
+        "scd2_build": q_scd2_build,
         "events_retention": q_events_retention,
         "events_moving_stats": q_events_moving_stats,
         "chars_histogram": q_chars_histogram,
@@ -1656,6 +1666,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions_native": oracle.sql_events_sessions_native(),
         "events_funnel": oracle.sql_events_funnel(),
         "event_transitions": oracle.sql_event_transitions(),
+        "scd2_build": oracle.sql_scd2_build(),
         "events_retention": oracle.sql_events_retention(),
         "events_moving_stats": oracle.sql_events_moving_stats(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),

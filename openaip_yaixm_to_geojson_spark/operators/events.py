@@ -402,3 +402,45 @@ def event_transitions(events: DataFrame) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+def scd2_build(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type-2 table from the event stream:
+    consecutive runs of the same event_type per user collapse into
+    validity intervals [valid_from_us, valid_to_us) with the run's event
+    count; the open interval (valid_to_us NULL) is the current state.
+    Event order is the pinned (unix_micros, event_id) contract shared
+    with event_transitions.
+
+    Scale shape: ONE shuffle. The change-flag lag window partitions by
+    user_id; the run groupBy's keys are a superset of user_id so the
+    hash partitioning is reused (no second Exchange), and the lead
+    window runs over the already-partitioned RUN rows (orders of
+    magnitude fewer than events)."""
+    from pyspark.sql import Window
+
+    # TIMESTAMP_NTZ cast first — unix_micros on NTZ shifts by the session tz
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    base = events.select("user_id", "event_id", "event_type", t.alias("us"))
+    seg = base.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("seg", F.sum("chg").over(w))
+    runs = seg.groupBy("user_id", "seg", "event_type").agg(
+        F.min("us").alias("valid_from_us"), F.count(F.lit(1)).alias("n_events")
+    )
+    # order runs by seg (the per-user run index) — valid_from_us alone can
+    # tie when a run boundary splits two same-microsecond events
+    w2 = Window.partitionBy("user_id").orderBy("seg")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_events",
+    ).withColumn("is_current", F.col("valid_to_us").isNull())

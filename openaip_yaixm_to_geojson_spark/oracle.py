@@ -1788,6 +1788,35 @@ SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
 FROM f"""
 
 
+def sql_scd2_build() -> str:
+    """events.scd2_build twin via the INDEPENDENT gaps-and-islands
+    strategy (rn - rn_per_type difference) instead of lag-change-cumsum;
+    runs ordered for LEAD by MIN(rn) — monotone with temporal run order
+    in both formulations even when adjacent runs share a microsecond."""
+    return """WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id, event_type FROM events
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS rt
+  FROM e
+),
+g AS (
+  SELECT user_id, event_type, rn - rt AS grp, MIN(rn) AS ord,
+         MIN(us) AS valid_from_us, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM r GROUP BY user_id, event_type, rn - rt
+),
+f AS (
+  SELECT user_id, event_type, valid_from_us,
+         LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY ord) AS valid_to_us,
+         n_events
+  FROM g
+)
+SELECT user_id, event_type, valid_from_us, valid_to_us, n_events,
+       valid_to_us IS NULL AS is_current
+FROM f"""
+
+
 def sql_event_transitions() -> str:
     """events.event_transitions twin: same (ts, event_id) sequence order
     (micros ints vs native TIMESTAMP order — identical total order)."""

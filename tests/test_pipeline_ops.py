@@ -1141,3 +1141,41 @@ def test_pii_scrub_counts_and_redaction(spark):
     # zero-shuffle contract: per-row expressions only
     plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_scd2_build_runs_and_current(spark):
+    from datetime import datetime
+
+    from openaip_yaixm_to_geojson_spark.operators.events import scd2_build
+
+    def us(sec, micro=0):
+        return 1704067200_000000 + sec * 1_000_000 + micro
+
+    rows = [
+        # user 1: view,view,click,view — three runs
+        (1, 1, datetime(2024, 1, 1, 0, 0, 0), "view"),
+        (2, 1, datetime(2024, 1, 1, 0, 0, 1), "view"),
+        (3, 1, datetime(2024, 1, 1, 0, 0, 2), "click"),
+        (4, 1, datetime(2024, 1, 1, 0, 0, 3), "view"),
+        # user 2: same-microsecond boundary — event_id breaks the tie, so
+        # runs are click(5) then view(6) both starting at the same us
+        (5, 2, datetime(2024, 1, 1, 0, 0, 0), "click"),
+        (6, 2, datetime(2024, 1, 1, 0, 0, 0), "view"),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp_ntz, event_type string")
+    got = sorted(
+        (r["user_id"], r["valid_from_us"], r["event_type"], r["valid_to_us"], r["n_events"], r["is_current"])
+        for r in scd2_build(df).collect()
+    )
+    assert got == [
+        (1, us(0), "view", us(2), 2, False),
+        (1, us(2), "click", us(3), 1, False),
+        (1, us(3), "view", None, 1, True),
+        (2, us(0), "click", us(0), 1, False),
+        (2, us(0), "view", None, 1, True),
+    ]
+
+    # ONE shuffle: the run groupBy and lead window reuse the lag window's
+    # user_id hash partitioning
+    plan = scd2_build(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
