@@ -186,6 +186,15 @@ def q_knn(spark, sf_dir):
     return knn_ring_expansion(pages, fixture_polygons()).select("url", "poly_id", "dist_sq")
 
 
+def q_geo_cluster_cells(spark, sf_dir):
+    """Grid-density clustering: dense cells (>= 2 pages at res 7) merged
+    across 8-neighborhoods into min-cell-labeled clusters — oracle
+    recomputes components as a recursive-CTE reachability fixpoint."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import geo_cluster_cells
+
+    return geo_cluster_cells(pages_from_documents(spark, sf_dir), res=7, min_pts=2)
+
+
 def q_knn_points(spark, sf_dir):
     """Point-point kNN self-join: the 8 nearest OTHER pages for each
     md5-sampled query page (mod 7), cell-annulus expansion with the
@@ -1450,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "knn_table": q_knn_table,
         "knn_points": q_knn_points,
+        "geo_cluster_cells": q_geo_cluster_cells,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_edge": q_knn_edge,
         "knn_edge_table": q_knn_edge_table,
@@ -1576,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": oracle.sql_knn(),
         "knn_table": oracle.sql_knn(),
         "knn_points": oracle.sql_knn_points(k=8, query_mod=7),
+        "geo_cluster_cells": oracle.sql_geo_cluster_cells(res=7, min_pts=2),
         "knn_bruteforce": oracle.sql_knn(),
         "knn_edge": oracle.sql_knn_edge(),
         "knn_edge_table": oracle.sql_knn_edge(),

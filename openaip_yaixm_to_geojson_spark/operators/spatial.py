@@ -644,3 +644,61 @@ def polygon_area_orientation(polygons_df: DataFrame) -> DataFrame:
         (F.abs(F.col("_s2")) / F.lit(2.0)).alias("area_deg2"),
         (F.col("_s2") > F.lit(0.0)).alias("is_ccw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grid-density clustering (DBSCAN-style core cells + connected components)
+# ---------------------------------------------------------------------------
+
+
+def geo_cluster_cells(
+    pages: DataFrame, res: int = 7, min_pts: int = 2, max_iters: int = 200
+) -> DataFrame:
+    """(cell, cluster_id, n_points): DBSCAN-flavored density clustering on
+    the cell grid — cells holding >= min_pts pages are dense; dense cells
+    that are 8-neighbors merge into one cluster labeled by the minimum
+    member cell id.
+
+    Scale shape: the corpus collapses to per-cell counts in one map-side-
+    partial groupBy; everything after runs on the DENSE-CELL set, which is
+    bounded by the grid (2^res * 2^(res-1) cells), not the corpus. The
+    8-neighbor edge join matches on DECODED (x, y) coordinates — never on
+    id +/- offset arithmetic, which aliases across row boundaries at grid
+    edges — and world wrap is deliberately absent (planar contract shared
+    with knn_points). Components come from dedup.duplicate_clusters
+    (min-label hop propagation, rounds ~ component diameter — fine here
+    because the node set is grid-bounded and each round is a tiny join;
+    its non-convergence RAISE contract applies)."""
+    from .dedup import duplicate_clusters
+
+    cells = (
+        pages.select(cellgrid.cell_id_col(F.col("lon"), F.col("lat"), res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    # dense feeds the edge self-join (twice) and the final join: materialize
+    dense = cells.where(F.col("n_points") >= min_pts).localCheckpoint()
+    shift = cellgrid._SHIFT
+    xy = dense.select(
+        "cell",
+        (F.col("cell") % shift).alias("x"),
+        F.expr(f"(cell div {shift}) % {shift}").alias("y"),
+    )
+    offs = pages.sparkSession.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)],
+        "dx int, dy int",
+    )
+    a = xy.crossJoin(F.broadcast(offs)).select(
+        F.col("cell").alias("key_a"), (F.col("x") + F.col("dx")).alias("nx"),
+        (F.col("y") + F.col("dy")).alias("ny"),
+    )
+    b = xy.select(F.col("cell").alias("key_b"), F.col("x").alias("nx"), F.col("y").alias("ny"))
+    pairs = (
+        a.join(b, ["nx", "ny"]).where(F.col("key_a") < F.col("key_b")).select("key_a", "key_b")
+    )
+    labels = duplicate_clusters(
+        pairs, documents=dense.select(F.col("cell")), key_col="cell", max_iters=max_iters
+    )
+    return dense.join(labels, dense.cell == labels.key).select(
+        "cell", "cluster_id", "n_points"
+    )

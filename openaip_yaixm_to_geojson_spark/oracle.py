@@ -135,6 +135,31 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist_sq, poly_id) A
 WHERE rn = 1"""
 
 
+def sql_geo_cluster_cells(res: int = 7, min_pts: int = 2) -> str:
+    """spatial.geo_cluster_cells twin with an INDEPENDENT component
+    strategy: the dense-cell adjacency closure as a recursive-CTE
+    fixpoint (reachability x label, UNION-deduped) and cluster_id =
+    MIN(reachable label) — no iteration budget, no label propagation.
+    Neighbor test on decoded (x, y) with abs diffs, same planar
+    no-wrap contract."""
+    from .functions.cellgrid import _SHIFT
+
+    return f"""WITH RECURSIVE {pages_with()},
+c AS (SELECT {cell_id_sql('lon', 'lat', res)} AS cell FROM pages),
+d AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_points FROM c
+      GROUP BY cell HAVING COUNT(*) >= {min_pts}),
+xy AS (SELECT cell, cell % {_SHIFT} AS x, (cell // {_SHIFT}) % {_SHIFT} AS y, n_points FROM d),
+e AS (SELECT a.cell AS src, b.cell AS dst FROM xy a JOIN xy b
+      ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 AND a.cell <> b.cell),
+reach AS (
+  SELECT cell, cell AS lab FROM xy
+  UNION
+  SELECT e.dst AS cell, r.lab FROM reach r JOIN e ON e.src = r.cell
+),
+lbl AS (SELECT cell, MIN(lab) AS cluster_id FROM reach GROUP BY cell)
+SELECT xy.cell, lbl.cluster_id, xy.n_points FROM xy JOIN lbl ON lbl.cell = xy.cell"""
+
+
 def sql_knn_points(k: int = 8, query_mod: int = 7) -> str:
     """knn.knn_points twin, deliberately index-free: every md5-sampled
     query ranked against the FULL page set by the identical planar

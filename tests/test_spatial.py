@@ -772,3 +772,46 @@ def test_knn_points_single_window_forces_fallback(spark):
     wide = knn_points(pages, k=3, query_mod=5).collect()
     narrow = knn_points(pages, k=3, query_mod=5, windows=((0, 0),)).collect()
     assert sorted(map(tuple, wide)) == sorted(map(tuple, narrow))
+
+
+def test_geo_cluster_cells_components(spark):
+    """Two diagonal-touching dense cells form one cluster (8-neighbor),
+    a distant dense cell stays its own cluster, sparse cells are absent,
+    and cluster_id is the minimum member cell id."""
+    from openaip_yaixm_to_geojson_spark.functions.cellgrid import encode
+    from openaip_yaixm_to_geojson_spark.operators.spatial import geo_cluster_cells
+
+    res = 7
+    size = 360.0 / (1 << res)
+
+    def pt(i, lon, lat):
+        return (f"u{i}", lon, lat)
+
+    # cell centers: (cx, cy) in cell units -> lon/lat
+    def center(cx, cy):
+        return (-180.0 + (cx + 0.5) * size, -90.0 + (cy + 0.5) * size)
+
+    pts = []
+    # dense cell A (10, 10) and diagonal neighbor B (11, 11): 2 points each
+    for i, (cx, cy) in enumerate([(10, 10), (10, 10), (11, 11), (11, 11)]):
+        lon, lat = center(cx, cy)
+        pts.append(pt(i, lon, lat))
+    # far dense cell C (40, 20)
+    lon, lat = center(40, 20)
+    pts += [pt(10, lon, lat), pt(11, lon, lat)]
+    # sparse cell D (50, 30): a single point
+    lon, lat = center(50, 30)
+    pts.append(pt(20, lon, lat))
+    pages = spark.createDataFrame(pts, "url string, lon double, lat double")
+
+    got = {r["cell"]: (r["cluster_id"], r["n_points"]) for r in geo_cluster_cells(pages, res=res).collect()}
+    ca = encode(*center(10, 10), res)
+    cb = encode(*center(11, 11), res)
+    cc = encode(*center(40, 20), res)
+    cd = encode(*center(50, 30), res)
+    assert cd not in got
+    assert got == {
+        ca: (min(ca, cb), 2),
+        cb: (min(ca, cb), 2),
+        cc: (cc, 2),
+    }
