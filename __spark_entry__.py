@@ -666,6 +666,15 @@ def q_simhash64_pairs(spark, sf_dir):
     return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3, n_bits=64)
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """One Lloyd iteration: nearest-of-8-seeds assignment (left-fold
+    double distance, the ann convention) + fixed-point-exact per-cluster
+    per-dimension centroid update, fully hash-gated."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf_dir), k=8)
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return cosine_topk(emb, queries_from_embeddings(emb, n=5), k=3)
@@ -1497,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_pairs": q_simhash64_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
+        "kmeans_assign": q_kmeans_assign,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
@@ -1624,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64_pairs": oracle.sql_simhash64_pairs(),
         "simhash_pairs": oracle.sql_simhash_pairs(),
         "ann_topk": oracle.sql_ann_topk(),
+        "kmeans_assign": oracle.sql_kmeans_assign(k=8),
         "ann_lsh": oracle.sql_ann_lsh(n_planes=2),
         "ann_ivf": oracle.sql_ann_ivf(),
         "embedding_neardup": oracle.sql_embedding_neardup(threshold=0.4),

@@ -513,3 +513,78 @@ def quantization_error(embeddings: DataFrame, bits_max: int = 127) -> DataFrame:
         ),
     )
     return with_qc.select("vec_id", "scale", F.array_max(err).alias("max_abs_err"))
+
+
+KMEANS_FP_SCALE = 1 << 20  # fixed-point resolution for exact centroid sums
+
+
+def kmeans_assign(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """One Lloyd iteration over the embedding table: assign every vector
+    to the nearest of k data-derived seed centroids (the vectors with
+    vec_id < k, the ann_topk query convention) and emit the per-cluster
+    per-dimension centroid update — the clustering step a curation
+    pipeline runs to diversify / stratify training data.
+
+    Output: (cluster_id, dim_idx, n_members, sum_fp, centroid_next).
+
+    Determinism: assignment distance is the pinned left-fold double sum
+    of (x - c)^2 (bit-identical to DuckDB's list_reduce, same as
+    dot_double), ties on seed_id. The CENTROID update is the only
+    cross-ROW float sum — summed in fixed point: q = floor(x * 2^20 +
+    0.5) per element (multiply by a power of two is EXACT; one rounding
+    at the +0.5) giving order-independent exact BIGINT sums, then ONE
+    double division at the output boundary. Arbitrary-float cross-row
+    double sums are order-dependent and decimal casts of full-mantissa
+    floats are not provably identical across engines — fixed point is
+    the honest contract, and 2^-20 resolution is far below float32
+    embedding noise.
+
+    Scale shape: seeds broadcast (k rows); assignment is one pass, no
+    shuffle; the update is one map-side-partial groupBy on (cluster,
+    dim) — k * dim result rows. Sum headroom: 2^63 / 2^20 leaves ~8.8e12
+    unit-scale members per (cluster, dim)."""
+    seeds = F.broadcast(
+        embeddings.where(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "semb",
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # the embedding rides inside the min struct: all k rows of a vec_id
+    # share it, and (d2, seed_id) always decides before the comparison
+    # could reach it (seed_id is unique) — no second embeddings scan
+    assigned = (
+        embeddings.crossJoin(seeds)
+        .select("vec_id", d2.alias("d2"), "seed_id", "embedding")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d2"), F.col("seed_id"), F.col("embedding"))).alias("_b"))
+        .select(F.col("_b.embedding").alias("embedding"), F.col("_b.seed_id").alias("cluster_id"))
+    )
+    fp = F.floor(
+        F.col("x").cast("double") * F.lit(float(KMEANS_FP_SCALE)) + F.lit(0.5)
+    ).alias("q")
+    exploded = assigned.select("cluster_id", F.posexplode("embedding").alias("dim_idx", "x")).select(
+        "cluster_id", "dim_idx", fp
+    )
+    return (
+        exploded.groupBy("cluster_id", "dim_idx")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("q").alias("sum_fp"))
+        .select(
+            "cluster_id",
+            "dim_idx",
+            "n_members",
+            "sum_fp",
+            (
+                F.col("sum_fp").cast("double")
+                / (F.col("n_members") * F.lit(KMEANS_FP_SCALE)).cast("double")
+            ).alias("centroid_next"),
+        )
+    )

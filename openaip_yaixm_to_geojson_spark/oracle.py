@@ -2494,6 +2494,36 @@ SELECT vec_id, scale,
 FROM s"""
 
 
+def sql_kmeans_assign(k: int = 8, dim: int = 64) -> str:
+    """similarity.kmeans_assign twin: same left-fold (x-c)^2 distance
+    (list_reduce == Spark's aggregate fold, pinned elsewhere), assignment
+    via ROW_NUMBER tie-broken on seed_id, and the identical fixed-point
+    centroid sum (floor(x * 2^20 + 0.5): exact power-of-two multiply, one
+    rounding, exact BIGINT accumulation)."""
+    from .operators.similarity import KMEANS_FP_SCALE
+
+    d2 = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.semb[i] AS DOUBLE))"
+        " * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.semb[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    fs = float(KMEANS_FP_SCALE)
+    return f"""WITH s AS (SELECT vec_id AS seed_id, embedding AS semb FROM embeddings WHERE vec_id < {k}),
+d AS (SELECT e.vec_id, s.seed_id, {d2} AS d2 FROM embeddings e CROSS JOIN s),
+a AS (SELECT vec_id, seed_id AS cluster_id FROM
+      (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn FROM d)
+      WHERE rn = 1),
+i0 AS (SELECT unnest(generate_series(1, {dim})) AS i),
+dims AS (SELECT i FROM i0),
+m AS (SELECT a.cluster_id, dims.i - 1 AS dim_idx,
+             CAST(floor(CAST(e.embedding[dims.i] AS DOUBLE) * {_dbl(fs)} + {_dbl(0.5)}) AS BIGINT) AS q
+      FROM a JOIN embeddings e USING (vec_id) CROSS JOIN dims)
+SELECT cluster_id, CAST(dim_idx AS INT) AS dim_idx, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(q) AS BIGINT) AS sum_fp,
+       CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) * {KMEANS_FP_SCALE} AS DOUBLE) AS centroid_next
+FROM m GROUP BY cluster_id, dim_idx"""
+
+
 def sql_ann_topk_quantized(n_queries: int = 5, k: int = 3) -> str:
     """similarity.ann_topk_quantized twin: identical quantization then an
     exact integer dot (list fold of BIGINT products — no float rules

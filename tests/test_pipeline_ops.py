@@ -1179,3 +1179,34 @@ def test_scd2_build_runs_and_current(spark):
     # user_id hash partitioning
     plan = scd2_build(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_kmeans_assign_exact(spark):
+    """Hand-built 1-D-ish case: two seeds, known assignments, exact
+    fixed-point sums; plus the member-conservation property."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import (
+        KMEANS_FP_SCALE,
+        kmeans_assign,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]),      # seed 0
+        (1, [1.0, 0.0]),      # seed 1
+        (2, [0.25, 0.0]),     # -> cluster 0
+        (3, [0.75, 0.0]),     # -> cluster 1
+        (4, [0.5, 0.0]),      # equidistant -> tie breaks to seed 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {(r["cluster_id"], r["dim_idx"]): r for r in kmeans_assign(df, k=2).collect()}
+    s = KMEANS_FP_SCALE
+    assert got[(0, 0)]["n_members"] == 3 and got[(1, 0)]["n_members"] == 2
+    assert got[(0, 0)]["sum_fp"] == 0 + s // 4 + s // 2
+    assert got[(1, 0)]["sum_fp"] == s + 3 * s // 4
+    assert got[(0, 0)]["centroid_next"] == (0.25 + 0.5) / 3
+    assert got[(0, 1)]["sum_fp"] == 0 and got[(1, 1)]["sum_fp"] == 0
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = kmeans_assign(emb, k=8).collect()
+    n_total = emb.count()
+    for d in {r["dim_idx"] for r in out}:
+        assert sum(r["n_members"] for r in out if r["dim_idx"] == d) == n_total
