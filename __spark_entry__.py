@@ -366,6 +366,53 @@ def q_tpch_big_orders(spark, sf_dir):
     return big_orders(table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem"))
 
 
+def q_events_decay(spark, sf_dir):
+    """Half-life-decayed event counts with EXACT power-of-two BIGINT
+    weights (float decay is libm + reduction-order territory)."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_decay, events_from_dir
+
+    return events_decay(events_from_dir(spark, sf_dir))
+
+
+def q_events_attribution(spark, sf_dir):
+    """Last-touch conversion attribution: union carry-forward window (ONE
+    Exchange); oracle recomputes via join-then-rank."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        events_attribution,
+        events_from_dir,
+    )
+
+    return events_attribution(events_from_dir(spark, sf_dir))
+
+
+def q_tpch_order_distribution(spark, sf_dir):
+    """TPC-H Q13-shaped: customers-per-order-count histogram with the
+    zero bucket kept (orders pre-aggregated before the left join)."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import (
+        order_count_distribution,
+        table,
+    )
+
+    return order_count_distribution(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+def q_tpch_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped: min-unit-price supplier per part via a ONE-Exchange
+    window-min whose partitioning the achiever rollup reuses."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import (
+        min_cost_supplier,
+        table,
+    )
+
+    return min_cost_supplier(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "part"),
+        table(spark, sf_dir, "supplier"),
+    )
+
+
 def q_snapshot_diff(spark, sf_dir):
     """CDC between corpus snapshots: digests-only full-outer join ->
     |delta|-sized (key, change_type)."""
@@ -1490,6 +1537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "tpch_big_orders": q_tpch_big_orders,
         "tpch_segment_topk": q_tpch_segment_topk,
+        "tpch_order_distribution": q_tpch_order_distribution,
+        "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
+        "events_decay": q_events_decay,
+        "events_attribution": q_events_attribution,
         "ceiling_parse": q_ceiling_parse,
         "class_type_mapping": q_class_type_mapping,
         "airspace_features": q_airspace_features,
@@ -1618,6 +1669,10 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": oracle.sql_snapshot_diff(),
         "tpch_big_orders": oracle.sql_big_orders(),
         "tpch_segment_topk": oracle.sql_segment_revenue_topk(),
+        "tpch_order_distribution": oracle.sql_order_count_distribution(),
+        "tpch_min_cost_supplier": oracle.sql_min_cost_supplier(),
+        "events_decay": oracle.sql_events_decay(),
+        "events_attribution": oracle.sql_events_attribution(),
         "ceiling_parse": oracle.sql_ceiling_parse(),
         "class_type_mapping": oracle.sql_class_type_mapping(),
         "airspace_features": oracle.sql_airspace_features(),

@@ -444,3 +444,114 @@ def scd2_build(events: DataFrame) -> DataFrame:
         F.lead("valid_from_us").over(w2).alias("valid_to_us"),
         "n_events",
     ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+# epoch micros of 2024-02-01T00:00:00 UTC — the fixed decay anchor just
+# past the synthetic event range; a literal so both engines share it
+DECAY_ANCHOR_US = 1706745600000000
+DECAY_AGE_CAP_DAYS = 40
+
+
+def events_decay(
+    events: DataFrame,
+    anchor_us: int = DECAY_ANCHOR_US,
+    half_life_days: int = 1,
+    cap_days: int = DECAY_AGE_CAP_DAYS,
+) -> DataFrame:
+    """Exponentially-decayed event counts per type with EXACT integer
+    weights: weight = 2^(cap - min(age_periods, cap)) where one period is
+    `half_life_days`. Float decay (pow/exp) is libm territory and a
+    double sum is reduction-order dependent — neither can hash-gate; the
+    power-of-two BIGINT recurrence gives the same half-life ranking with
+    an order-independent exact sum (the integer-exact PageRank precedent).
+
+    Decayed weight relative: newest-possible event (age 0) weighs 2^cap;
+    divide by 2^cap downstream for the [0,1] scale. Sum bound: n_events *
+    2^cap must stay under 2^63 — cap 40 leaves room for ~4e6 max-weight
+    events per group, raised deliberately by callers that know their
+    volume. One map-side-partial shuffle on event_type."""
+    period_us = 86_400_000_000 * half_life_days
+    # shiftleft's shift must be an expression here (a pyspark literal-only
+    # parameter), and the age floor is integer `div` — never float division
+    w = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {cap_days} - least("
+        f"({anchor_us} - unix_micros(CAST(ts AS TIMESTAMP))) div {period_us}, "
+        f"CAST({cap_days} AS BIGINT)))"
+    )
+    return (
+        events.select("event_type", w.alias("w"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("w").alias("decayed_weight"),
+            F.max("w").alias("max_weight"),
+        )
+    )
+
+
+def events_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    window_days: int = 7,
+) -> DataFrame:
+    """Last-touch attribution: each conversion is credited to the most
+    recent qualifying touch by the same user within the lookback window
+    (same-microsecond touches qualify; ties between touches break to the
+    larger event_id), conversions with no touch in window credit 'none'.
+    Output: (attributed_type, n_conversions, total_value) with the value
+    sum DECIMAL-exact and cast to DOUBLE once at the boundary.
+
+    Scale shape: the asof_join union + carry-forward window — ONE
+    Exchange on user_id; kind=0 sorts touches before same-instant
+    conversions so the carried state is correct at ties. The oracle
+    recomputes independently via join-then-rank."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = events.select(
+        "user_id", "event_id", "event_type", us.alias("us"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    touches = base.where(F.col("event_type").isin(*touch_types)).select(
+        "user_id", "us", "event_id",
+        F.lit(0).alias("kind"),
+        F.col("event_type").alias("touch_type"),
+        F.lit(None).cast("decimal(18,2)").alias("value"),
+    )
+    convs = base.where(F.col("event_type") == conversion_type).select(
+        "user_id", "us", "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("touch_type"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        touches.unionByName(convs)
+        .select(
+            "*",
+            F.last("touch_type", ignorenulls=True).over(w).alias("last_touch"),
+            F.last(
+                F.when(F.col("kind") == 0, F.col("us")), ignorenulls=True
+            ).over(w).alias("last_touch_us"),
+        )
+        .where(F.col("kind") == 1)
+    )
+    window_us = window_days * 86_400_000_000
+    attributed = F.when(
+        F.col("last_touch_us").isNotNull()
+        & (F.col("us") - F.col("last_touch_us") <= window_us),
+        F.col("last_touch"),
+    ).otherwise(F.lit("none"))
+    return (
+        carried.select(attributed.alias("attributed_type"), "value")
+        .groupBy("attributed_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("value").cast("decimal(38,2)").cast("double").alias("total_value"),
+        )
+    )

@@ -314,3 +314,60 @@ def chars_histogram(documents: DataFrame, width: int = 32) -> DataFrame:
         )
         .select("bucket", "bucket_lo", "n_docs", "min_chars", "max_chars")
     )
+
+
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly k orders, INCLUDING the zero-order bucket
+    (the left join is the whole point of Q13 — an inner formulation
+    silently drops inactive customers).
+
+    Scale shape: orders pre-aggregate to <= #customers rows BEFORE the
+    join (never join the raw fact to the dimension), then a left
+    key-to-key equi-join and a tiny #distinct-counts rollup. Counts are
+    integers end to end — nothing to hash-drift."""
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    joined = customer.select("c_custkey").join(
+        per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left"
+    )
+    return (
+        joined.select(F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q2-shaped min-cost supplier per part, re-derived from the
+    lineitem stream (this schema carries no partsupp table): unit price =
+    l_extendedprice / l_quantity — ONE IEEE division per row, so the
+    value is bit-identical in any engine — the per-part minimum is an
+    exact selection (not an accumulation), and ties on the minimum break
+    to the smallest supplier key.
+
+    Scale shape: ONE Exchange on l_partkey — the min is a window over
+    the partkey partition and the achiever filter + groupBy reuse that
+    same partitioning (no second shuffle); part and supplier are
+    broadcast dims. The oracle recomputes via the independent
+    groupBy-then-join-back formulation."""
+    from pyspark.sql import Window
+
+    u = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    li = lineitem.select("l_partkey", "l_suppkey", u)
+    w = Window.partitionBy("l_partkey")
+    best = (
+        li.withColumn("min_unit", F.min("unit_price").over(w))
+        .where(F.col("unit_price") == F.col("min_unit"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("best_suppkey"),
+            F.min("min_unit").alias("min_unit_price"),
+        )
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), best.best_suppkey == supplier.s_suppkey)
+        .select("p_partkey", "p_name", "best_suppkey", "s_name", "min_unit_price")
+    )

@@ -2568,3 +2568,92 @@ SELECT vec_id, scale,
          i -> abs(CAST(embedding[i] AS DOUBLE)
                   - (CAST(qc[i] AS DOUBLE) * scale / {_dbl(float(bits_max))})))) AS max_abs_err
 FROM qv"""
+
+
+def sql_order_count_distribution() -> str:
+    """relational.order_count_distribution twin (TPC-H Q13 shape) via the
+    independent LEFT-JOIN-then-count formulation; COUNT(o_orderkey) over
+    the outer join yields the zero bucket that the Spark side produces
+    with coalesce(n_orders, 0)."""
+    return """WITH pc AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS n_customers FROM pc GROUP BY c_count"""
+
+
+def sql_min_cost_supplier() -> str:
+    """relational.min_cost_supplier twin (TPC-H Q2 shape) via the
+    independent groupBy-min + join-back formulation (the Spark side uses
+    a window). unit price is the same single IEEE division, so the
+    equality join on the minimum is exact in both engines."""
+    return """WITH u AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem
+),
+m AS (
+  SELECT l_partkey AS mk, MIN(unit_price) AS min_unit_price
+  FROM u GROUP BY l_partkey
+),
+b AS (
+  SELECT u.l_partkey, MIN(u.l_suppkey) AS best_suppkey,
+         MIN(m.min_unit_price) AS min_unit_price
+  FROM u JOIN m ON u.l_partkey = m.mk AND u.unit_price = m.min_unit_price
+  GROUP BY u.l_partkey
+)
+SELECT p_partkey, p_name, best_suppkey, s_name, min_unit_price
+FROM b JOIN part ON p_partkey = b.l_partkey
+       JOIN supplier ON s_suppkey = b.best_suppkey"""
+
+
+def sql_events_decay(
+    anchor_us: int = 1706745600000000, half_life_days: int = 1, cap_days: int = 40
+) -> str:
+    """events.events_decay twin: same exact power-of-two BIGINT weights
+    (float decay could never hash-gate), integer-floor age periods via
+    DuckDB's // on non-negative operands == Spark's div."""
+    period_us = 86_400_000_000 * half_life_days
+    return f"""WITH w AS (
+  SELECT event_type,
+         (CAST(1 AS BIGINT) << CAST({cap_days} - LEAST(
+            ({anchor_us} - epoch_us(ts)) // {period_us},
+            {cap_days}) AS INTEGER)) AS w
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(w) AS BIGINT) AS decayed_weight,
+       MAX(w) AS max_weight
+FROM w GROUP BY event_type"""
+
+
+def sql_events_attribution(window_days: int = 7) -> str:
+    """events.events_attribution twin via the INDEPENDENT join-then-rank
+    strategy (the Spark side is a union carry-forward window): every
+    in-window touch joins to its conversion, rank 1 on (us DESC,
+    event_id DESC) is the last touch — the same (us, event_id) ordering
+    contract pinned by event_transitions."""
+    window_us = window_days * 86_400_000_000
+    return f"""WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CAST(value AS DECIMAL(18,2)) AS value
+  FROM events
+),
+c AS (SELECT * FROM e WHERE event_type = 'purchase'),
+t AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+j AS (
+  SELECT c.event_id AS cid, t.event_type AS touch_type,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY t.us DESC, t.event_id DESC) AS rn
+  FROM c JOIN t ON t.user_id = c.user_id
+              AND t.us <= c.us
+              AND c.us - t.us <= {window_us}
+),
+a AS (SELECT cid, touch_type FROM j WHERE rn = 1),
+f AS (
+  SELECT c.value, COALESCE(a.touch_type, 'none') AS attributed_type
+  FROM c LEFT JOIN a ON a.cid = c.event_id
+)
+SELECT attributed_type, COUNT(*) AS n_conversions,
+       CAST(CAST(SUM(value) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+FROM f GROUP BY attributed_type"""

@@ -1210,3 +1210,62 @@ def test_kmeans_assign_exact(spark):
     n_total = emb.count()
     for d in {r["dim_idx"] for r in out}:
         assert sum(r["n_members"] for r in out if r["dim_idx"] == d) == n_total
+
+
+def test_events_attribution_hand_case(spark):
+    """Tie contract: a touch at the conversion's exact microsecond
+    qualifies (kind orders touches first); two touches at the same us
+    break to the larger event_id; a most-recent touch outside the
+    lookback window yields 'none' (any earlier touch is older still)."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_attribution
+
+    rows = [
+        # user 1: click then view at the SAME us as the purchase -> the
+        # same-instant view wins (touches sort before the conversion)
+        (10, 1, "click", "2024-01-05 00:00:00", 0.0),
+        (11, 1, "view", "2024-01-05 00:00:01", 0.0),
+        (12, 1, "purchase", "2024-01-05 00:00:01", 5.0),
+        # user 2: two touches at the identical us -> larger event_id wins
+        (20, 2, "click", "2024-01-05 00:00:00", 0.0),
+        (21, 2, "view", "2024-01-05 00:00:00", 0.0),
+        (22, 2, "purchase", "2024-01-05 00:00:30", 7.0),
+        # user 3: only touch is 8 days before the purchase -> none
+        (30, 3, "view", "2024-01-01 00:00:00", 0.0),
+        (31, 3, "purchase", "2024-01-09 00:00:01", 11.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts_s string, value double"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value",
+    )
+    got = {
+        r["attributed_type"]: (r["n_conversions"], r["total_value"])
+        for r in events_attribution(df).collect()
+    }
+    assert got == {"view": (2, 12.0), "none": (1, 11.0)}
+
+
+def test_events_decay_weights_exact(spark):
+    """Power-of-two weights: age 0 days -> 2^cap, cap'd age -> 2^0; the
+    BIGINT sum is exact and order-independent."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        DECAY_AGE_CAP_DAYS,
+        events_decay,
+    )
+
+    rows = [
+        (1, 1, "view", "2024-01-31 23:59:59", 0.0),  # age 0 (within the last day)
+        (2, 2, "view", "2024-01-30 00:00:00", 0.0),  # age 2 days
+        (3, 3, "view", "2020-01-01 00:00:00", 0.0),  # far past -> capped
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts_s string, value double"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value",
+    )
+    [r] = events_decay(df).collect()
+    cap = DECAY_AGE_CAP_DAYS
+    assert r["max_weight"] == 2**cap
+    assert r["decayed_weight"] == 2**cap + 2 ** (cap - 2) + 1
