@@ -385,6 +385,23 @@ def q_events_attribution(spark, sf_dir):
     return events_attribution(events_from_dir(spark, sf_dir))
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE-trainer merge statistics: char-pair counts exploded over the
+    VOCAB (weighted), never the corpus token stream."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir))
+
+
+def q_scd2_lookup(spark, sf_dir):
+    """Point-in-time probe join against the SCD2 dimension: union
+    carry-forward (ONE Exchange), never a range join; oracle = half-open
+    range join over the gaps-and-islands dimension."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_from_dir, scd2_lookup
+
+    return scd2_lookup(events_from_dir(spark, sf_dir))
+
+
 def q_tpch_order_distribution(spark, sf_dir):
     """TPC-H Q13-shaped: customers-per-order-count histogram with the
     zero bucket kept (orders pre-aggregated before the left join)."""
@@ -1541,6 +1558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
         "events_decay": q_events_decay,
         "events_attribution": q_events_attribution,
+        "scd2_lookup": q_scd2_lookup,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "ceiling_parse": q_ceiling_parse,
         "class_type_mapping": q_class_type_mapping,
         "airspace_features": q_airspace_features,
@@ -1673,6 +1692,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_min_cost_supplier": oracle.sql_min_cost_supplier(),
         "events_decay": oracle.sql_events_decay(),
         "events_attribution": oracle.sql_events_attribution(),
+        "scd2_lookup": oracle.sql_scd2_lookup(),
+        "bpe_pair_counts": oracle.sql_bpe_pair_counts(),
         "ceiling_parse": oracle.sql_ceiling_parse(),
         "class_type_mapping": oracle.sql_class_type_mapping(),
         "airspace_features": oracle.sql_airspace_features(),

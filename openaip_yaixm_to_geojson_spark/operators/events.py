@@ -555,3 +555,62 @@ def events_attribution(
             F.sum("value").cast("decimal(38,2)").cast("double").alias("total_value"),
         )
     )
+
+
+def scd2_lookup(
+    events: DataFrame,
+    dim_types: tuple[str, ...] = ("signup", "purchase"),
+    probe_types: tuple[str, ...] = ("view", "click"),
+) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension scd2_build derives
+    from the `dim_types` sub-stream: every probe event is matched to the
+    dimension interval covering its timestamp (valid_from_us <= t <
+    valid_to_us, open interval = current), probes before the user's first
+    dimension row report state 'none'. Output: (probe_type, state_type,
+    n_probes).
+
+    Scale shape: NOT a range join — dimension rows and probes union into
+    ONE per-user carry-forward window (the asof_join strategy), so one
+    Exchange regardless of dimension churn. Tie contracts: a dimension
+    change at the probe's exact microsecond applies (kind sorts dim rows
+    first); two runs starting on the same microsecond order by
+    valid_to_us NULLS LAST, so the zero-length [t, t) run a same-instant
+    boundary produces is superseded — exactly the rows the half-open
+    range predicate in the oracle excludes."""
+    from pyspark.sql import Window
+
+    long_max = (1 << 63) - 1
+    dim = scd2_build(events.where(F.col("event_type").isin(*dim_types))).select(
+        "user_id",
+        F.col("valid_from_us").alias("us"),
+        F.lit(0).alias("kind"),
+        F.coalesce("valid_to_us", F.lit(long_max)).alias("tie"),
+        F.col("event_type").alias("state"),
+        F.lit(None).cast("string").alias("probe_type"),
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    probes = events.where(F.col("event_type").isin(*probe_types)).select(
+        "user_id",
+        us.alias("us"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("tie"),
+        F.lit(None).cast("string").alias("state"),
+        F.col("event_type").alias("probe_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        dim.unionByName(probes)
+        .select("*", F.last("state", ignorenulls=True).over(w).alias("carried_state"))
+        .where(F.col("kind") == 1)
+    )
+    return (
+        carried.select(
+            "probe_type", F.coalesce("carried_state", F.lit("none")).alias("state_type")
+        )
+        .groupBy("probe_type", "state_type")
+        .agg(F.count(F.lit(1)).alias("n_probes"))
+    )

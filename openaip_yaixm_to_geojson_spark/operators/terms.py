@@ -529,3 +529,35 @@ def countmin_heavy_hitters(
             F.min("cnt").alias("cm_estimate"),
         )
     )
+
+
+def bpe_pair_counts(documents: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Adjacent character-pair frequencies over whitespace tokens — the
+    statistic a BPE tokenizer trainer computes to pick its next merge
+    (top pair = first merge rule). Counts respect within-token
+    multiplicity ('aaa' contributes 'aa' twice).
+
+    Scale shape: the corpus token stream never reaches the pair explode —
+    tokens aggregate to the VOCAB first (one map-side-partial shuffle),
+    then pairs explode over |vocab| rows weighted by token count and roll
+    up vocab-sized. The pair lambda references only the materialized
+    vocab attribute, so the per-element re-inline trap
+    (_word_ngrams_col's split lesson) cannot fire. Top-k is a
+    TakeOrdered with the (count DESC, pair ASC) deterministic tiebreak.
+    The oracle recomputes via the independent direct corpus-level unnest."""
+    toks = documents.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).where(F.length("tok") >= 2)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(k)
+    )

@@ -2657,3 +2657,65 @@ f AS (
 SELECT attributed_type, COUNT(*) AS n_conversions,
        CAST(CAST(SUM(value) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
 FROM f GROUP BY attributed_type"""
+
+
+def sql_scd2_lookup(
+    dim_types: tuple[str, ...] = ("signup", "purchase"),
+    probe_types: tuple[str, ...] = ("view", "click"),
+) -> str:
+    """events.scd2_lookup twin, independent on BOTH axes: the dimension is
+    the gaps-and-islands formulation (not lag-change-cumsum) and the
+    lookup is a half-open range join (not carry-forward) — the half-open
+    predicate naturally skips the zero-length [t, t) runs that the Spark
+    side supersedes via its valid_to_us tie order."""
+    dims = ", ".join(f"'{t}'" for t in dim_types)
+    probes = ", ".join(f"'{t}'" for t in probe_types)
+    return f"""WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id, event_type
+  FROM events WHERE event_type IN ({dims})
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS rt
+  FROM e
+),
+g AS (
+  SELECT user_id, event_type, rn - rt AS grp, MIN(rn) AS ord,
+         MIN(us) AS valid_from_us
+  FROM r GROUP BY user_id, event_type, rn - rt
+),
+dim AS (
+  SELECT user_id, event_type AS state_type, valid_from_us,
+         LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY ord) AS valid_to_us
+  FROM g
+),
+p AS (
+  SELECT event_type AS probe_type, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events WHERE event_type IN ({probes})
+),
+m AS (
+  SELECT p.probe_type, d.state_type
+  FROM p LEFT JOIN dim d
+    ON d.user_id = p.user_id AND d.valid_from_us <= p.us
+   AND (d.valid_to_us IS NULL OR p.us < d.valid_to_us)
+)
+SELECT probe_type, COALESCE(state_type, 'none') AS state_type,
+       COUNT(*) AS n_probes
+FROM m GROUP BY probe_type, COALESCE(state_type, 'none')"""
+
+
+def sql_bpe_pair_counts(k: int = 50) -> str:
+    """terms.bpe_pair_counts twin via the INDEPENDENT direct corpus-level
+    unnest (the Spark side aggregates to the vocab before exploding
+    pairs); same within-token multiplicity and (count DESC, pair ASC)
+    top-k tiebreak."""
+    return f"""WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(range(1, length(tok)),
+                               i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair
+  FROM toks WHERE length(tok) >= 2
+)
+SELECT pair, COUNT(*) AS n_occurrences FROM p GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT {k}"""

@@ -1269,3 +1269,29 @@ def test_events_decay_weights_exact(spark):
     cap = DECAY_AGE_CAP_DAYS
     assert r["max_weight"] == 2**cap
     assert r["decayed_weight"] == 2**cap + 2 ** (cap - 2) + 1
+
+
+def test_scd2_lookup_zero_length_run_tie(spark):
+    """A same-microsecond dimension boundary produces a zero-length
+    [t, t) run; a probe AT t must see the superseding run, and a probe
+    before the first dimension row reports 'none'."""
+    from openaip_yaixm_to_geojson_spark.operators.events import scd2_lookup
+
+    rows = [
+        (1, 1, "signup", "2024-01-05 00:00:10", 0.0),
+        (2, 1, "purchase", "2024-01-05 00:00:10", 0.0),  # same us: signup run is [t, t)
+        (3, 1, "view", "2024-01-05 00:00:10", 0.0),      # probe at t -> purchase
+        (4, 1, "click", "2024-01-05 00:00:09", 0.0),     # before first dim row -> none
+        (5, 1, "view", "2024-01-06 00:00:00", 0.0),      # later -> purchase
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts_s string, value double"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value",
+    )
+    got = {
+        (r["probe_type"], r["state_type"]): r["n_probes"]
+        for r in scd2_lookup(df).collect()
+    }
+    assert got == {("view", "purchase"): 2, ("click", "none"): 1}
