@@ -618,6 +618,16 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 
+def q_edit_distance_pairs(spark, sf_dir):
+    """Blocked Levenshtein near-dup pairs (untouched prefix-or-suffix
+    margin blocking + threshold-ed exact DP verify); oracle recomputes
+    candidates via raw substr equality and an un-thresholded
+    levenshtein."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(_docs(spark, sf_dir))
+
+
 def q_lsh_recall_monitor(spark, sf_dir):
     """Sampled LSH recall report (production monitoring loop): exact
     all-pairs Jaccard truth within a deterministic md5 sample vs the
@@ -1569,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "lsh_recall_monitor": q_lsh_recall_monitor,
@@ -1703,6 +1714,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": oracle.sql_minhash_signatures(),
         "minhash_lsh_pairs": oracle.sql_minhash_lsh_pairs(),
         "ngram_jaccard_pairs": oracle.sql_ngram_jaccard_pairs(),
+        "edit_distance_pairs": oracle.sql_edit_distance_pairs(),
         "dedup_clusters": oracle.sql_dedup_clusters(),
         "simhash": oracle.sql_simhash(),
         "lsh_recall_monitor": oracle.sql_lsh_recall_monitor(),

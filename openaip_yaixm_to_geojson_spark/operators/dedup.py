@@ -612,3 +612,64 @@ def lsh_recall_monitor(
         .crossJoin(n_found)
         .withColumn("n_missed_pairs", (F.col("n_true_pairs") - F.col("n_found_pairs")).cast("bigint"))
     )
+
+
+def edit_distance_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_distance: int = 20,
+    block_chars: int = 16,
+) -> DataFrame:
+    """Blocked Levenshtein near-duplicate pairs: candidate pairs share an
+    untouched margin — identical first `block_chars` chars OR identical
+    last `block_chars` chars — then exact edit distance verifies
+    <= max_distance. Output (key_a, key_b, edit_distance).
+
+    Recall contract (standard blocking caveat, documented): a pair is
+    found iff at least one margin is edit-free; pairs edited in BOTH
+    margins escape. This operator is the exact-verification sidekick to
+    MinHash/SimHash (which have no positional blind spot), mirroring the
+    role split of ngram_jaccard_pairs. Docs shorter than `block_chars`
+    fall back to dual-offset length buckets (the jaccard straddle trick:
+    floor(n/8) + floor((n+4)/8) covers any |len diff| <= 4 <= the margin
+    width they lack).
+
+    Scale shape: block keys are md5 digests of the margins (fixed-width
+    shuffle keys; the text itself must ride the join for verification —
+    unavoidable for exact edit distance, and block populations are tiny
+    because a 16-char margin is a high-entropy key). The length lower
+    bound |n_a - n_b| <= max_distance (levenshtein >= length diff) prunes
+    before the DP runs, and Spark's threshold-ed levenshtein bails out of
+    the DP past max_distance (returns -1)."""
+    n = F.length(F.col(text_col))
+    long_keys = F.array(
+        F.concat(F.lit("P"), F.md5(F.substring(F.col(text_col), 1, block_chars))),
+        F.concat(F.lit("S"), F.md5(F.substring(F.col(text_col), -block_chars, block_chars))),
+    )
+    short_keys = F.array(
+        F.concat(F.lit("L"), F.floor(n / F.lit(8)).cast("string")),
+        F.concat(F.lit("L"), F.floor((n + F.lit(4)) / F.lit(8)).cast("string")),
+    )
+    docs = documents.select(
+        F.col(key_col).alias("key"),
+        F.col(text_col).alias("txt"),
+        n.alias("n"),
+        F.explode(
+            F.array_distinct(F.when(n >= block_chars, long_keys).otherwise(short_keys))
+        ).alias("block"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    dist = F.levenshtein(F.col("a.txt"), F.col("b.txt"), max_distance)
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") < F.col("b.key"))
+            & (F.abs(F.col("a.n") - F.col("b.n")) <= F.lit(max_distance)),
+        )
+        .withColumn("edit_distance", dist.cast("int"))
+        .where(F.col("edit_distance") >= 0)
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"), "edit_distance")
+        .dropDuplicates(["key_a", "key_b"])
+    )

@@ -2719,3 +2719,35 @@ p AS (
 )
 SELECT pair, COUNT(*) AS n_occurrences FROM p GROUP BY pair
 ORDER BY n_occurrences DESC, pair LIMIT {k}"""
+
+
+def sql_edit_distance_pairs(max_distance: int = 20, block_chars: int = 16) -> str:
+    """dedup.edit_distance_pairs twin, independent mechanism: candidates
+    via raw substr margin equality (no md5 digests, no key explode) UNIONed
+    across the prefix / suffix / short-bucket sources, then DuckDB's
+    un-thresholded levenshtein verifies. Same recall contract."""
+    d, c = max_distance, block_chars
+    return f"""WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+big AS (SELECT * FROM d WHERE n >= {c}),
+small AS (SELECT * FROM d WHERE n < {c}),
+cand AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, a.text AS ta, b.text AS tb
+  FROM big a JOIN big b
+    ON substr(a.text, 1, {c}) = substr(b.text, 1, {c})
+   AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= {d}
+  UNION
+  SELECT a.doc_id, b.doc_id, a.text, b.text
+  FROM big a JOIN big b
+    ON substr(a.text, a.n - {c - 1}, {c}) = substr(b.text, b.n - {c - 1}, {c})
+   AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= {d}
+  UNION
+  SELECT a.doc_id, b.doc_id, a.text, b.text
+  FROM small a JOIN small b
+    ON (a.n // 8 = b.n // 8 OR a.n // 8 = (b.n + 4) // 8
+        OR (a.n + 4) // 8 = b.n // 8 OR (a.n + 4) // 8 = (b.n + 4) // 8)
+   AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= {d}
+)
+SELECT key_a, key_b, CAST(levenshtein(ta, tb) AS INTEGER) AS edit_distance
+FROM cand WHERE levenshtein(ta, tb) <= {d}"""

@@ -334,6 +334,37 @@ def test_ngram_jaccard_bucket_straddle(spark):
     assert abs(got[(0, 1)] - 15 / 17) < 1e-12 and abs(got[(2, 3)] - 9 / 15) < 1e-12
 
 
+def test_edit_distance_pairs_blocking_contract(spark):
+    """Blocked Levenshtein: a pair is found iff it shares an edit-free
+    16-char prefix OR suffix margin (both-margins-edited pairs escape by
+    documented contract); short docs fall back to dual-offset length
+    buckets; both-keys matches emit exactly once; the length lower bound
+    and the threshold-ed DP never report distance > max_distance."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import edit_distance_pairs
+
+    base = "abcdefghijklmnop"  # exactly 16 chars
+    rows = [
+        (0, base + " middle text " + base),          # prefix+suffix anchor
+        (1, base + " middIe texX " + base),          # 2 mid edits: BOTH margins intact -> 1 pair
+        (2, "XbcdefghijklmnoZ" + " middle text " + "AbcdefghijklmnoZ"),  # both margins edited -> escapes vs 0
+        (3, base + " trailing differs entirely here"),  # prefix-only match vs 0, dist > 20 -> pruned by threshold
+        (4, "short doc"),                             # n=9 -> length buckets {1}
+        (5, "short dXc"),                             # n=9 -> shares bucket, dist 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["key_a"], r["key_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(df, max_distance=20).collect()
+    }
+    assert got == {(0, 1): 2, (4, 5): 1}
+    # tightening the threshold drops the (0,1) pair via the DP bailout
+    got1 = {
+        (r["key_a"], r["key_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(df, max_distance=1).collect()
+    }
+    assert got1 == {(4, 5): 1}
+
+
 def test_simhash64_kernel_equals_expression(spark):
     """The Arrow kernel (scale path, one md5 per token) must be bit-equal
     to the 64-fold expression twin — including the NULL-text -> 0 contract
