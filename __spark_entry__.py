@@ -1443,6 +1443,24 @@ def q_events_moving_stats(spark, sf_dir):
     return events_moving_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_events_resample(spark, sf_dir):
+    """Gap-filled time-series resample: hourly rollup per event type
+    densified over each type's [min, max] bucket range (sequence+explode
+    spine), empty buckets zero-filled; oracle spine via generate_series."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_resample
+
+    return events_resample(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_events_new_users(spark, sf_dir):
+    """User-acquisition curve: first-seen reduction (linear, no per-window
+    COUNT DISTINCT rescans) -> daily new-user counts -> running cumulative
+    over #buckets rows."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_new_users
+
+    return events_new_users(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_events_retention(spark, sf_dir):
     """Cohort retention matrix: first-event cohort day x activity offset x
     user count — activity deduped to (user, day) FIRST so the count is
@@ -1644,6 +1662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_build": q_scd2_build,
         "events_retention": q_events_retention,
         "events_moving_stats": q_events_moving_stats,
+        "events_resample": q_events_resample,
+        "events_new_users": q_events_new_users,
         "chars_histogram": q_chars_histogram,
         "lang_p90_chars": q_lang_p90_chars,
         "pii_scrub": q_pii_scrub,
@@ -1779,6 +1799,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_build": oracle.sql_scd2_build(),
         "events_retention": oracle.sql_events_retention(),
         "events_moving_stats": oracle.sql_events_moving_stats(),
+        "events_resample": oracle.sql_events_resample(),
+        "events_new_users": oracle.sql_events_new_users(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
         "pii_scrub": oracle.sql_pii_scrub(),

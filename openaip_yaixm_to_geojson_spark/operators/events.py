@@ -614,3 +614,69 @@ def scd2_lookup(
         .groupBy("probe_type", "state_type")
         .agg(F.count(F.lit(1)).alias("n_probes"))
     )
+
+
+def events_resample(events: DataFrame, window_seconds: int = 3600) -> DataFrame:
+    """Gap-filled time-series resample: tumbling-window rollup per event
+    type (the event_type_windows contract) densified so every bucket
+    between a type's first and last event exists, empty buckets
+    zero-filled. Output (event_type, window_start epoch seconds,
+    n_events, total_value).
+
+    Scale shape: the fact stream collapses to bucket granularity in ONE
+    map-side-partial aggregation; the spine (sequence + explode over each
+    type's [min, max] bucket range) and the fill join both run at bucket
+    granularity — #types x #buckets rows, orders of magnitude below the
+    fact table, so the extra join never touches fact-sized data. The
+    DECIMAL sum casts to DOUBLE once at the boundary (determinism rules,
+    oracle.py header); fill value 0.0 is exact in both engines."""
+    epoch = F.unix_timestamp("ts")
+    bucket = (epoch - epoch % window_seconds).alias("window_start")
+    agg = (
+        events.select("event_type", bucket, F.col("value").cast("decimal(18,2)").alias("v"))
+        .groupBy("event_type", "window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("decimal(38,2)").cast("double").alias("tv"),
+        )
+    )
+    spine = (
+        agg.groupBy("event_type")
+        .agg(F.min("window_start").alias("mn"), F.max("window_start").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.lit(int(window_seconds)))).alias("window_start"),
+        )
+    )
+    return spine.join(agg, ["event_type", "window_start"], "left").select(
+        "event_type",
+        "window_start",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+    )
+
+
+def events_new_users(events: DataFrame, window_seconds: int = 86400) -> DataFrame:
+    """User-acquisition curve: per day bucket, how many users appear for
+    the FIRST time anywhere in the stream, plus the running cumulative.
+    Output (window_start, new_users, cum_users).
+
+    Scale shape: cumulative-distinct-over-time is the classic trap (a
+    COUNT(DISTINCT) per window rescans the stream per bucket); first-seen
+    reduction makes it linear — one groupBy(user) min(ts), one bucket
+    count, then a running sum over #buckets rows. The final window is
+    unpartitioned by construction (a cumulative curve is a global
+    ordering) but runs over bucket-count rows only."""
+    from pyspark.sql import Window
+
+    epoch = F.unix_timestamp("ts")
+    first_seen = events.groupBy("user_id").agg(F.min(epoch).alias("e"))
+    per_bucket = (
+        first_seen.select((F.col("e") - F.col("e") % window_seconds).alias("window_start"))
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("window_start").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_bucket.select(
+        "window_start", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )

@@ -2751,3 +2751,52 @@ cand AS (
 )
 SELECT key_a, key_b, CAST(levenshtein(ta, tb) AS INTEGER) AS edit_distance
 FROM cand WHERE levenshtein(ta, tb) <= {d}"""
+
+
+def sql_events_resample(window_seconds: int = 3600) -> str:
+    """events.events_resample twin, independent spine mechanism:
+    generate_series per type range (vs Spark sequence+explode) LEFT JOINed
+    to the same bucket rollup; zero-fill via COALESCE. DECIMAL sum ->
+    one DOUBLE cast (determinism rules at the top of this module)."""
+    s = window_seconds
+    return f"""WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+agg AS (
+  SELECT event_type, e - e % {s} AS window_start,
+         COUNT(*) AS n, CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS DOUBLE) AS tv
+  FROM ev GROUP BY 1, 2
+),
+rng AS (
+  SELECT event_type, MIN(window_start) AS mn, MAX(window_start) AS mx
+  FROM agg GROUP BY 1
+),
+spine AS (
+  SELECT event_type, UNNEST(generate_series(mn, mx, {s})) AS window_start
+  FROM rng
+)
+SELECT spine.event_type, spine.window_start,
+       COALESCE(agg.n, 0) AS n_events,
+       COALESCE(agg.tv, CAST(0 AS DOUBLE)) AS total_value
+FROM spine LEFT JOIN agg
+  ON agg.event_type = spine.event_type AND agg.window_start = spine.window_start"""
+
+
+def sql_events_new_users(window_seconds: int = 86400) -> str:
+    """events.events_new_users twin: first-seen reduction then a running
+    SUM OVER the bucket curve (exact BIGINTs throughout)."""
+    s = window_seconds
+    return f"""WITH fs AS (
+  SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS e
+  FROM events GROUP BY 1
+),
+pb AS (
+  SELECT e - e % {s} AS window_start, COUNT(*) AS new_users
+  FROM fs GROUP BY 1
+)
+SELECT window_start, new_users,
+       SUM(new_users) OVER (ORDER BY window_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+FROM pb"""

@@ -922,6 +922,58 @@ def test_events_retention_hand_case(spark):
     }
 
 
+def test_events_resample_gap_fill(spark):
+    """Hand case: a 3-hour gap inside a type's range densifies to
+    zero-filled buckets; the spine is PER TYPE (type b's single event
+    yields one bucket, not a's full range)."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_resample
+
+    rows = [
+        (1, "a", "2024-01-01 00:10:00", 1.5),
+        (2, "a", "2024-01-01 00:40:00", 2.25),
+        (3, "a", "2024-01-01 04:10:00", 4.0),  # buckets 1,2,3 empty for a
+        (4, "b", "2024-01-01 02:05:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, ts_s string, value double").select(
+        "event_id", "event_type", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    got = {
+        (r["event_type"], r["window_start"]): (r["n_events"], r["total_value"])
+        for r in events_resample(df).collect()
+    }
+    assert got == {
+        ("a", base): (2, 3.75),
+        ("a", base + 3600): (0, 0.0),
+        ("a", base + 7200): (0, 0.0),
+        ("a", base + 10800): (0, 0.0),
+        ("a", base + 14400): (1, 4.0),
+        ("b", base + 7200): (1, 7.0),
+    }
+
+
+def test_events_new_users_first_seen(spark):
+    """Hand case: a user counts only in their FIRST day's bucket; the
+    cumulative curve is a running sum over the bucket rows."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_new_users
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-03 10:00:00"),  # returning: not new on day 3
+        (2, "2024-01-01 23:00:00"),
+        (3, "2024-01-03 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts")
+    )
+    base = 1704067200
+    got = [
+        (r["window_start"], r["new_users"], r["cum_users"])
+        for r in events_new_users(df).orderBy("window_start").collect()
+    ]
+    assert got == [(base, 2, 2), (base + 2 * 86400, 1, 3)]
+
+
 def test_events_moving_stats_hand_case(spark):
     """Trailing 3-row frame: partial frames at the head, exact decimal
     sums, (ts, event_id) tie order."""
