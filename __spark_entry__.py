@@ -1443,6 +1443,16 @@ def q_events_moving_stats(spark, sf_dir):
     return events_moving_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_length_correlation(spark, sf_dir):
+    """Per-language Pearson corr + OLS fit of token count vs char count:
+    exact integer moments (single pass, one lang-granularity agg), one
+    DOUBLE rounding per combination, IEEE-correctly-rounded sqrt — the
+    whole float tail is single-rounded in a shared op order."""
+    from openaip_yaixm_to_geojson_spark.operators.text import lang_length_regression
+
+    return lang_length_regression(_docs(spark, sf_dir))
+
+
 def q_events_resample(spark, sf_dir):
     """Gap-filled time-series resample: hourly rollup per event type
     densified over each type's [min, max] bucket range (sequence+explode
@@ -1662,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_build": q_scd2_build,
         "events_retention": q_events_retention,
         "events_moving_stats": q_events_moving_stats,
+        "length_correlation": q_length_correlation,
         "events_resample": q_events_resample,
         "events_new_users": q_events_new_users,
         "chars_histogram": q_chars_histogram,
@@ -1799,6 +1810,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_build": oracle.sql_scd2_build(),
         "events_retention": oracle.sql_events_retention(),
         "events_moving_stats": oracle.sql_events_moving_stats(),
+        "length_correlation": oracle.sql_lang_length_regression(),
         "events_resample": oracle.sql_events_resample(),
         "events_new_users": oracle.sql_events_new_users(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),

@@ -770,3 +770,55 @@ def pii_scrub(documents: DataFrame, key_col: str = "doc_id", text_col: str = "te
     return documents.select(
         F.col(key_col).alias("key"), *counts, red.alias("redacted")
     )
+
+
+def lang_length_regression(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language Pearson correlation + OLS fit of whitespace-token
+    count (y) against character count (x): (lang, n_docs, corr, slope,
+    intercept). The feature-covariance profile a corpus-mixture report
+    wants, computed hash-gateable.
+
+    Determinism design (cross-ROW float sums are banned — oracle.py
+    header): every moment (Sx, Sy, Sxy, Sxx, Syy) is an EXACT integer sum
+    (row products are BIGINT, sums DECIMAL), and the textbook combinations
+    n*Sxy - Sx*Sy / n*Sxx - Sx^2 stay in exact decimal integers; each
+    rounds to DOUBLE exactly once. The remaining float ops — sqrt
+    (IEEE-754 requires correct rounding, so JVM Math.sqrt == libm sqrt
+    bit-for-bit), one multiply, one divide per output — are single-rounded
+    in a shared op order, so both engines produce identical bits.
+
+    Scale shape: ONE map-side-partial aggregation at lang granularity;
+    zero joins, zero windows, no second pass (no mean-centering pass —
+    the moment form is the single-pass algebra)."""
+    x = F.length(F.col(text_col)).cast("bigint")
+    y = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    moments = documents.select(
+        "lang", x.alias("x"), y.alias("y"), (x * y).alias("xy"), (x * x).alias("xx"), (y * y).alias("yy")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("xy"))).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec(F.col("xx"))).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec(F.col("yy"))).cast("decimal(38,0)").alias("syy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = F.when(varx > F.lit(0.0), cov / varx)
+    corr = F.when(
+        (varx > F.lit(0.0)) & (vary > F.lit(0.0)), cov / (F.sqrt(varx) * F.sqrt(vary))
+    )
+    intercept = F.when(
+        varx > F.lit(0.0),
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double"),
+    )
+    return moments.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        corr.alias("corr_chars_tokens"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

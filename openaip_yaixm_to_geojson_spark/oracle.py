@@ -2800,3 +2800,33 @@ SELECT window_start, new_users,
        SUM(new_users) OVER (ORDER BY window_start
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
 FROM pb"""
+
+
+def sql_lang_length_regression() -> str:
+    """text.lang_length_regression twin: identical moment algebra with
+    DuckDB-native exact integers (SUM(BIGINT) -> HUGEINT; the textbook
+    combinations stay exact in HUGEINT and round to DOUBLE once), then the
+    same single-rounded sqrt/multiply/divide op order."""
+    return f"""WITH m AS (
+  SELECT lang,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(length(text) AS BIGINT)) AS sx,
+         SUM(CAST(len({_WORDS}) AS BIGINT)) AS sy,
+         SUM(CAST(length(text) AS BIGINT) * CAST(len({_WORDS}) AS BIGINT)) AS sxy,
+         SUM(CAST(length(text) AS BIGINT) * CAST(length(text) AS BIGINT)) AS sxx,
+         SUM(CAST(len({_WORDS}) AS BIGINT) * CAST(len({_WORDS}) AS BIGINT)) AS syy
+  FROM documents GROUP BY lang
+),
+c AS (
+  SELECT lang, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM m
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CASE WHEN varx > 0 AND vary > 0 THEN cov / (sqrt(varx) * sqrt(vary)) END AS corr_chars_tokens,
+       CASE WHEN varx > 0 THEN cov / varx END AS slope,
+       CASE WHEN varx > 0 THEN (syd - (cov / varx) * sxd) / CAST(n AS DOUBLE) END AS intercept
+FROM c"""

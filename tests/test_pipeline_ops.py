@@ -1378,3 +1378,33 @@ def test_scd2_lookup_zero_length_run_tie(spark):
         for r in scd2_lookup(df).collect()
     }
     assert got == {("view", "purchase"): 2, ("click", "none"): 1}
+
+
+def test_lang_length_regression_matches_numpy(spark):
+    """Moment-form corr/slope/intercept agrees with numpy's two-pass
+    formulas to float tolerance (the gate proves cross-engine bit
+    equality; this proves the algebra is the statistic it claims), and
+    zero-variance groups yield NULLs, not NaN/crash."""
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.operators.text import lang_length_regression
+
+    rows = [
+        (1, "alpha beta gamma delta", "en"),
+        (2, "a bb ccc", "en"),
+        (3, "one two three four five six seven", "en"),
+        (4, "x y", "en"),
+        (5, "same", "zz"),  # single doc: varx == 0 -> NULLs
+        (6, "same", "zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {r["lang"]: r for r in lang_length_regression(df).collect()}
+    xs = np.array([len(t) for _, t, l in rows if l == "en"], dtype=float)
+    ys = np.array([len(t.split()) for _, t, l in rows if l == "en"], dtype=float)
+    r = got["en"]
+    assert r["n_docs"] == 4
+    assert abs(r["corr_chars_tokens"] - np.corrcoef(xs, ys)[0, 1]) < 1e-12
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(r["slope"] - slope) < 1e-12 and abs(r["intercept"] - intercept) < 1e-12
+    z = got["zz"]
+    assert z["n_docs"] == 2 and z["corr_chars_tokens"] is None and z["slope"] is None and z["intercept"] is None
