@@ -1443,6 +1443,15 @@ def q_events_moving_stats(spark, sf_dir):
     return events_moving_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_pareto_frontier(spark, sf_dir):
+    """Skyline: documents undominated on (chars, distinct tokens) via the
+    two-phase distributed skyline (bucket-local windows, then the exact
+    skyline of the tiny survivor union); oracle = NOT EXISTS dominance."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import pareto_frontier
+
+    return pareto_frontier(_docs(spark, sf_dir))
+
+
 def q_length_correlation(spark, sf_dir):
     """Per-language Pearson corr + OLS fit of token count vs char count:
     exact integer moments (single pass, one lang-granularity agg), one
@@ -1673,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_moving_stats": q_events_moving_stats,
         "length_correlation": q_length_correlation,
+        "pareto_frontier": q_pareto_frontier,
         "events_resample": q_events_resample,
         "events_new_users": q_events_new_users,
         "chars_histogram": q_chars_histogram,
@@ -1811,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": oracle.sql_events_retention(),
         "events_moving_stats": oracle.sql_events_moving_stats(),
         "length_correlation": oracle.sql_lang_length_regression(),
+        "pareto_frontier": oracle.sql_pareto_frontier(),
         "events_resample": oracle.sql_events_resample(),
         "events_new_users": oracle.sql_events_new_users(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),

@@ -371,3 +371,45 @@ def min_cost_supplier(
         .join(F.broadcast(supplier), best.best_suppkey == supplier.s_suppkey)
         .select("p_partkey", "p_name", "best_suppkey", "s_name", "min_unit_price")
     )
+
+
+def pareto_frontier(documents: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """Skyline query: documents not dominated on (n_chars, n_distinct
+    tokens) — dominator has both >= and at least one strictly greater.
+    Duplicates of a frontier point all survive (identical points never
+    dominate each other). Output (doc_id, n_chars, n_distinct_tokens).
+
+    Classic two-phase distributed skyline (e.g. Borzsony/Kossmann/Stocker
+    BNL lineage): a LOCAL skyline per hash bucket — windows PARTITIONED by
+    bucket, so the fact table is never globally sorted — then the exact
+    skyline of the tiny survivor union. Sound because dominance is
+    transitive: every dominated point has a maximal dominator, which no
+    bucket can eliminate. Dominance test per phase is two windows:
+    max(y) over strictly-greater x (RANGE 1 FOLLOWING .. UNBOUNDED) and
+    max(y) within the same x."""
+    from pyspark.sql import Window
+
+    x = F.col("n_chars")
+    y = F.size(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")))
+    pts = documents.select("doc_id", x.alias("x"), y.cast("bigint").alias("y"))
+
+    def survivors(df: DataFrame, *part) -> DataFrame:
+        gt = (
+            Window.partitionBy(*part)
+            .orderBy("x")
+            .rangeBetween(1, Window.unboundedFollowing)
+        )
+        eq = Window.partitionBy(*part, "x")
+        return (
+            df.withColumn("m_gt", F.max("y").over(gt))
+            .withColumn("m_eq", F.max("y").over(eq))
+            .where((F.col("m_gt").isNull() | (F.col("m_gt") < F.col("y"))) & (F.col("m_eq") == F.col("y")))
+            .drop("m_gt", "m_eq")
+        )
+
+    local = survivors(
+        pts.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))), "bucket"
+    ).drop("bucket")
+    return survivors(local).select(
+        "doc_id", F.col("x").alias("n_chars"), F.col("y").alias("n_distinct_tokens")
+    )

@@ -2830,3 +2830,19 @@ SELECT lang, CAST(n AS BIGINT) AS n_docs,
        CASE WHEN varx > 0 THEN cov / varx END AS slope,
        CASE WHEN varx > 0 THEN (syd - (cov / varx) * sxd) / CAST(n AS DOUBLE) END AS intercept
 FROM c"""
+
+
+def sql_pareto_frontier() -> str:
+    """relational.pareto_frontier twin, independent mechanism: direct
+    NOT EXISTS dominance test (no bucketing, no windows)."""
+    return f"""WITH d AS (
+  SELECT doc_id, n_chars AS x,
+         CAST(len(list_distinct({_WORDS})) AS BIGINT) AS y
+  FROM documents
+)
+SELECT doc_id, x AS n_chars, y AS n_distinct_tokens
+FROM d
+WHERE NOT EXISTS (
+  SELECT 1 FROM d d2
+  WHERE d2.x >= d.x AND d2.y >= d.y AND (d2.x > d.x OR d2.y > d.y)
+)"""

@@ -1408,3 +1408,32 @@ def test_lang_length_regression_matches_numpy(spark):
     assert abs(r["slope"] - slope) < 1e-12 and abs(r["intercept"] - intercept) < 1e-12
     z = got["zz"]
     assert z["n_docs"] == 2 and z["corr_chars_tokens"] is None and z["slope"] is None and z["intercept"] is None
+
+
+def test_pareto_frontier_vs_bruteforce(spark):
+    """Two-phase distributed skyline == brute-force dominance over a
+    deterministic point cloud that includes ties on each axis and an
+    exact duplicate of a frontier point (both copies must survive —
+    identical points never dominate each other)."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import pareto_frontier
+
+    rows = []
+    for i in range(60):
+        words = [f"w{(i * 7 + j * 13) % (5 + i % 11)}" for j in range((i * 37) % 23 + 2)]
+        rows.append((i, " ".join(words)))
+    rows.append((100, rows[41][1]))  # exact duplicate of doc 41's text
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+    pts = {doc: (len(t), len(set(t.split()))) for doc, t in rows}
+    expected = {
+        doc
+        for doc, (x, y) in pts.items()
+        if not any(
+            x2 >= x and y2 >= y and (x2 > x or y2 > y) for x2, y2 in pts.values()
+        )
+    }
+    got = {r["doc_id"] for r in pareto_frontier(df, n_buckets=4).collect()}
+    assert got == expected
+    if 41 in expected:
+        assert 100 in expected  # duplicate survives with its twin
