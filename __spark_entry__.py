@@ -1443,6 +1443,15 @@ def q_events_moving_stats(spark, sf_dir):
     return events_moving_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Length-weighted deterministic Bernoulli sample: exact integer
+    inclusion inequality over the md5 bucket — reproducible at any
+    parallelism; zero shuffles."""
+    from openaip_yaixm_to_geojson_spark.operators.text import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir))
+
+
 def q_pareto_frontier(spark, sf_dir):
     """Skyline: documents undominated on (chars, distinct tokens) via the
     two-phase distributed skyline (bucket-local windows, then the exact
@@ -1683,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_stats": q_events_moving_stats,
         "length_correlation": q_length_correlation,
         "pareto_frontier": q_pareto_frontier,
+        "weighted_sample": q_weighted_sample,
         "events_resample": q_events_resample,
         "events_new_users": q_events_new_users,
         "chars_histogram": q_chars_histogram,
@@ -1822,6 +1832,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_stats": oracle.sql_events_moving_stats(),
         "length_correlation": oracle.sql_lang_length_regression(),
         "pareto_frontier": oracle.sql_pareto_frontier(),
+        "weighted_sample": oracle.sql_weighted_sample(),
         "events_resample": oracle.sql_events_resample(),
         "events_new_users": oracle.sql_events_new_users(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),

@@ -822,3 +822,26 @@ def lang_length_regression(documents: DataFrame, text_col: str = "text") -> Data
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def weighted_sample(
+    documents: DataFrame,
+    fraction: float = 0.5,
+    length_cap: int = 2000,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic LENGTH-WEIGHTED Bernoulli sample: each document is
+    kept with probability fraction * min(n_chars, cap) / cap — the
+    quality-weighted inclusion rule mixture builders use (longer docs
+    proportionally likelier, hard-capped) — with the same md5-bucket
+    determinism contract as deterministic_sample: identical keep-set at
+    any parallelism, on re-runs, and in the oracle.
+
+    The comparison is EXACT integer arithmetic (no float weight): keep
+    iff bucket * cap < round(fraction * BUCKETS) * min(n_chars, cap).
+    Zero shuffles — a pure codegen filter."""
+    rate_num = int(round(fraction * SAMPLE_BUCKETS))
+    w = F.least(F.col("n_chars"), F.lit(int(length_cap)))
+    return documents.where(
+        sample_hash_col(F.col(key_col)) * F.lit(int(length_cap)) < w * F.lit(rate_num)
+    ).select(key_col, "lang", "n_chars")

@@ -2846,3 +2846,14 @@ WHERE NOT EXISTS (
   SELECT 1 FROM d d2
   WHERE d2.x >= d.x AND d2.y >= d.y AND (d2.x > d.x OR d2.y > d.y)
 )"""
+
+
+def sql_weighted_sample(fraction: float = 0.5, length_cap: int = 2000) -> str:
+    """text.weighted_sample twin: same md5-bucket + exact integer
+    inclusion inequality."""
+    from .operators.text import SAMPLE_BUCKETS
+
+    rate_num = int(round(fraction * SAMPLE_BUCKETS))
+    bucket = f"{_hex8_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_BUCKETS}"
+    return f"""SELECT doc_id, lang, n_chars FROM documents
+WHERE ({bucket}) * {length_cap} < LEAST(n_chars, {length_cap}) * CAST({rate_num} AS BIGINT)"""

@@ -1437,3 +1437,25 @@ def test_pareto_frontier_vs_bruteforce(spark):
     assert got == expected
     if 41 in expected:
         assert 100 in expected  # duplicate survives with its twin
+
+
+def test_weighted_sample_inclusion_rule(spark):
+    """The keep-set equals the exact integer rule computed in Python:
+    bucket * cap < rate_num * min(n_chars, cap); weight is monotone in
+    length (a capped doc behaves exactly like cap)."""
+    import hashlib
+
+    from openaip_yaixm_to_geojson_spark.operators.text import SAMPLE_BUCKETS, weighted_sample
+
+    rows = [(i, "x" * ((i * 211) % 3000 + 1), "en") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string").withColumn(
+        "n_chars", F.length("text")
+    )
+    cap, rate = 2000, int(round(0.5 * SAMPLE_BUCKETS))
+    expected = set()
+    for i, t, _ in rows:
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % SAMPLE_BUCKETS
+        if bucket * cap < rate * min(len(t), cap):
+            expected.add(i)
+    got = {r["doc_id"] for r in weighted_sample(df, fraction=0.5, length_cap=cap).collect()}
+    assert got == expected and 0 < len(got) < len(rows)
