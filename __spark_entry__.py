@@ -882,6 +882,18 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(extract_paragraphs(synth_html_pages(spark, sf_dir)))
 
 
+def q_boilerplate_scrub(spark, sf_dir):
+    """RefinedWeb-style boilerplate removal: paragraphs on >= 2 distinct
+    pages scrubbed everywhere, page text reconstructed in document order;
+    (key, digest)-level agg first so page frequency is COUNT(*)."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        boilerplate_scrub,
+        synth_html_pages,
+    )
+
+    return boilerplate_scrub(synth_html_pages(spark, sf_dir))
+
+
 def q_host_stats(spark, sf_dir):
     """Per-host rollup (page count / language diversity / text bytes)."""
     from openaip_yaixm_to_geojson_spark.operators.web import host_stats
@@ -1648,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_text": q_html_extract_text,
         "html_paragraphs": q_html_paragraphs,
         "paragraph_dedup": q_paragraph_dedup,
+        "boilerplate_scrub": q_boilerplate_scrub,
         "host_stats": q_host_stats,
         "url_canonicalize": q_url_canonicalize,
         "url_canonical_dedup": q_url_canonical_dedup,
@@ -1788,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract_text": oracle.sql_html_extract_text(),
         "html_paragraphs": oracle.sql_html_paragraphs(),
         "paragraph_dedup": oracle.sql_paragraph_dedup(),
+        "boilerplate_scrub": oracle.sql_boilerplate_scrub(),
         "host_stats": oracle.sql_host_stats(),
         "url_canonicalize": oracle.sql_url_canonicalize(),
         "url_canonical_dedup": oracle.sql_url_canonical_dedup(),

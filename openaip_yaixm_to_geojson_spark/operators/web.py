@@ -364,3 +364,52 @@ def extract_anchor_texts(
     return pages.select(F.col(key_col).alias("key"), F.explode(pairs).alias("a")).select(
         "key", F.col("a.link").alias("link"), F.col("a.anchor_text").alias("anchor_text")
     )
+
+
+def boilerplate_scrub(
+    pages: DataFrame,
+    min_pages: int = 2,
+    html_col: str = "html",
+    key_col: str = "url",
+) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate removal, end to end: paragraphs
+    appearing on >= min_pages DISTINCT pages (nav bars, footers, cookie
+    banners) are scrubbed from every page and the page text is
+    reconstructed from the survivors in document order. Output
+    (key, clean_text, n_kept, n_removed).
+
+    Scale shape: the page-frequency table aggregates (key, digest) rows
+    FIRST so the distinct-page count is COUNT(*) (never a COUNT DISTINCT
+    expand); the hot set is frequency-thresholded so it is orders of
+    magnitude smaller than the paragraph stream (AQE broadcasts it when it
+    fits — no forced hint, boilerplate sets at CC scale can exceed a
+    broadcast). The paragraph explode (regex over full pages) feeds two
+    consumers, so it is localCheckpoint()ed once (fan-out-reuse rule)."""
+    paras = (
+        extract_paragraphs(pages, html_col=html_col, key_col=key_col)
+        .withColumn("h", F.md5("paragraph"))
+        .localCheckpoint()
+    )
+    hot = (
+        paras.select("key", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .where(F.col("np") >= min_pages)
+        .select("h", F.lit(1).alias("is_hot"))
+    )
+    marked = paras.join(hot, "h", "left")
+    ps = F.sort_array(F.collect_list(F.struct("para_idx", "paragraph", "is_hot")))
+    return (
+        marked.groupBy("key")
+        .agg(ps.alias("ps"))
+        .select(
+            "key",
+            F.array_join(
+                F.expr("transform(filter(ps, p -> p.is_hot IS NULL), p -> p.paragraph)"),
+                "\n",
+            ).alias("clean_text"),
+            F.expr("size(filter(ps, p -> p.is_hot IS NULL))").cast("bigint").alias("n_kept"),
+            F.expr("size(filter(ps, p -> p.is_hot IS NOT NULL))").cast("bigint").alias("n_removed"),
+        )
+    )

@@ -2857,3 +2857,25 @@ def sql_weighted_sample(fraction: float = 0.5, length_cap: int = 2000) -> str:
     bucket = f"{_hex8_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_BUCKETS}"
     return f"""SELECT doc_id, lang, n_chars FROM documents
 WHERE ({bucket}) * {length_cap} < LEAST(n_chars, {length_cap}) * CAST({rate_num} AS BIGINT)"""
+
+
+def sql_boilerplate_scrub(min_pages: int = 2) -> str:
+    """web.boilerplate_scrub twin: page-frequency via COUNT(DISTINCT key)
+    (vs Spark's dedupe-then-COUNT(*)), reconstruction via ordered
+    string_agg with FILTER (vs Spark's sort_array + filter + array_join)."""
+    return f"""WITH {_paragraphs_with()},
+ph AS (SELECT key, para_idx, paragraph, md5(paragraph) AS h FROM paras),
+hot AS (
+  SELECT h FROM (SELECT h, COUNT(DISTINCT key) AS np FROM ph GROUP BY 1)
+  WHERE np >= {min_pages}
+),
+m AS (
+  SELECT ph.key, ph.para_idx, ph.paragraph, hot.h IS NOT NULL AS is_hot
+  FROM ph LEFT JOIN hot ON ph.h = hot.h
+)
+SELECT key,
+       COALESCE(string_agg(paragraph, chr(10) ORDER BY para_idx)
+                  FILTER (WHERE NOT is_hot), '') AS clean_text,
+       COUNT(*) FILTER (WHERE NOT is_hot) AS n_kept,
+       COUNT(*) FILTER (WHERE is_hot) AS n_removed
+FROM m GROUP BY key"""

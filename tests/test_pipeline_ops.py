@@ -1459,3 +1459,27 @@ def test_weighted_sample_inclusion_rule(spark):
             expected.add(i)
     got = {r["doc_id"] for r in weighted_sample(df, fraction=0.5, length_cap=cap).collect()}
     assert got == expected and 0 < len(got) < len(rows)
+
+
+def test_boilerplate_scrub_hand_case(spark):
+    """A footer on 3 pages is scrubbed from all of them (including twice
+    within one page); a paragraph repeated only WITHIN one page is NOT
+    boilerplate (distinct-page frequency, not copy count); order of the
+    survivors is preserved; an all-boilerplate page yields empty text."""
+    from openaip_yaixm_to_geojson_spark.operators.web import boilerplate_scrub
+
+    foot = "<p>copyright footer</p>"
+    pages = [
+        ("u1", f"<p>alpha</p>{foot}<p>beta</p>{foot}"),
+        ("u2", f"<p>gamma</p><p>gamma</p>{foot}"),  # gamma x2 same page: kept
+        ("u3", foot),
+    ]
+    df = spark.createDataFrame(pages, "url string, html_s string").select(
+        "url", F.encode("html_s", "utf-8").alias("html")
+    )
+    got = {r["key"]: (r["clean_text"], r["n_kept"], r["n_removed"]) for r in boilerplate_scrub(df).collect()}
+    assert got == {
+        "u1": ("alpha\nbeta", 2, 2),
+        "u2": ("gamma\ngamma", 2, 1),
+        "u3": ("", 0, 1),
+    }
