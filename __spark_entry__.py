@@ -137,6 +137,18 @@ def q_ring_decimate(spark, sf_dir):
     return ring_decimate(polygons_to_df(spark, fixture_polygons()))
 
 
+def q_polygon_centroid(spark, sf_dir):
+    """Planar shoelace-moment centroid + area over the ring COLUMN — pure
+    Catalyst folds (0.0-seeded left-fold rule), zero shuffles; degenerate
+    zero-area rings yield NULL centroids."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        polygon_centroid,
+        polygons_to_df,
+    )
+
+    return polygon_centroid(polygons_to_df(spark, fixture_polygons()))
+
+
 def q_airspace_area(spark, sf_dir):
     """Planar shoelace area + winding orientation over the ring COLUMN —
     pure Catalyst fold (the 0.0-seeded left-fold double-sum rule), zero
@@ -1594,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_compact_table": q_spatial_join_compact_table,
         "join_count_by_airspace": q_join_count_by_airspace,
         "airspace_area": q_airspace_area,
+        "polygon_centroid": q_polygon_centroid,
         "ring_decimate": q_ring_decimate,
         "polygon_overlap": q_polygon_overlap,
         "polygon_overlap_table": q_polygon_overlap_table,
@@ -1735,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_compact_table": oracle.sql_spatial_join(),
         "join_count_by_airspace": oracle.sql_join_count_by_airspace(),
         "airspace_area": oracle.sql_polygon_area_orientation(),
+        "polygon_centroid": oracle.sql_polygon_centroid(),
         "ring_decimate": oracle.sql_ring_decimate(),
         "polygon_overlap": oracle.sql_polygon_overlap_pairs(),
         "polygon_overlap_table": oracle.sql_polygon_overlap_pairs(),

@@ -702,3 +702,41 @@ def geo_cluster_cells(
     return dense.join(labels, dense.cell == labels.key).select(
         "cell", "cluster_id", "n_points"
     )
+
+
+def polygon_centroid(polygons_df: DataFrame) -> DataFrame:
+    """(poly_id, centroid_lon, centroid_lat, area_deg2): planar polygon
+    centroid via the shoelace moment formula — Cx = sum((x_i + x_j) *
+    cross_ij) / (3 * sum(cross_ij)) — entirely Catalyst expressions over
+    the ring COLUMN. Same determinism contract as
+    polygon_area_orientation: every sum is a 0.0-seeded left fold, each
+    remaining op (add inside the term, one multiply, one divide) is
+    single-rounded IEEE in an op order shared with the SQL twin, so the
+    DOUBLEs hash-gate. Degenerate zero-area rings yield NULL centroids.
+    Zero shuffles — one staged projection over the polygons table."""
+    ring = F.col("ring")
+    n = F.size(ring) - 1
+    head = F.slice(ring, 1, n)
+    tail = F.slice(ring, 2, n)
+    cross = lambda p, q: p[0] * q[1] - q[0] * p[1]  # noqa: E731
+    staged = polygons_df.select(
+        F.col("poly_id").cast("int").alias("poly_id"),
+        F.aggregate(F.zip_with(head, tail, cross), F.lit(0.0), lambda a, t: a + t).alias("_s2"),
+        F.aggregate(
+            F.zip_with(head, tail, lambda p, q: (p[0] + q[0]) * cross(p, q)),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        ).alias("_sx"),
+        F.aggregate(
+            F.zip_with(head, tail, lambda p, q: (p[1] + q[1]) * cross(p, q)),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        ).alias("_sy"),
+    )
+    nonzero = F.col("_s2") != F.lit(0.0)
+    return staged.select(
+        "poly_id",
+        F.when(nonzero, F.col("_sx") / (F.lit(3.0) * F.col("_s2"))).alias("centroid_lon"),
+        F.when(nonzero, F.col("_sy") / (F.lit(3.0) * F.col("_s2"))).alias("centroid_lat"),
+        (F.abs(F.col("_s2")) / F.lit(2.0)).alias("area_deg2"),
+    )

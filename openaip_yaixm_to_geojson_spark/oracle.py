@@ -2879,3 +2879,24 @@ SELECT key,
        COUNT(*) FILTER (WHERE NOT is_hot) AS n_kept,
        COUNT(*) FILTER (WHERE is_hot) AS n_removed
 FROM m GROUP BY key"""
+
+
+def sql_polygon_centroid() -> str:
+    """spatial.polygon_centroid twin: same shoelace moment folds
+    (list_prepend + list_reduce == Spark's 0.0-seeded aggregate) and the
+    same single-rounded sx / (3.0 * s2) op order."""
+    cross = "(ring[i][1] * ring[i + 1][2] - ring[i + 1][1] * ring[i][2])"
+    tx = f"list_transform(generate_series(1, len(ring) - 1), i -> (ring[i][1] + ring[i + 1][1]) * {cross})"
+    ty = f"list_transform(generate_series(1, len(ring) - 1), i -> (ring[i][2] + ring[i + 1][2]) * {cross})"
+    ts = f"list_transform(generate_series(1, len(ring) - 1), i -> {cross})"
+    fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {t}), (x, y) -> x + y)"
+    return f"""WITH s AS (
+  SELECT poly_id, {fold.format(t=ts)} AS s2,
+         {fold.format(t=tx)} AS sx, {fold.format(t=ty)} AS sy
+  FROM {rings_values()}
+)
+SELECT poly_id,
+       CASE WHEN s2 <> 0.0 THEN sx / (3.0 * s2) END AS centroid_lon,
+       CASE WHEN s2 <> 0.0 THEN sy / (3.0 * s2) END AS centroid_lat,
+       abs(s2) / 2.0 AS area_deg2
+FROM s"""

