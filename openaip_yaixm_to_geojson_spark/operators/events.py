@@ -632,6 +632,10 @@ def events_resample(events: DataFrame, window_seconds: int = 3600) -> DataFrame:
     oracle.py header); fill value 0.0 is exact in both engines."""
     epoch = F.unix_timestamp("ts")
     bucket = (epoch - epoch % window_seconds).alias("window_start")
+    # the bucket rollup feeds TWO consumers (spine range + fill join) and
+    # Catalyst has no cross-branch CSE — without materializing, the whole
+    # fact-table scan + shuffle re-runs per consumer (fan-out-reuse rule;
+    # the frame is tiny: #types x #buckets rows)
     agg = (
         events.select("event_type", bucket, F.col("value").cast("decimal(18,2)").alias("v"))
         .groupBy("event_type", "window_start")
@@ -639,6 +643,7 @@ def events_resample(events: DataFrame, window_seconds: int = 3600) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("v").cast("decimal(38,2)").cast("double").alias("tv"),
         )
+        .localCheckpoint()
     )
     spine = (
         agg.groupBy("event_type")
