@@ -1467,6 +1467,15 @@ def q_events_moving_stats(spark, sf_dir):
     return events_moving_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_lang_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between languages: corpus collapses to
+    the distinct (lang, token) set first; the intersection self-join key
+    carries at most #langs rows — skew-free by construction."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import lang_vocab_overlap
+
+    return lang_vocab_overlap(_docs(spark, sf_dir))
+
+
 def q_weighted_sample(spark, sf_dir):
     """Length-weighted deterministic Bernoulli sample: exact integer
     inclusion inequality over the md5 bucket — reproducible at any
@@ -1719,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_correlation": q_length_correlation,
         "pareto_frontier": q_pareto_frontier,
         "weighted_sample": q_weighted_sample,
+        "lang_vocab_overlap": q_lang_vocab_overlap,
         "events_resample": q_events_resample,
         "events_new_users": q_events_new_users,
         "chars_histogram": q_chars_histogram,
@@ -1861,6 +1871,7 @@ def oracle_sql() -> dict[str, str]:
         "length_correlation": oracle.sql_lang_length_regression(),
         "pareto_frontier": oracle.sql_pareto_frontier(),
         "weighted_sample": oracle.sql_weighted_sample(),
+        "lang_vocab_overlap": oracle.sql_lang_vocab_overlap(),
         "events_resample": oracle.sql_events_resample(),
         "events_new_users": oracle.sql_events_new_users(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),

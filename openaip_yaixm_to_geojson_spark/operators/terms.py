@@ -561,3 +561,48 @@ def bpe_pair_counts(documents: DataFrame, k: int = 50, text_col: str = "text") -
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(k)
     )
+
+
+def lang_vocab_overlap(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pairwise vocabulary Jaccard between languages: (lang_a, lang_b,
+    vocab_a, vocab_b, n_common, jaccard) for lang_a < lang_b — the
+    corpus-composition diagnostic for contamination between splits /
+    mixture sources.
+
+    Scale shape: the corpus collapses to the DISTINCT (lang, token) set
+    first (one shuffle with map-side partials) and everything after runs
+    at vocabulary scale. The intersection self-join keys on token, where
+    each key carries at most #langs rows — no skew possible by
+    construction. The vocab frame feeds three consumers (sizes + both join
+    sides), so it is localCheckpoint()ed once (fan-out-reuse rule: the
+    corpus explode + distinct must not re-run per consumer). Jaccard is
+    exact integers with ONE single-rounded double division."""
+    vocab = (
+        documents.select(
+            "lang", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.lang") < F.col("b.lang")))
+        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n_vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n_vocab").alias("vocab_b"))
+    union_sz = F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            (F.col("n_common").cast("double") / union_sz.cast("double")).alias("jaccard"),
+        )
+    )

@@ -2900,3 +2900,20 @@ SELECT poly_id,
        CASE WHEN s2 <> 0.0 THEN sy / (3.0 * s2) END AS centroid_lat,
        abs(s2) / 2.0 AS area_deg2
 FROM s"""
+
+
+def sql_lang_vocab_overlap() -> str:
+    """terms.lang_vocab_overlap twin: distinct (lang, token) via UNNEST,
+    intersection via self-join, same exact-int + one-division Jaccard."""
+    return f"""WITH v AS (
+  SELECT DISTINCT lang, unnest({_WORDS}) AS token FROM documents
+),
+s AS (SELECT lang, COUNT(*) AS n_vocab FROM v GROUP BY 1),
+i AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_common
+  FROM v a JOIN v b ON a.token = b.token AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT lang_a, lang_b, sa.n_vocab AS vocab_a, sb.n_vocab AS vocab_b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(sa.n_vocab + sb.n_vocab - n_common AS DOUBLE) AS jaccard
+FROM i JOIN s sa ON sa.lang = i.lang_a JOIN s sb ON sb.lang = i.lang_b"""

@@ -771,3 +771,23 @@ def test_hll_register_state_is_bounded(spark):
         for h in halves:
             if grp in h:
                 assert r["reg_sum"] <= h[grp]["reg_sum"]
+
+
+def test_lang_vocab_overlap_hand_case(spark):
+    """Exact hand-computed vocabularies: duplicates within a language
+    collapse, jaccard = |A n B| / |A u B|, pairs emitted once with
+    lang_a < lang_b."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import lang_vocab_overlap
+
+    rows = [
+        (1, "a b c a", "en"),   # en vocab {a,b,c}
+        (2, "c d", "fr"),        # fr vocab {c,d,e}
+        (3, "d e", "fr"),
+        (4, "x y", "zz"),        # zz vocab {x,y}: disjoint -> no en-zz row? no, inner join drops it
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {(r["lang_a"], r["lang_b"]): r for r in lang_vocab_overlap(df).collect()}
+    assert set(got) == {("en", "fr")}  # disjoint pairs produce no row (inner intersection)
+    r = got[("en", "fr")]
+    assert (r["vocab_a"], r["vocab_b"], r["n_common"]) == (3, 3, 1)
+    assert abs(r["jaccard"] - 1 / 5) < 1e-15
