@@ -1522,6 +1522,15 @@ def q_events_new_users(spark, sf_dir):
     return events_new_users(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Trailing z-score anomaly detection over the gap-filled event-rate
+    series: exact BIGINT window moments, single-rounded mean/var/sqrt/z
+    op order shared with the oracle — the float tail hash-gates."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_anomaly
+
+    return events_anomaly(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_events_retention(spark, sf_dir):
     """Cohort retention matrix: first-event cohort day x activity offset x
     user count — activity deduped to (user, day) FIRST so the count is
@@ -1731,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_vocab_overlap": q_lang_vocab_overlap,
         "events_resample": q_events_resample,
         "events_new_users": q_events_new_users,
+        "events_anomaly": q_events_anomaly,
         "chars_histogram": q_chars_histogram,
         "lang_p90_chars": q_lang_p90_chars,
         "pii_scrub": q_pii_scrub,
@@ -1874,6 +1884,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_vocab_overlap": oracle.sql_lang_vocab_overlap(),
         "events_resample": oracle.sql_events_resample(),
         "events_new_users": oracle.sql_events_new_users(),
+        "events_anomaly": oracle.sql_events_anomaly(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
         "pii_scrub": oracle.sql_pii_scrub(),

@@ -685,3 +685,62 @@ def events_new_users(events: DataFrame, window_seconds: int = 86400) -> DataFram
     return per_bucket.select(
         "window_start", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+def events_anomaly(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    trail: int = 24,
+    min_history: int = 8,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing z-score anomaly detection on the event-rate series:
+    for each (event_type, bucket), compare the bucket count against the
+    mean/std of the previous `trail` buckets (current excluded). Output
+    (event_type, window_start, n_events, zscore, is_anomaly); zscore is
+    NULL when history < min_history buckets or the history is constant.
+
+    Runs over the GAP-FILLED resample (events_resample) so the trailing
+    ROWS frame is a true time window — with gaps, "previous 24 rows"
+    silently spans more than 24 hours and quiet periods vanish from the
+    baseline. Determinism: the trailing frame keeps exact BIGINT moments
+    (sum, sum of squares); mean / variance / sqrt / the z division are
+    each single-rounded IEEE in a shared op order (the
+    lang_length_regression contract), so the DOUBLEs hash-gate.
+
+    Scale shape: one partitioned window per type over bucket-count rows —
+    the fact table collapsed in events_resample's single aggregation."""
+    from pyspark.sql import Window
+
+    series = events_resample(events, window_seconds).select(
+        "event_type", "window_start", "n_events"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-trail, -1)
+    )
+    x = F.col("n_events")
+    staged = series.select(
+        "event_type",
+        "window_start",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("h_n"),
+        F.sum(x).over(w).alias("h_s"),
+        F.sum(x * x).over(w).alias("h_ss"),
+    )
+    n, s, ss = F.col("h_n"), F.col("h_s"), F.col("h_ss")
+    var_num = n * ss - s * s
+    mean = s.cast("double") / n.cast("double")
+    var = var_num.cast("double") / (n * (n - F.lit(1))).cast("double")
+    z = F.when(
+        (n >= min_history) & (var_num > F.lit(0)),
+        (x.cast("double") - mean) / F.sqrt(var),
+    )
+    return staged.select(
+        "event_type",
+        "window_start",
+        "n_events",
+        z.alias("zscore"),
+        F.when(z.isNotNull(), F.abs(z) >= F.lit(float(z_threshold))).alias("is_anomaly"),
+    )

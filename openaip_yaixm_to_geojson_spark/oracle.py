@@ -2917,3 +2917,50 @@ i AS (
 SELECT lang_a, lang_b, sa.n_vocab AS vocab_a, sb.n_vocab AS vocab_b, n_common,
        CAST(n_common AS DOUBLE) / CAST(sa.n_vocab + sb.n_vocab - n_common AS DOUBLE) AS jaccard
 FROM i JOIN s sa ON sa.lang = i.lang_a JOIN s sb ON sb.lang = i.lang_b"""
+
+
+def sql_events_anomaly(
+    window_seconds: int = 3600,
+    trail: int = 24,
+    min_history: int = 8,
+    z_threshold: float = 3.0,
+) -> str:
+    """events.events_anomaly twin: the resample CTEs (generate_series
+    spine), then identical trailing exact-int moments and the same
+    single-rounded mean/var/sqrt/z op order."""
+    s = window_seconds
+    frame = f"ROWS BETWEEN {trail} PRECEDING AND 1 PRECEDING"
+    part = f"PARTITION BY event_type ORDER BY window_start {frame}"
+    return f"""WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e
+  FROM events
+),
+agg AS (
+  SELECT event_type, e - e % {s} AS window_start, COUNT(*) AS n
+  FROM ev GROUP BY 1, 2
+),
+rng AS (SELECT event_type, MIN(window_start) AS mn, MAX(window_start) AS mx FROM agg GROUP BY 1),
+spine AS (SELECT event_type, UNNEST(generate_series(mn, mx, {s})) AS window_start FROM rng),
+series AS (
+  SELECT spine.event_type, spine.window_start, COALESCE(agg.n, 0) AS n_events
+  FROM spine LEFT JOIN agg
+    ON agg.event_type = spine.event_type AND agg.window_start = spine.window_start
+),
+m AS (
+  SELECT event_type, window_start, n_events,
+         COUNT(*) OVER ({part}) AS h_n,
+         SUM(n_events) OVER ({part}) AS h_s,
+         SUM(n_events * n_events) OVER ({part}) AS h_ss
+  FROM series
+),
+z AS (
+  SELECT event_type, window_start, n_events,
+         CASE WHEN h_n >= {min_history} AND h_n * h_ss - h_s * h_s > 0 THEN
+           (CAST(n_events AS DOUBLE) - CAST(h_s AS DOUBLE) / CAST(h_n AS DOUBLE))
+           / sqrt(CAST(h_n * h_ss - h_s * h_s AS DOUBLE) / CAST(h_n * (h_n - 1) AS DOUBLE))
+         END AS zscore
+  FROM m
+)
+SELECT event_type, window_start, n_events, zscore,
+       CASE WHEN zscore IS NOT NULL THEN abs(zscore) >= {z_threshold!r} END AS is_anomaly
+FROM z"""

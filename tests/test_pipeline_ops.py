@@ -1483,3 +1483,29 @@ def test_boilerplate_scrub_hand_case(spark):
         "u2": ("gamma\ngamma", 2, 1),
         "u3": ("", 0, 1),
     }
+
+
+def test_events_anomaly_detects_planted_spike(spark):
+    """A planted 50x spike after a steady baseline is flagged; steady
+    buckets are not; buckets with < min_history trailing rows and
+    constant-history cases yield NULL zscore."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_anomaly
+
+    rows, eid = [], 0
+    # 12 steady hours: alternate 2 and 3 events per hour (variance > 0)
+    for h in range(12):
+        for k in range(2 + h % 2):
+            rows.append((eid, f"2024-01-01 {h:02d}:{10 + k * 7:02d}:00", "view"))
+            eid += 1
+    for k in range(50):  # hour 12: spike
+        rows.append((eid, f"2024-01-01 12:{k % 60:02d}:{k // 60:02d}", "view"))
+        eid += 1
+    df = spark.createDataFrame(rows, "event_id bigint, ts_s string, event_type string").select(
+        "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "event_type",
+        F.lit(1.0).alias("value"), F.lit(0).cast("bigint").alias("user_id"), F.lit("{}").alias("props"),
+    )
+    base = 1704067200
+    got = {r["window_start"]: r for r in events_anomaly(df, min_history=8).collect()}
+    assert got[base]["zscore"] is None  # no history at the head
+    assert got[base + 12 * 3600]["is_anomaly"] is True  # the spike
+    assert got[base + 11 * 3600]["is_anomaly"] is False  # steady hour
