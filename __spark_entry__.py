@@ -906,6 +906,18 @@ def q_boilerplate_scrub(spark, sf_dir):
     return boilerplate_scrub(synth_html_pages(spark, sf_dir))
 
 
+def q_host_components(spark, sf_dir):
+    """Weakly-connected components of the extracted host link graph via
+    min-label propagation (raises on non-convergence); oracle verifies by
+    an independent recursive-CTE reachability fixpoint."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        host_components,
+        synth_linked_pages,
+    )
+
+    return host_components(synth_linked_pages(spark, sf_dir))
+
+
 def q_host_stats(spark, sf_dir):
     """Per-host rollup (page count / language diversity / text bytes)."""
     from openaip_yaixm_to_geojson_spark.operators.web import host_stats
@@ -1704,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_counts": q_geohash_counts,
         "geohash_pyramid": q_geohash_pyramid,
         "host_link_graph": q_host_link_graph,
+        "host_components": q_host_components,
         "anchor_texts": q_anchor_texts,
         "link_pagerank": q_link_pagerank,
         "multimodal_features": q_multimodal_features,
@@ -1848,6 +1861,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_counts": oracle.sql_geohash_counts(),
         "geohash_pyramid": oracle.sql_geohash_pyramid(),
         "host_link_graph": oracle.sql_host_link_graph(),
+        "host_components": oracle.sql_host_components(),
         "anchor_texts": oracle.sql_anchor_texts(),
         "link_pagerank": oracle.sql_link_pagerank(),
         "multimodal_features": oracle.sql_multimodal_features(),

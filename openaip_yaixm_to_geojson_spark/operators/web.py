@@ -413,3 +413,22 @@ def boilerplate_scrub(
             F.expr("size(filter(ps, p -> p.is_hot IS NOT NULL))").cast("bigint").alias("n_removed"),
         )
     )
+
+
+def host_components(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Weakly-connected components of the host link graph: (host,
+    component) where component = the smallest host name reachable through
+    links in either direction — the crawl-frontier partitioning / mirror-
+    farm grouping view. Reuses the min-label propagation engine
+    (dedup.duplicate_clusters: rounds = component diameter, fixpoint
+    early-exit, RAISES on non-convergence rather than returning partial
+    labels). Self-links collapse harmlessly (a node is always its own
+    candidate label)."""
+    from .dedup import duplicate_clusters
+
+    edges = host_link_graph(pages, html_col=html_col).select(
+        F.col("src_host").alias("key_a"), F.col("dst_host").alias("key_b")
+    )
+    return duplicate_clusters(edges).select(
+        F.col("key").alias("host"), F.col("cluster_id").alias("component")
+    )

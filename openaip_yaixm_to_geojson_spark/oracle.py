@@ -2964,3 +2964,27 @@ z AS (
 SELECT event_type, window_start, n_events, zscore,
        CASE WHEN zscore IS NOT NULL THEN abs(zscore) >= {z_threshold!r} END AS is_anomaly
 FROM z"""
+
+
+def sql_host_components() -> str:
+    """web.host_components twin, independent mechanism: recursive-CTE
+    reachability fixpoint over the symmetric edge set (the
+    geo_cluster_cells oracle pattern) instead of iterative min-label
+    propagation — component = MIN(reachable label)."""
+    from .operators.web import PAT_HOST, PAT_HREF
+
+    return f"""WITH RECURSIVE {_linked_docs_with()},
+l AS (SELECT url, unnest(regexp_extract_all(html_text, '{PAT_HREF}', 1)) AS link FROM h),
+e0 AS (
+  SELECT DISTINCT regexp_extract(url, '{PAT_HOST}', 1) AS src,
+                  regexp_extract(link, '{PAT_HOST}', 1) AS dst
+  FROM l
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+n AS (SELECT DISTINCT src AS host FROM e),
+reach AS (
+  SELECT host, host AS lab FROM n
+  UNION
+  SELECT e.dst AS host, r.lab FROM reach r JOIN e ON e.src = r.host
+)
+SELECT host, MIN(lab) AS component FROM reach GROUP BY host"""

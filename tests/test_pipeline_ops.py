@@ -1509,3 +1509,24 @@ def test_events_anomaly_detects_planted_spike(spark):
     assert got[base]["zscore"] is None  # no history at the head
     assert got[base + 12 * 3600]["is_anomaly"] is True  # the spike
     assert got[base + 11 * 3600]["is_anomaly"] is False  # steady hour
+
+
+def test_host_components_hand_case(spark):
+    """Two chains merge through a shared host; directionality is ignored
+    (weak components); a self-linking isolated host is its own singleton."""
+    from openaip_yaixm_to_geojson_spark.operators.web import host_components
+
+    def page(url, links):
+        body = "".join(f'<a href="{l}">x</a>' for l in links)
+        return (url, f"<html><body>{body}</body></html>")
+
+    pages = [
+        page("http://a.com/1", ["http://b.com/x"]),
+        page("http://c.com/1", ["http://b.com/y"]),   # c -> b: joins a's component
+        page("http://d.com/1", ["http://d.com/self"]),  # self-link singleton
+    ]
+    df = spark.createDataFrame(pages, "url string, html_s string").select(
+        "url", F.encode("html_s", "utf-8").alias("html")
+    )
+    got = {r["host"]: r["component"] for r in host_components(df).collect()}
+    assert got == {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com", "d.com": "d.com"}
