@@ -275,6 +275,16 @@ def q_tile_class_rollup(spark, sf_dir):
     return tile_class_rollup(spatial_join(pages, fixture_polygons()), DEFAULT_TILE_RES)
 
 
+def q_tile_mode_class(spark, sf_dir):
+    """Dominant airspace class per tile: (tile, class) counts then a
+    struct argmax — no window, no sort; ties break to the largest class
+    name in both engines."""
+    from openaip_yaixm_to_geojson_spark.operators.tiles import tile_mode_class
+
+    pages = pages_from_documents(spark, sf_dir)
+    return tile_mode_class(spatial_join(pages, fixture_polygons()), DEFAULT_TILE_RES)
+
+
 def q_text_passthrough(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir)
     joined = spatial_join(pages, fixture_polygons(), keep_cols=("text",))
@@ -1649,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_edge_table": q_knn_edge_table,
         "tile_doc_counts": q_tile_doc_counts,
         "tile_class_rollup": q_tile_class_rollup,
+        "tile_mode_class": q_tile_mode_class,
         "tile_zoom_rollup": q_tile_zoom_rollup,
         "tile_xyz_export": q_tile_xyz_export,
         "tile_vector_export": q_tile_vector_export,
@@ -1794,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_edge_table": oracle.sql_knn_edge(),
         "tile_doc_counts": oracle.sql_tile_doc_counts(),
         "tile_class_rollup": oracle.sql_tile_class_rollup(),
+        "tile_mode_class": oracle.sql_tile_mode_class(),
         "tile_zoom_rollup": oracle.sql_tile_zoom_rollup(),
         "tile_xyz_export": oracle.sql_tile_xyz_export(),
         "tile_vector_export": oracle.sql_tile_vector_export(),

@@ -274,3 +274,27 @@ def geohash_pyramid(pages: DataFrame, precision: int = 5, min_precision: int = 3
         .groupBy("precision", "geohash")
         .agg(F.count(F.lit(1)).alias("n_pages"))
     )
+
+
+def tile_mode_class(join_out: DataFrame, res: int = DEFAULT_TILE_RES) -> DataFrame:
+    """Dominant airspace class per tile — the categorical MODE, the raster
+    labeling step of a choropleth/classification export. Output (tile_id,
+    airspace_class, doc_count); ties on count break to the LARGEST class
+    name (deterministic, engine-independent).
+
+    Scale shape: (tile, class) counts first (one map-side-partial
+    shuffle), then the argmax is a plain max over a struct — comparing
+    (count, class) lexicographically — so the second aggregation needs no
+    window, no sort, and re-shuffles only tile-level rows."""
+    return (
+        with_tile(join_out, res)
+        .groupBy("tile_id", "airspace_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("tile_id")
+        .agg(F.max(F.struct(F.col("n"), F.col("airspace_class"))).alias("m"))
+        .select(
+            "tile_id",
+            F.col("m.airspace_class").alias("airspace_class"),
+            F.col("m.n").alias("doc_count"),
+        )
+    )

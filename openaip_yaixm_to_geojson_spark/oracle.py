@@ -2988,3 +2988,23 @@ reach AS (
   SELECT e.dst AS host, r.lab FROM reach r JOIN e ON e.src = r.host
 )
 SELECT host, MIN(lab) AS component FROM reach GROUP BY host"""
+
+
+def sql_tile_mode_class(res: int | None = None) -> str:
+    """tiles.tile_mode_class twin, independent mechanism: ROW_NUMBER over
+    (count DESC, class DESC) instead of a struct argmax."""
+    from .operators.tiles import DEFAULT_TILE_RES
+
+    r = DEFAULT_TILE_RES if res is None else res
+    return f"""WITH {pages_with()}, {pip_hits_cte()},
+c AS (
+  SELECT {cell_id_sql('lon', 'lat', r)} AS tile_id, airspace_class, COUNT(*) AS n
+  FROM hits GROUP BY 1, 2
+),
+rk AS (
+  SELECT tile_id, airspace_class, n,
+         ROW_NUMBER() OVER (PARTITION BY tile_id
+                            ORDER BY n DESC, airspace_class DESC) AS rn
+  FROM c
+)
+SELECT tile_id, airspace_class, n AS doc_count FROM rk WHERE rn = 1"""

@@ -837,3 +837,21 @@ def test_polygon_centroid_properties(spark):
     # reversing the ring flips the signed area but not the centroid
     assert got[2]["centroid_lon"] == 2.0 and got[2]["centroid_lat"] == 1.0
     assert got[3]["centroid_lon"] is None and got[3]["centroid_lat"] is None and got[3]["area_deg2"] == 0.0
+
+
+def test_tile_mode_class_tie_break(spark):
+    """Mode per tile with a forced tie: equal counts resolve to the
+    LARGEST class name in the struct argmax, matching the oracle's
+    ROW_NUMBER tie order."""
+    from openaip_yaixm_to_geojson_spark.operators.tiles import tile_mode_class
+
+    rows = [
+        ("u1", 10.0, 50.0, "C"),
+        ("u2", 10.0, 50.0, "C"),
+        ("u3", 10.0, 50.0, "D"),   # tile A: C=2 > D=1
+        ("u4", 120.0, -30.0, "A"),
+        ("u5", 120.0, -30.0, "E"),  # tile B: tie 1-1 -> E (largest name)
+    ]
+    df = spark.createDataFrame(rows, "url string, lon double, lat double, airspace_class string")
+    got = {r["tile_id"]: (r["airspace_class"], r["doc_count"]) for r in tile_mode_class(df).collect()}
+    assert sorted(got.values()) == [("C", 2), ("E", 1)]
