@@ -1553,6 +1553,15 @@ def q_events_anomaly(spark, sf_dir):
     return events_anomaly(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_events_time_pyramid(spark, sf_dir):
+    """Hour/day/week rollup in ONE aggregation (explode into (level,
+    bucket) structs, map-side partials collapse before the single
+    shuffle); oracle = per-level GROUP BYs UNION ALLed."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_time_pyramid
+
+    return events_time_pyramid(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_events_retention(spark, sf_dir):
     """Cohort retention matrix: first-event cohort day x activity offset x
     user count — activity deduped to (user, day) FIRST so the count is
@@ -1765,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": q_events_resample,
         "events_new_users": q_events_new_users,
         "events_anomaly": q_events_anomaly,
+        "events_time_pyramid": q_events_time_pyramid,
         "chars_histogram": q_chars_histogram,
         "lang_p90_chars": q_lang_p90_chars,
         "pii_scrub": q_pii_scrub,
@@ -1911,6 +1921,7 @@ def oracle_sql() -> dict[str, str]:
         "events_resample": oracle.sql_events_resample(),
         "events_new_users": oracle.sql_events_new_users(),
         "events_anomaly": oracle.sql_events_anomaly(),
+        "events_time_pyramid": oracle.sql_events_time_pyramid(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
         "pii_scrub": oracle.sql_pii_scrub(),

@@ -744,3 +744,46 @@ def events_anomaly(
         z.alias("zscore"),
         F.when(z.isNotNull(), F.abs(z) >= F.lit(float(z_threshold))).alias("is_anomaly"),
     )
+
+
+TIME_PYRAMID_LEVELS: tuple[tuple[str, int], ...] = (
+    ("hour", 3600),
+    ("day", 86400),
+    ("week", 604800),
+)
+
+
+def events_time_pyramid(
+    events: DataFrame, levels: tuple[tuple[str, int], ...] = TIME_PYRAMID_LEVELS
+) -> DataFrame:
+    """Multi-granularity time rollup in ONE pass (the geohash_pyramid
+    pattern applied to time): each event explodes into one (level, bucket)
+    struct per granularity, then a single aggregation produces every level
+    — never one job per level. Output (level, window_start, n_events,
+    total_value). Buckets are pure epoch integer arithmetic (epoch-aligned;
+    the week bucket is the epoch week starting Thursday 1970-01-01).
+
+    Scale shape: the explode widens the fact stream x #levels (3) but
+    map-side partial aggregation collapses it before the single shuffle —
+    vs #levels full scans for the naive loop. DECIMAL-exact sums, one
+    DOUBLE cast at the boundary."""
+    epoch = F.unix_timestamp("ts")
+    lv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("level"),
+                    (epoch - epoch % F.lit(sec)).alias("window_start"),
+                )
+                for name, sec in levels
+            ]
+        )
+    ).alias("lv")
+    return (
+        events.select(lv, F.col("value").cast("decimal(18,2)").alias("v"))
+        .groupBy(F.col("lv.level").alias("level"), F.col("lv.window_start").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("decimal(38,2)").cast("double").alias("total_value"),
+        )
+    )

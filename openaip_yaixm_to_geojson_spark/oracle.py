@@ -3008,3 +3008,24 @@ rk AS (
   FROM c
 )
 SELECT tile_id, airspace_class, n AS doc_count FROM rk WHERE rn = 1"""
+
+
+def sql_events_time_pyramid() -> str:
+    """events.events_time_pyramid twin, independent mechanism: one GROUP
+    BY per level UNION ALLed (vs Spark's one-pass explode)."""
+    from .operators.events import TIME_PYRAMID_LEVELS
+
+    parts = []
+    for name, sec in TIME_PYRAMID_LEVELS:
+        parts.append(
+            f"""SELECT '{name}' AS level, e - e % {sec} AS window_start,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+FROM ev GROUP BY 2"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+{body}"""

@@ -1530,3 +1530,29 @@ def test_host_components_hand_case(spark):
     )
     got = {r["host"]: r["component"] for r in host_components(df).collect()}
     assert got == {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com", "d.com": "d.com"}
+
+
+def test_events_time_pyramid_consistency(spark):
+    """Each level's totals must equal the flat sums, and coarser levels
+    must aggregate finer ones exactly (decimal-exact value sums)."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_time_pyramid
+
+    rows = [
+        (i, f"2024-01-{1 + i % 10:02d} {i % 24:02d}:{(i * 13) % 60:02d}:00", 0.01 * i)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts_s string, value double").select(
+        "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    out = events_time_pyramid(df).collect()
+    by_level = {}
+    for r in out:
+        lv = by_level.setdefault(r["level"], [0, 0.0])
+        lv[0] += r["n_events"]
+        lv[1] += r["total_value"]
+    total_v = round(sum(0.01 * i for i in range(100)), 2)
+    for lv, (n, v) in by_level.items():
+        assert n == 100, lv
+        assert abs(v - total_v) < 1e-9, lv
+    n_buckets = {lv: sum(1 for r in out if r["level"] == lv) for lv in by_level}
+    assert n_buckets["hour"] >= n_buckets["day"] >= n_buckets["week"]
