@@ -1498,6 +1498,15 @@ def q_lang_vocab_overlap(spark, sf_dir):
     return lang_vocab_overlap(_docs(spark, sf_dir))
 
 
+def q_char_diversity(spark, sf_dir):
+    """Per-doc character Gini diversity: zero-shuffle sorted run-length
+    fold (log-free entropy stand-in); oracle verifies with the heavier
+    UNNEST + GROUP BY mechanism."""
+    from openaip_yaixm_to_geojson_spark.operators.text import char_diversity
+
+    return char_diversity(_docs(spark, sf_dir))
+
+
 def q_weighted_sample(spark, sf_dir):
     """Length-weighted deterministic Bernoulli sample: exact integer
     inclusion inequality over the md5 bucket — reproducible at any
@@ -1771,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier": q_pareto_frontier,
         "weighted_sample": q_weighted_sample,
         "lang_vocab_overlap": q_lang_vocab_overlap,
+        "char_diversity": q_char_diversity,
         "events_resample": q_events_resample,
         "events_new_users": q_events_new_users,
         "events_anomaly": q_events_anomaly,
@@ -1918,6 +1928,7 @@ def oracle_sql() -> dict[str, str]:
         "pareto_frontier": oracle.sql_pareto_frontier(),
         "weighted_sample": oracle.sql_weighted_sample(),
         "lang_vocab_overlap": oracle.sql_lang_vocab_overlap(),
+        "char_diversity": oracle.sql_char_diversity(),
         "events_resample": oracle.sql_events_resample(),
         "events_new_users": oracle.sql_events_new_users(),
         "events_anomaly": oracle.sql_events_anomaly(),

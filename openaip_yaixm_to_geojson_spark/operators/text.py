@@ -845,3 +845,47 @@ def weighted_sample(
     return documents.where(
         sample_hash_col(F.col(key_col)) * F.lit(int(length_cap)) < w * F.lit(rate_num)
     ).select(key_col, "lang", "n_chars")
+
+
+def char_diversity(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character diversity: (doc_id, n_chars_total,
+    n_distinct_chars, gini) where gini = 1 - sum(count_c^2)/n^2 — the
+    Gini-impurity repetitiveness signal (a log-free stand-in for character
+    entropy: libm log is not cross-engine reproducible, Gini is exact
+    integers plus ONE division). Low gini = keyboard-mash / repeated-char
+    spam; empty docs yield NULL gini.
+
+    Scale shape: ZERO shuffles — the count-of-squares comes from a
+    run-length fold over the SORTED char array (one array_sort + one
+    aggregate per row, all codegen), never an explode + groupBy at
+    corpus-char scale. The oracle deliberately uses that heavier
+    independent mechanism (UNNEST + GROUP BY) to verify the fold."""
+    arr = F.array_sort(F.split(F.col(text_col), ""))
+    seed = F.struct(
+        F.lit("").alias("p"), F.lit(0).cast("bigint").alias("r"), F.lit(0).cast("bigint").alias("s")
+    )
+    merge = lambda acc, c: F.when(  # noqa: E731
+        c == acc["p"],
+        F.struct(acc["p"].alias("p"), (acc["r"] + 1).alias("r"), acc["s"].alias("s")),
+    ).otherwise(
+        F.struct(
+            c.alias("p"),
+            F.lit(1).cast("bigint").alias("r"),
+            (acc["s"] + acc["r"] * acc["r"]).alias("s"),
+        )
+    )
+    s2 = F.aggregate(arr, seed, merge, lambda acc: acc["s"] + acc["r"] * acc["r"])
+    n = F.length(F.col(text_col)).cast("bigint")
+    staged = documents.select(
+        "doc_id",
+        n.alias("n_chars_total"),
+        F.when(n > 0, F.size(F.array_distinct(arr))).otherwise(F.lit(0)).cast("bigint").alias("n_distinct_chars"),
+        F.when(n > 0, s2).alias("_s2"),
+    )
+    nn = F.col("n_chars_total") * F.col("n_chars_total")
+    return staged.select(
+        "doc_id",
+        "n_chars_total",
+        "n_distinct_chars",
+        ((nn - F.col("_s2")).cast("double") / nn.cast("double")).alias("gini"),
+    )

@@ -3029,3 +3029,25 @@ FROM ev GROUP BY 2"""
   FROM events
 )
 {body}"""
+
+
+def sql_char_diversity() -> str:
+    """text.char_diversity twin, independent mechanism: UNNEST chars +
+    GROUP BY (vs Spark's zero-shuffle sorted run-length fold); same exact
+    integers and single division."""
+    return """WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents WHERE length(text) > 0
+),
+cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+g AS (
+  SELECT doc_id, SUM(k * k) AS s2, COUNT(*) AS nd, SUM(k) AS n
+  FROM cc GROUP BY 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_total,
+       CAST(nd AS BIGINT) AS n_distinct_chars,
+       CAST(n * n - s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+FROM g
+UNION ALL
+SELECT doc_id, 0, 0, CAST(NULL AS DOUBLE)
+FROM documents WHERE length(text) = 0"""

@@ -1556,3 +1556,25 @@ def test_events_time_pyramid_consistency(spark):
         assert abs(v - total_v) < 1e-9, lv
     n_buckets = {lv: sum(1 for r in out if r["level"] == lv) for lv in by_level}
     assert n_buckets["hour"] >= n_buckets["day"] >= n_buckets["week"]
+
+
+def test_char_diversity_hand_cases(spark):
+    """Exact Gini on hand strings: uniform chars -> 0; 'ab' -> 0.5;
+    counts match collections.Counter; empty text -> NULL gini."""
+    from collections import Counter
+
+    from openaip_yaixm_to_geojson_spark.operators.text import char_diversity
+
+    rows = [(1, "aaaa"), (2, "ab"), (3, "abab cd"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in char_diversity(df).collect()}
+    for doc_id, t in rows:
+        r = got[doc_id]
+        assert r["n_chars_total"] == len(t) and r["n_distinct_chars"] == len(set(t))
+        if t:
+            c = Counter(t)
+            expected = (len(t) ** 2 - sum(k * k for k in c.values())) / len(t) ** 2
+            assert abs(r["gini"] - expected) < 1e-15
+        else:
+            assert r["gini"] is None
+    assert got[1]["gini"] == 0.0 and got[2]["gini"] == 0.5
