@@ -1127,6 +1127,24 @@ def q_multimodal_real_features(spark, sf_dir):
     )
 
 
+def q_image_patches(spark, sf_dir):
+    """ViT-style patch grid over REAL P6 decode: NumPy block reduction per
+    Arrow batch, exact BIGINT channel sums + float32 means; the oracle
+    recomputes every pixel from the md5 byte layout."""
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        image_patches,
+        synth_media_real,
+    )
+
+    out = image_patches(synth_media_real(spark, 500))
+    return out.select(
+        "media_id", "patch_row", "patch_col", "sum_r", "sum_g", "sum_b",
+        F.col("mean_r").cast("double").alias("mean_r"),
+        F.col("mean_g").cast("double").alias("mean_g"),
+        F.col("mean_b").cast("double").alias("mean_b"),
+    )
+
+
 def q_lang_median_chars(spark, sf_dir):
     """Exact per-language median document length as an order statistic
     (interpolated percentiles are float-divergent across engines; the
@@ -1750,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_features": q_multimodal_real_features,
+        "image_patches": q_image_patches,
         "multimodal_frames": q_multimodal_frames,
         "pagerank": q_pagerank,
         "lang_median_chars": q_lang_median_chars,
@@ -1898,6 +1917,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": oracle.sql_link_pagerank(),
         "multimodal_features": oracle.sql_multimodal_features(),
         "multimodal_real_features": oracle.sql_multimodal_real_features(),
+        "image_patches": oracle.sql_image_patches(),
         "multimodal_frames": oracle.sql_multimodal_frames(),
         "pagerank": oracle.sql_pagerank_int(),
         "lang_median_chars": oracle.sql_lang_median_chars(),

@@ -409,3 +409,59 @@ def real_media_features(payload: bytes, kind: str) -> np.ndarray:
         f"no stdlib decoder for this payload (magic {payload[:4]!r}); "
         "JPEG/PNG/MP3/MP4 need codec libraries not present in this environment"
     )
+
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("patch_row", T.IntegerType()),
+        T.StructField("patch_col", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("mean_r", T.FloatType()),
+        T.StructField("mean_g", T.FloatType()),
+        T.StructField("mean_b", T.FloatType()),
+    ]
+)
+
+
+def image_patches(media: DataFrame, patch: int = 4) -> DataFrame:
+    """ViT-style patch extraction over REAL decoded images: each P6 PPM
+    payload is parsed (decode_ppm — genuine header tokenizer) and split
+    into a (h/patch x w/patch) grid; one output row per patch with exact
+    per-channel BIGINT pixel sums and the float32 means (the one-rounding
+    contract real_media_features uses, so the decode -> patch -> statistic
+    chain hash-gates end to end).
+
+    Scale shape: mapInPandas — Arrow batches in, NumPy block reduction per
+    image (reshape to (gh, patch, gw, patch, 3), sum over the block axes —
+    no Python loop over pixels), patch rows out. Partition-preserving, no
+    shuffle; images whose dimensions are not multiples of `patch` raise
+    (the contract a patch embedder enforces)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in PATCH_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_ppm(bytes(payload)).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                if h % patch or w % patch:
+                    raise ValueError(f"image {mid}: {w}x{h} not a multiple of patch={patch}")
+                gh, gw = h // patch, w // patch
+                sums = px.reshape(gh, patch, gw, patch, 3).sum(axis=(1, 3))
+                n = float(patch * patch)
+                for pr in range(gh):
+                    for pc in range(gw):
+                        out["media_id"].append(int(mid))
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        for ci, cname in enumerate("rgb"):
+                            s = int(sums[pr, pc, ci])
+                            out[f"sum_{cname}"].append(s)
+                            out[f"mean_{cname}"].append(np.float32(s / n))
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        run, schema=PATCH_SCHEMA
+    )

@@ -3051,3 +3051,39 @@ FROM g
 UNION ALL
 SELECT doc_id, 0, 0, CAST(NULL AS DOUBLE)
 FROM documents WHERE length(text) = 0"""
+
+
+def sql_image_patches(n: int = 500, patch: int = 4) -> str:
+    """multimodal.image_patches twin: recompute every decoded pixel from
+    the md5 byte layout (j -> (y, x, c) -> patch cell), exact BIGINT sums
+    per (image, patch, channel), float32-rounded means (power-of-two
+    division, exact before the rounding)."""
+    npx = 8 * 8 * 3
+    px_byte = _md5_byte_sql(
+        "concat(CAST(media_id AS VARCHAR), '-px-', CAST(j // 16 AS VARCHAR))", "j % 16"
+    )
+    np_ = patch * patch
+    mean = lambda c: f"CAST(CAST(s{c} / CAST({np_}.0 AS DOUBLE) AS FLOAT) AS DOUBLE)"  # noqa: E731
+    return f"""WITH m AS (SELECT UNNEST(generate_series(0, {n - 1})) AS media_id),
+px AS (
+  SELECT media_id, t.j, CAST({px_byte} AS BIGINT) AS v,
+         ((t.j // 3) // 8) // {patch} AS pr, ((t.j // 3) % 8) // {patch} AS pc,
+         t.j % 3 AS c
+  FROM (SELECT media_id FROM m WHERE media_id % 3 = 0) i,
+       (SELECT UNNEST(generate_series(0, {npx - 1})) AS j) t
+),
+s AS (
+  SELECT media_id, pr, pc, c, CAST(SUM(v) AS BIGINT) AS sv
+  FROM px GROUP BY 1, 2, 3, 4
+),
+w AS (
+  SELECT media_id, CAST(pr AS INTEGER) AS patch_row, CAST(pc AS INTEGER) AS patch_col,
+         MAX(CASE WHEN c = 0 THEN sv END) AS s0,
+         MAX(CASE WHEN c = 1 THEN sv END) AS s1,
+         MAX(CASE WHEN c = 2 THEN sv END) AS s2
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT media_id, patch_row, patch_col,
+       s0 AS sum_r, s1 AS sum_g, s2 AS sum_b,
+       {mean(0)} AS mean_r, {mean(1)} AS mean_g, {mean(2)} AS mean_b
+FROM w"""

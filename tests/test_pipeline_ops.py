@@ -1578,3 +1578,33 @@ def test_char_diversity_hand_cases(spark):
         else:
             assert r["gini"] is None
     assert got[1]["gini"] == 0.0 and got[2]["gini"] == 0.5
+
+
+def test_image_patches_exact_sums(spark):
+    """Patch sums equal NumPy sums over the decoded image blocks; the
+    grid covers the full image (patch sums per channel total the image
+    sum); non-multiple dimensions raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        decode_ppm,
+        image_patches,
+        make_ppm,
+        synth_media_real,
+    )
+
+    media = synth_media_real(spark, 9)
+    rows = image_patches(media).collect()
+    assert {r["media_id"] for r in rows} == {0, 3, 6}
+    px = decode_ppm(make_ppm(0)).astype(np.int64)
+    for r in rows:
+        if r["media_id"] != 0:
+            continue
+        blk = px[r["patch_row"] * 4:(r["patch_row"] + 1) * 4, r["patch_col"] * 4:(r["patch_col"] + 1) * 4]
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(blk[:, :, c].sum()) for c in range(3))
+        assert r["mean_r"] == np.float32(r["sum_r"] / 16.0)
+    total_r = sum(r["sum_r"] for r in rows if r["media_id"] == 0)
+    assert total_r == int(px[:, :, 0].sum())
+    with _pytest.raises(Exception, match="not a multiple"):
+        image_patches(media, patch=3).collect()
