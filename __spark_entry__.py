@@ -1516,6 +1516,15 @@ def q_lang_vocab_overlap(spark, sf_dir):
     return lang_vocab_overlap(_docs(spark, sf_dir))
 
 
+def q_length_outliers(spark, sf_dir):
+    """Robust median/MAD outlier profile per language — entirely integer
+    order statistics, no float rules; oracle derives both medians by an
+    independent value-level cumulative-count mechanism."""
+    from openaip_yaixm_to_geojson_spark.operators.text import length_outliers
+
+    return length_outliers(_docs(spark, sf_dir))
+
+
 def q_char_diversity(spark, sf_dir):
     """Per-doc character Gini diversity: zero-shuffle sorted run-length
     fold (log-free entropy stand-in); oracle verifies with the heavier
@@ -1800,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "lang_vocab_overlap": q_lang_vocab_overlap,
         "char_diversity": q_char_diversity,
+        "length_outliers": q_length_outliers,
         "events_resample": q_events_resample,
         "events_new_users": q_events_new_users,
         "events_anomaly": q_events_anomaly,
@@ -1949,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": oracle.sql_weighted_sample(),
         "lang_vocab_overlap": oracle.sql_lang_vocab_overlap(),
         "char_diversity": oracle.sql_char_diversity(),
+        "length_outliers": oracle.sql_length_outliers(),
         "events_resample": oracle.sql_events_resample(),
         "events_new_users": oracle.sql_events_new_users(),
         "events_anomaly": oracle.sql_events_anomaly(),

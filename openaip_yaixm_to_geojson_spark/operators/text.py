@@ -889,3 +889,56 @@ def char_diversity(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "n_distinct_chars",
         ((nn - F.col("_s2")).cast("double") / nn.cast("double")).alias("gini"),
     )
+
+
+def length_outliers(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Robust per-language outlier profile of document length using
+    median/MAD (the z-score's robust sibling — one spam blob cannot drag
+    the baseline the way it drags a mean/std): (lang, n_docs,
+    median_chars, mad_chars, n_outliers) with outlier := |x - median| >
+    k * MAD. ENTIRELY integer arithmetic — median and MAD are lower-median
+    order statistics (the lang_percentile_chars convention), so every
+    output hash-gates with no float rules at all.
+
+    Scale shape: two rank selections (one shuffle each, per-group sort
+    spills) + a final lang-level conditional aggregate; the medians/MADs
+    ride broadcast joins (#langs rows). The deviation frame is a CHEAP
+    derivation (scan + broadcast join, no window), so its two consumers
+    re-derive it rather than materialize a corpus-sized frame
+    (fan-out rule: materialize heavyweight work, recompute cheap scans)."""
+    from pyspark.sql import Window
+
+    base = documents.select("lang", "n_chars", "doc_id")
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("lang").orderBy(col, "doc_id")
+        ranked = df.select(
+            "lang",
+            col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+        )
+        return ranked.where(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+            "lang", F.col(col).alias(f"med_{col}"), F.col("cnt").alias("n_docs")
+        )
+
+    med = lower_median(base, "n_chars").localCheckpoint()  # #langs rows, 3 consumers
+    dev = base.join(F.broadcast(med.select("lang", "med_n_chars")), "lang").select(
+        "lang", "doc_id", F.abs(F.col("n_chars") - F.col("med_n_chars")).alias("dev")
+    )
+    mad = (
+        lower_median(dev, "dev")
+        .select("lang", F.col("med_dev").alias("mad_chars"))
+        .localCheckpoint()
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(F.sum((F.col("dev") > F.lit(k) * F.col("mad_chars")).cast("bigint")).alias("n_outliers"))
+    )
+    return (
+        med.select("lang", "n_docs", F.col("med_n_chars").alias("median_chars"))
+        .join(F.broadcast(mad), "lang")
+        .join(F.broadcast(flagged), "lang")
+        .select("lang", "n_docs", "median_chars", "mad_chars", "n_outliers")
+    )

@@ -3087,3 +3087,39 @@ SELECT media_id, patch_row, patch_col,
        s0 AS sum_r, s1 AS sum_g, s2 AS sum_b,
        {mean(0)} AS mean_r, {mean(1)} AS mean_g, {mean(2)} AS mean_b
 FROM w"""
+
+
+def sql_length_outliers(k: int = 3) -> str:
+    """text.length_outliers twin, independent median mechanism: the lower
+    median as MIN(v) whose cumulative count reaches ceil(n/2) (value-level
+    cumsum — no row ranks), applied to lengths then to deviations."""
+    return f"""WITH d AS (SELECT lang, n_chars FROM documents),
+n AS (SELECT lang, COUNT(*) AS c FROM d GROUP BY 1),
+vals AS (SELECT lang, n_chars AS v, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT lang, v, SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS cl FROM vals
+),
+med AS (
+  SELECT c.lang, MIN(c.v) AS median_chars
+  FROM cum c JOIN n ON n.lang = c.lang AND c.cl >= (n.c + 1) // 2
+  GROUP BY 1
+),
+dev AS (
+  SELECT d.lang, abs(d.n_chars - m.median_chars) AS dv
+  FROM d JOIN med m ON m.lang = d.lang
+),
+dvals AS (SELECT lang, dv AS v, COUNT(*) AS cnt FROM dev GROUP BY 1, 2),
+dcum AS (
+  SELECT lang, v, SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS cl FROM dvals
+),
+mad AS (
+  SELECT c.lang, MIN(c.v) AS mad_chars
+  FROM dcum c JOIN n ON n.lang = c.lang AND c.cl >= (n.c + 1) // 2
+  GROUP BY 1
+),
+fl AS (
+  SELECT dev.lang, CAST(SUM(CASE WHEN dev.dv > {k} * mad.mad_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM dev JOIN mad ON mad.lang = dev.lang GROUP BY 1
+)
+SELECT n.lang, CAST(n.c AS BIGINT) AS n_docs, med.median_chars, mad.mad_chars, fl.n_outliers
+FROM n JOIN med ON med.lang = n.lang JOIN mad ON mad.lang = n.lang JOIN fl ON fl.lang = n.lang"""

@@ -1608,3 +1608,21 @@ def test_image_patches_exact_sums(spark):
     assert total_r == int(px[:, :, 0].sum())
     with _pytest.raises(Exception, match="not a multiple"):
         image_patches(media, patch=3).collect()
+
+
+def test_length_outliers_hand_case(spark):
+    """Hand-computed median/MAD: lengths [10,10,12,14,100] -> median 12
+    (lower), deviations [2,2,0,2,88] -> MAD 2, outliers = {100} (88 > 6);
+    a constant-length lang has MAD 0 and any deviation flags."""
+    from openaip_yaixm_to_geojson_spark.operators.text import length_outliers
+
+    rows = [(i, "x" * n, "en") for i, n in enumerate([10, 10, 12, 14, 100])]
+    rows += [(10 + i, "y" * n, "zz") for i, n in enumerate([5, 5, 5, 7])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string").withColumn(
+        "n_chars", F.length("text")
+    )
+    got = {r["lang"]: r for r in length_outliers(df, k=3).collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["median_chars"], en["mad_chars"], en["n_outliers"]) == (5, 12, 2, 1)
+    zz = got["zz"]  # median 5, devs [0,0,0,2] -> MAD 0; 2 > 0 flags
+    assert (zz["n_docs"], zz["median_chars"], zz["mad_chars"], zz["n_outliers"]) == (4, 5, 0, 1)
