@@ -1589,6 +1589,15 @@ def q_events_anomaly(spark, sf_dir):
     return events_anomaly(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_session_paths(spark, sf_dir):
+    """First-3-event session paths counted across sessions (journey
+    discovery): pinned (micros, event_id) order, gap sessionization, one
+    user-keyed shuffle shared by the window and the collect."""
+    from openaip_yaixm_to_geojson_spark.operators.events import session_paths
+
+    return session_paths(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_events_time_pyramid(spark, sf_dir):
     """Hour/day/week rollup in ONE aggregation (explode into (level,
     bucket) structs, map-side partials collapse before the single
@@ -1814,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_new_users": q_events_new_users,
         "events_anomaly": q_events_anomaly,
         "events_time_pyramid": q_events_time_pyramid,
+        "session_paths": q_session_paths,
         "chars_histogram": q_chars_histogram,
         "lang_p90_chars": q_lang_p90_chars,
         "pii_scrub": q_pii_scrub,
@@ -1964,6 +1974,7 @@ def oracle_sql() -> dict[str, str]:
         "events_new_users": oracle.sql_events_new_users(),
         "events_anomaly": oracle.sql_events_anomaly(),
         "events_time_pyramid": oracle.sql_events_time_pyramid(),
+        "session_paths": oracle.sql_session_paths(),
         "chars_histogram": oracle.sql_chars_histogram(width=32),
         "lang_p90_chars": oracle.sql_lang_percentile_chars(p_num=9, p_den=10),
         "pii_scrub": oracle.sql_pii_scrub(),

@@ -787,3 +787,44 @@ def events_time_pyramid(
             F.sum("v").cast("decimal(38,2)").cast("double").alias("total_value"),
         )
     )
+
+
+def session_paths(
+    events: DataFrame, gap_seconds: int = 1800, path_len: int = 3
+) -> DataFrame:
+    """Clickstream path analysis: the first `path_len` event types of each
+    gap-session, joined as a path string, counted across all sessions —
+    the 'how do journeys start' funnel-discovery view. Output (path,
+    n_sessions). Event order is the pinned (unix_micros, event_id)
+    contract; sessions split on gap > gap_seconds (the user_sessions
+    boundary rule: a delta equal to the gap MERGES).
+
+    Scale shape: one shuffle on user_id (window sessionization + the
+    grouped collect share the partitioning), then a path-level count;
+    collect_list holds one session's events (bounded by session length,
+    the same bound stateful sessionization carries)."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = int(gap_seconds) * 1_000_000
+    ev = events.select("user_id", "event_id", "event_type", us.alias("us"))
+    sess = ev.select(
+        "*",
+        F.sum(
+            F.when(F.col("us") - F.lag("us").over(w) > gap_us, 1).otherwise(0)
+        ).over(w).alias("sid"),
+    )
+    path = F.array_join(
+        F.transform(
+            F.slice(F.sort_array(F.collect_list(F.struct("us", "event_id", "event_type"))), 1, path_len),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    return (
+        sess.groupBy("user_id", "sid")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )

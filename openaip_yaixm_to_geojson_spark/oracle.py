@@ -3123,3 +3123,28 @@ fl AS (
 )
 SELECT n.lang, CAST(n.c AS BIGINT) AS n_docs, med.median_chars, mad.mad_chars, fl.n_outliers
 FROM n JOIN med ON med.lang = n.lang JOIN mad ON mad.lang = n.lang JOIN fl ON fl.lang = n.lang"""
+
+
+def sql_session_paths(gap_seconds: int = 1800, path_len: int = 3) -> str:
+    """events.session_paths twin: same gap sessionization (lag + cumsum),
+    path via ordered LIST slice + array_to_string."""
+    gap_us = gap_seconds * 1_000_000
+    return f"""WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+f AS (
+  SELECT *, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                      > {gap_us} THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+),
+p AS (
+  SELECT user_id, sid,
+         array_to_string(LIST(event_type ORDER BY us, event_id)[1:{path_len}], '>') AS path
+  FROM s GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1"""

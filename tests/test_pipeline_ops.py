@@ -1626,3 +1626,26 @@ def test_length_outliers_hand_case(spark):
     assert (en["n_docs"], en["median_chars"], en["mad_chars"], en["n_outliers"]) == (5, 12, 2, 1)
     zz = got["zz"]  # median 5, devs [0,0,0,2] -> MAD 0; 2 > 0 flags
     assert (zz["n_docs"], zz["median_chars"], zz["mad_chars"], zz["n_outliers"]) == (4, 5, 0, 1)
+
+
+def test_session_paths_hand_case(spark):
+    """Gap splits sessions (delta == gap merges, > gap splits); paths take
+    the first 3 events in (ts, event_id) order; short sessions keep their
+    short path; identical paths across users aggregate."""
+    from openaip_yaixm_to_geojson_spark.operators.events import session_paths
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (2, 1, "2024-01-01 10:05:00", "click"),
+        (3, 1, "2024-01-01 10:10:00", "purchase"),
+        (4, 1, "2024-01-01 10:12:00", "view"),      # 4th event: beyond path_len
+        (5, 1, "2024-01-01 11:00:00", "view"),      # 48 min gap > 30 -> new session
+        (6, 2, "2024-01-02 09:00:00", "view"),
+        (7, 2, "2024-01-02 09:30:00", "click"),     # delta == gap exactly: MERGES
+        (8, 2, "2024-01-02 09:40:00", "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts_s string, event_type string").select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "event_type"
+    )
+    got = {r["path"]: r["n_sessions"] for r in session_paths(df).collect()}
+    assert got == {"view>click>purchase": 2, "view": 1}
