@@ -137,6 +137,21 @@ def q_ring_decimate(spark, sf_dir):
     return ring_decimate(polygons_to_df(spark, fixture_polygons()))
 
 
+def q_airspace_density(spark, sf_dir):
+    """Docs per square degree of airspace: spatial-join counts normalized
+    by the shoelace fold area — exact count, fold area, ONE division."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import (
+        airspace_density,
+        polygons_to_df,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    return airspace_density(
+        spatial_join(pages, fixture_polygons()),
+        polygons_to_df(spark, fixture_polygons()),
+    )
+
+
 def q_polygon_centroid(spark, sf_dir):
     """Planar shoelace-moment centroid + area over the ring COLUMN — pure
     Catalyst folds (0.0-seeded left-fold rule), zero shuffles; degenerate
@@ -914,6 +929,18 @@ def q_boilerplate_scrub(spark, sf_dir):
     )
 
     return boilerplate_scrub(synth_html_pages(spark, sf_dir))
+
+
+def q_co_citation(spark, sf_dir):
+    """Host co-citation pairs (same-page linking): quadratic bounded by a
+    deterministic md5-ordered per-page host cap; per-page self-join keys
+    carry <= cap rows."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        co_citation,
+        synth_linked_pages,
+    )
+
+    return co_citation(synth_linked_pages(spark, sf_dir))
 
 
 def q_host_components(spark, sf_dir):
@@ -1701,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_count_by_airspace": q_join_count_by_airspace,
         "airspace_area": q_airspace_area,
         "polygon_centroid": q_polygon_centroid,
+        "airspace_density": q_airspace_density,
         "ring_decimate": q_ring_decimate,
         "polygon_overlap": q_polygon_overlap,
         "polygon_overlap_table": q_polygon_overlap_table,
@@ -1782,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_pyramid": q_geohash_pyramid,
         "host_link_graph": q_host_link_graph,
         "host_components": q_host_components,
+        "co_citation": q_co_citation,
         "anchor_texts": q_anchor_texts,
         "link_pagerank": q_link_pagerank,
         "multimodal_features": q_multimodal_features,
@@ -1852,6 +1881,7 @@ def oracle_sql() -> dict[str, str]:
         "join_count_by_airspace": oracle.sql_join_count_by_airspace(),
         "airspace_area": oracle.sql_polygon_area_orientation(),
         "polygon_centroid": oracle.sql_polygon_centroid(),
+        "airspace_density": oracle.sql_airspace_density(),
         "ring_decimate": oracle.sql_ring_decimate(),
         "polygon_overlap": oracle.sql_polygon_overlap_pairs(),
         "polygon_overlap_table": oracle.sql_polygon_overlap_pairs(),
@@ -1933,6 +1963,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_pyramid": oracle.sql_geohash_pyramid(),
         "host_link_graph": oracle.sql_host_link_graph(),
         "host_components": oracle.sql_host_components(),
+        "co_citation": oracle.sql_co_citation(),
         "anchor_texts": oracle.sql_anchor_texts(),
         "link_pagerank": oracle.sql_link_pagerank(),
         "multimodal_features": oracle.sql_multimodal_features(),

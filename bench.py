@@ -187,6 +187,16 @@ def main() -> None:
     linked = synth_linked_pages(spark, SF_DIR)
     timed("link_pagerank", lambda: link_pagerank(linked).count())
 
+    from openaip_yaixm_to_geojson_spark.operators.dedup import edit_distance_pairs
+    from openaip_yaixm_to_geojson_spark.operators.events import events_anomaly
+    from openaip_yaixm_to_geojson_spark.operators.relational import pareto_frontier
+    from openaip_yaixm_to_geojson_spark.operators.web import boilerplate_scrub
+
+    timed("boilerplate_scrub", lambda: boilerplate_scrub(linked).count())
+    timed("events_anomaly", lambda: events_anomaly(ev).count())
+    timed("edit_distance_pairs", lambda: edit_distance_pairs(docs).count())
+    timed("pareto_frontier", lambda: pareto_frontier(docs).count())
+
     result = {
         "metric": "spatial_join_tile_rollup_wall",
         "value": round(headline_sec, 3),

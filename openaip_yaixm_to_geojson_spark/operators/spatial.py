@@ -740,3 +740,26 @@ def polygon_centroid(polygons_df: DataFrame) -> DataFrame:
         F.when(nonzero, F.col("_sy") / (F.lit(3.0) * F.col("_s2"))).alias("centroid_lat"),
         (F.abs(F.col("_s2")) / F.lit(2.0)).alias("area_deg2"),
     )
+
+
+def airspace_density(join_out: DataFrame, polygons_df: DataFrame) -> DataFrame:
+    """Document density per airspace: spatial-join hit counts normalized
+    by the planar shoelace area — (poly_id, doc_count, area_deg2,
+    docs_per_deg2). Polygons with no hits keep a zero count; degenerate
+    zero-area rings yield NULL density. ONE single-rounded division on
+    top of the exact count and the fold-derived area, so it hash-gates.
+
+    Scale shape: the fact side collapses to poly-level counts in one
+    map-side-partial aggregation; the area projection and the final join
+    run at polygon-table scale."""
+    counts = join_out.groupBy("poly_id").agg(F.count(F.lit(1)).alias("doc_count"))
+    areas = polygon_area_orientation(polygons_df).select("poly_id", "area_deg2")
+    return areas.join(counts, "poly_id", "left").select(
+        "poly_id",
+        F.coalesce("doc_count", F.lit(0)).cast("bigint").alias("doc_count"),
+        "area_deg2",
+        F.when(
+            F.col("area_deg2") > F.lit(0.0),
+            F.coalesce("doc_count", F.lit(0)).cast("double") / F.col("area_deg2"),
+        ).alias("docs_per_deg2"),
+    )

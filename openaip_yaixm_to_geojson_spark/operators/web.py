@@ -432,3 +432,42 @@ def host_components(pages: DataFrame, html_col: str = "html") -> DataFrame:
     return duplicate_clusters(edges).select(
         F.col("key").alias("host"), F.col("cluster_id").alias("component")
     )
+
+
+def co_citation(
+    pages: DataFrame, html_col: str = "html", max_hosts_per_page: int = 32
+) -> DataFrame:
+    """Co-citation counts: pairs of hosts linked from the SAME page,
+    counted across pages — the classic relatedness signal (Small 1973 /
+    HITS-adjacent) crawl analytics build host similarity from. Output
+    (host_a, host_b, n_pages) with host_a < host_b.
+
+    Scale shape: the quadratic is BOUNDED BY CONSTRUCTION — each page
+    keeps at most `max_hosts_per_page` distinct hosts (deterministic md5
+    order, the host_cap precedent) before pairing, so a link-farm page
+    with 10^4 hrefs contributes at most C(32,2) pairs, not 5x10^7. The
+    pair explosion happens in a per-page self-join keyed on url (each key
+    carries <= 32 rows); the final count is one map-side-partial shuffle
+    on the pair."""
+    from pyspark.sql import Window
+
+    hosts = (
+        extract_links(pages, html_col=html_col, key_col="url")
+        .select("key", url_host_col(F.col("link")).alias("host"))
+        .where(F.col("host") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("key").orderBy(F.md5(F.concat("key", F.lit("|"), "host")))
+    capped = (
+        hosts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_hosts_per_page)
+        .drop("rn")
+        .localCheckpoint()  # feeds both self-join sides; re-running the
+        # explode + distinct + window per side would double the heavy work
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.host") < F.col("b.host")))
+        .groupBy(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )

@@ -3148,3 +3148,43 @@ p AS (
   FROM s GROUP BY 1, 2
 )
 SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1"""
+
+
+def sql_airspace_density() -> str:
+    """spatial.airspace_density twin: pip-hit counts per polygon joined to
+    the same shoelace fold area, one single-rounded division."""
+    terms = (
+        "list_transform(generate_series(1, len(ring) - 1), "
+        "i -> ring[i][1] * ring[i + 1][2] - ring[i + 1][1] * ring[i][2])"
+    )
+    fold = f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), (x, y) -> x + y)"
+    return f"""WITH {pages_with()}, {pip_hits_cte()},
+c AS (SELECT poly_id, COUNT(*) AS doc_count FROM hits GROUP BY 1),
+a AS (SELECT poly_id, abs({fold}) / 2.0 AS area_deg2 FROM {rings_values()})
+SELECT a.poly_id, CAST(COALESCE(c.doc_count, 0) AS BIGINT) AS doc_count, a.area_deg2,
+       CASE WHEN a.area_deg2 > 0.0
+            THEN CAST(COALESCE(c.doc_count, 0) AS DOUBLE) / a.area_deg2 END AS docs_per_deg2
+FROM a LEFT JOIN c ON c.poly_id = a.poly_id"""
+
+
+def sql_co_citation(max_hosts_per_page: int = 32) -> str:
+    """web.co_citation twin: same extraction + md5-ordered per-page cap,
+    pair counts via an independent GROUP BY over the join."""
+    from .operators.web import PAT_HOST, PAT_HREF
+
+    return f"""WITH {_linked_docs_with()},
+l AS (SELECT url, unnest(regexp_extract_all(html_text, '{PAT_HREF}', 1)) AS link FROM h),
+hosts AS (
+  SELECT DISTINCT url AS key, regexp_extract(link, '{PAT_HOST}', 1) AS host
+  FROM l WHERE regexp_extract(link, '{PAT_HOST}', 1) <> ''
+),
+capped AS (
+  SELECT key, host FROM (
+    SELECT key, host,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY md5(key || '|' || host)) AS rn
+    FROM hosts
+  ) WHERE rn <= {max_hosts_per_page}
+)
+SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS n_pages
+FROM capped a JOIN capped b ON a.key = b.key AND a.host < b.host
+GROUP BY 1, 2"""

@@ -1649,3 +1649,28 @@ def test_session_paths_hand_case(spark):
     )
     got = {r["path"]: r["n_sessions"] for r in session_paths(df).collect()}
     assert got == {"view>click>purchase": 2, "view": 1}
+
+
+def test_co_citation_cap_and_pairs(spark):
+    """Pairs count pages citing both hosts (within-page duplicate links
+    collapse); the per-page cap bounds a link-farm page to C(cap,2)
+    pairs."""
+    from openaip_yaixm_to_geojson_spark.operators.web import co_citation
+
+    def page(url, hosts):
+        body = "".join(f'<a href="http://{h}/p">x</a>' for h in hosts)
+        return (url, f"<html><body>{body}</body></html>")
+
+    pages = [
+        page("http://s1.com/a", ["x.com", "y.com", "x.com"]),  # dup link collapses
+        page("http://s2.com/b", ["x.com", "y.com", "z.com"]),
+        page("http://farm.com/c", [f"h{i}.com" for i in range(10)]),  # capped to 4
+    ]
+    df = spark.createDataFrame(pages, "url string, html_s string").select(
+        "url", F.encode("html_s", "utf-8").alias("html")
+    )
+    got = {(r["host_a"], r["host_b"]): r["n_pages"] for r in co_citation(df, max_hosts_per_page=4).collect()}
+    assert got[("x.com", "y.com")] == 2
+    assert got[("x.com", "z.com")] == 1 and got[("y.com", "z.com")] == 1
+    farm_pairs = [k for k in got if k[0].startswith("h") and k[1].startswith("h")]
+    assert len(farm_pairs) == 6  # C(4,2), not C(10,2)=45

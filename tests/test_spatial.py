@@ -855,3 +855,25 @@ def test_tile_mode_class_tie_break(spark):
     df = spark.createDataFrame(rows, "url string, lon double, lat double, airspace_class string")
     got = {r["tile_id"]: (r["airspace_class"], r["doc_count"]) for r in tile_mode_class(df).collect()}
     assert sorted(got.values()) == [("C", 2), ("E", 1)]
+
+
+def test_airspace_density_hand_case(spark):
+    """Density = count / shoelace area with zero-hit polygons kept at
+    density 0 and degenerate rings NULL."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import airspace_density, polygons_to_df
+
+    sq = [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]
+    polys = [
+        {"poly_id": 1, "name": "sq", "type": "T", "class": "C", "ring": sq},
+        {"poly_id": 2, "name": "empty", "type": "T", "class": "C",
+         "ring": [[50.0, 50.0], [51.0, 50.0], [51.0, 51.0], [50.0, 51.0], [50.0, 50.0]]},
+        {"poly_id": 3, "name": "degen", "type": "T", "class": "C",
+         "ring": [[9.0, 9.0], [9.5, 9.5], [9.0, 9.0]]},
+    ]
+    join_out = spark.createDataFrame(
+        [("u1", 1), ("u2", 1), ("u3", 1)], "url string, poly_id int"
+    )
+    got = {r["poly_id"]: r for r in airspace_density(join_out, polygons_to_df(spark, polys)).collect()}
+    assert got[1]["doc_count"] == 3 and got[1]["area_deg2"] == 4.0 and got[1]["docs_per_deg2"] == 0.75
+    assert got[2]["doc_count"] == 0 and got[2]["docs_per_deg2"] == 0.0
+    assert got[3]["docs_per_deg2"] is None
