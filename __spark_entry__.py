@@ -629,6 +629,15 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def q_normalized_dedup(spark, sf_dir):
+    """Fuzzy-exact dedup: casefold + strip punctuation + collapse
+    whitespace before digesting — catches reformatted copies byte-exact
+    dedup misses; pure codegen normalization, one digest shuffle."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import normalized_dedup
+
+    return normalized_dedup(_docs(spark, sf_dir))
+
+
 def q_minhash_signatures(spark, sf_dir):
     from openaip_yaixm_to_geojson_spark.operators.dedup import (
         minhash_from_hashes,
@@ -1770,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "airspace_rings": q_airspace_rings,
         "service_join": q_service_join,
         "dedup_exact": q_dedup_exact,
+        "normalized_dedup": q_normalized_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1923,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "airspace_rings": oracle.sql_airspace_rings(),
         "service_join": oracle.sql_service_join(),
         "dedup_exact": oracle.sql_dedup_exact(),
+        "normalized_dedup": oracle.sql_normalized_dedup(),
         "minhash_signatures": oracle.sql_minhash_signatures(),
         "minhash_lsh_pairs": oracle.sql_minhash_lsh_pairs(),
         "ngram_jaccard_pairs": oracle.sql_ngram_jaccard_pairs(),

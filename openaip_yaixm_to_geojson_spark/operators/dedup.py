@@ -673,3 +673,35 @@ def edit_distance_pairs(
         .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"), "edit_distance")
         .dropDuplicates(["key_a", "key_b"])
     )
+
+
+def normalized_dedup(
+    documents: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Normalized-exact duplicate groups — the 'fuzzy exact' layer every
+    corpus pipeline runs between byte-exact dedup and MinHash: casefold,
+    strip everything but letters/digits/whitespace, collapse whitespace
+    runs, trim, THEN digest. Catches the reformatted/re-punctuated copies
+    byte-exact dedup misses at near-zero cost (pure per-row codegen string
+    ops + the one exact_dedup shuffle on the digest). Output
+    (digest, representative, n_copies, n_raw_variants) where
+    n_raw_variants counts distinct raw texts inside the group (> 1 marks
+    groups exact dedup would have split)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return (
+        documents.select(
+            F.md5(norm).alias("digest"),
+            F.col(key_col),
+            F.md5(F.col(text_col)).alias("raw_digest"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min(key_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("raw_digest").alias("n_raw_variants"),
+        )
+    )

@@ -3188,3 +3188,17 @@ capped AS (
 SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS n_pages
 FROM capped a JOIN capped b ON a.key = b.key AND a.host < b.host
 GROUP BY 1, 2"""
+
+
+def sql_normalized_dedup() -> str:
+    """dedup.normalized_dedup twin: same normalization chain (lower ->
+    strip non-alnum -> collapse whitespace -> trim) in DuckDB regex."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    return f"""SELECT md5({norm}) AS digest,
+       MIN(doc_id) AS representative,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT md5(text)) AS n_raw_variants
+FROM documents GROUP BY 1"""

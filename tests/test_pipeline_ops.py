@@ -1674,3 +1674,22 @@ def test_co_citation_cap_and_pairs(spark):
     assert got[("x.com", "z.com")] == 1 and got[("y.com", "z.com")] == 1
     farm_pairs = [k for k in got if k[0].startswith("h") and k[1].startswith("h")]
     assert len(farm_pairs) == 6  # C(4,2), not C(10,2)=45
+
+
+def test_normalized_dedup_catches_reformatted_copies(spark):
+    """'Hello,  World!' and 'hello world' collapse into one group with
+    n_raw_variants=2; a genuinely different doc stays apart; byte-exact
+    copies count but add no raw variant."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import normalized_dedup
+
+    rows = [
+        (1, "Hello,  World!"),
+        (2, "hello world"),
+        (3, "hello world"),     # byte-exact copy of 2
+        (4, "goodbye world"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["representative"]: r for r in normalized_dedup(df).collect()}
+    assert set(got) == {1, 4}
+    assert got[1]["n_copies"] == 3 and got[1]["n_raw_variants"] == 2
+    assert got[4]["n_copies"] == 1 and got[4]["n_raw_variants"] == 1
