@@ -323,6 +323,15 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(events, gap_seconds=500_000)
 
 
+def q_events_variant(spark, sf_dir):
+    """Spark-4 VARIANT surface: parse_json -> typed variant_get path
+    extraction (vs get_json_object string paths); same stats contract as
+    events_json, pinned equal in pytest and gated independently."""
+    from openaip_yaixm_to_geojson_spark.operators.events import props_k_stats_variant
+
+    return props_k_stats_variant(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_events_asof(spark, sf_dir):
     """Backward as-of join (each click matched to the user's most recent
     view): union + carry-forward window in the engine, verified against
@@ -1759,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_windows": q_events_windows,
         "events_json": q_events_json,
+        "events_variant": q_events_variant,
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
         "events_pivot": q_events_pivot,
@@ -1913,6 +1923,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": oracle.sql_events_sessions(),
         "events_windows": oracle.sql_event_type_windows(),
         "events_json": oracle.sql_props_k_stats(),
+        "events_variant": oracle.sql_props_k_stats(),
         "events_asof": oracle.sql_events_asof(),
         "events_interval_join": oracle.sql_events_interval_join(),
         "events_pivot": oracle.sql_events_pivot(),

@@ -828,3 +828,25 @@ def session_paths(
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
+
+
+def props_k_stats_variant(events: DataFrame) -> DataFrame:
+    """props_k_stats computed through Spark 4's VARIANT type
+    (parse_json -> variant_get) instead of the string-path
+    get_json_object — the semi-structured ingestion surface an
+    Iceberg-era lakehouse standardizes on: parse once into the binary
+    variant encoding, then typed path extraction (no per-access JSON
+    re-parse when multiple fields are pulled). Same output contract as
+    props_k_stats, so the two surfaces are directly comparable (and
+    pinned equal in pytest)."""
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count_distinct("k").alias("k_distinct"),
+        )
+    )

@@ -1693,3 +1693,24 @@ def test_normalized_dedup_catches_reformatted_copies(spark):
     assert set(got) == {1, 4}
     assert got[1]["n_copies"] == 3 and got[1]["n_raw_variants"] == 2
     assert got[4]["n_copies"] == 1 and got[4]["n_raw_variants"] == 1
+
+
+def test_variant_surface_equals_json_path(spark):
+    """The VARIANT path (parse_json + variant_get) must agree with the
+    get_json_object twin row-for-row, including missing-key and non-JSON
+    rows (both -> NULL k)."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        props_k_stats,
+        props_k_stats_variant,
+    )
+
+    rows = [
+        (1, "a", '{"k": 5}'),
+        (2, "a", '{"k": 5, "other": 1}'),
+        (3, "a", '{"other": 1}'),   # missing key
+        (4, "b", '{"k": -3}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, props string")
+    a = {tuple(r) for r in props_k_stats(df).collect()}
+    b = {tuple(r) for r in props_k_stats_variant(df).collect()}
+    assert a == b and len(a) == 2
