@@ -638,6 +638,15 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def q_quality_funnel(spark, sf_dir):
+    """Per-source quality-filter drop-off funnel (cumulative gates): one
+    source-granularity aggregation reusing quality_struct's single-rounded
+    ratio expressions."""
+    from openaip_yaixm_to_geojson_spark.operators.text import quality_funnel
+
+    return quality_funnel(_docs(spark, sf_dir))
+
+
 def q_normalized_dedup(spark, sf_dir):
     """Fuzzy-exact dedup: casefold + strip punctuation + collapse
     whitespace before digesting — catches reformatted copies byte-exact
@@ -1808,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "langid": q_langid,
         "quality": q_quality,
+        "quality_funnel": q_quality_funnel,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -1963,6 +1973,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": oracle.sql_embedding_neardup_lsh(threshold=0.4, n_planes=4),
         "langid": oracle.sql_langid(),
         "quality": oracle.sql_quality(),
+        "quality_funnel": oracle.sql_quality_funnel(),
         "token_counts": oracle.sql_token_counts(),
         "fingerprint": oracle.sql_fingerprint(),
         "rolling_fingerprint": oracle.sql_rolling_fingerprint(),

@@ -942,3 +942,30 @@ def length_outliers(documents: DataFrame, k: int = 3) -> DataFrame:
         .join(F.broadcast(flagged), "lang")
         .select("lang", "n_docs", "median_chars", "mad_chars", "n_outliers")
     )
+
+
+def quality_funnel(documents: DataFrame, min_chars: int = 50) -> DataFrame:
+    """Per-source quality-filter funnel: how many docs survive each
+    successive gate (length -> word-length band -> punctuation -> digit
+    ratio) — the drop-off report a corpus-cleaning run publishes so you
+    can see WHICH filter eats a source. Cumulative semantics (stage i
+    implies all earlier stages). ONE map-side-partial aggregation at
+    source granularity; the ratio comparisons reuse quality_struct's
+    single-rounded expressions, so counts are engine-exact."""
+    q = quality_struct(F.col("text"))
+    c_len = F.col("q.n_chars") >= min_chars
+    c_wl = c_len & (F.col("q.mean_word_len") >= 3.0) & (F.col("q.mean_word_len") <= 12.0)
+    c_punct = c_wl & (F.col("q.punct_ratio") <= 0.1)
+    c_digit = c_punct & (F.col("q.digit_ratio") <= 0.2)
+    cnt = lambda c, name: F.sum(c.cast("bigint")).alias(name)  # noqa: E731
+    return (
+        documents.select("source", q.alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            cnt(c_len, "n_len_ok"),
+            cnt(c_wl, "n_wordlen_ok"),
+            cnt(c_punct, "n_punct_ok"),
+            cnt(c_digit, "n_all_ok"),
+        )
+    )

@@ -3202,3 +3202,18 @@ def sql_normalized_dedup() -> str:
        COUNT(*) AS n_copies,
        COUNT(DISTINCT md5(text)) AS n_raw_variants
 FROM documents GROUP BY 1"""
+
+
+def sql_quality_funnel(min_chars: int = 50) -> str:
+    """text.quality_funnel twin: same quality expressions, cumulative
+    conditional counts per source."""
+    p = _quality_parts()
+    c_len = f"(CAST({p['n_chars']} AS BIGINT) >= {min_chars})"
+    c_wl = f"({c_len} AND {p['mean_wl']} >= 3.0 AND {p['mean_wl']} <= 12.0)"
+    c_punct = f"({c_wl} AND {p['punct_r']} <= 0.1)"
+    c_digit = f"({c_punct} AND {p['digit_r']} <= 0.2)"
+    s = lambda c, n: f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS {n}"  # noqa: E731
+    return f"""SELECT source, COUNT(*) AS n_total,
+       {s(c_len, 'n_len_ok')}, {s(c_wl, 'n_wordlen_ok')},
+       {s(c_punct, 'n_punct_ok')}, {s(c_digit, 'n_all_ok')}
+FROM documents GROUP BY source"""

@@ -1714,3 +1714,21 @@ def test_variant_surface_equals_json_path(spark):
     a = {tuple(r) for r in props_k_stats(df).collect()}
     b = {tuple(r) for r in props_k_stats_variant(df).collect()}
     assert a == b and len(a) == 2
+
+
+def test_quality_funnel_cumulative(spark):
+    """Funnel counts are monotone non-increasing and a doc failing an
+    early gate never appears in later counts even if later conditions
+    hold."""
+    from openaip_yaixm_to_geojson_spark.operators.text import quality_funnel
+
+    rows = [
+        (1, "short", "s1"),                                   # fails length
+        (2, "the quick brown fox jumps over the lazy dog " * 3, "s1"),  # passes all
+        (3, ("abc " * 20) + "!!!!!!!!!!!!!!!!!!!!!!!!", "s1"),  # length ok, punct fails
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    r = quality_funnel(df, min_chars=50).collect()[0]
+    seq = [r["n_total"], r["n_len_ok"], r["n_wordlen_ok"], r["n_punct_ok"], r["n_all_ok"]]
+    assert seq == [3, 2, 2, 1, 1]
+    assert all(a >= b for a, b in zip(seq, seq[1:]))
