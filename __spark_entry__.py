@@ -804,6 +804,15 @@ def q_simhash64_pairs(spark, sf_dir):
     return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3, n_bits=64)
 
 
+def q_ann_topk_filtered(spark, sf_dir):
+    """Filtered vector search: the metadata predicate rides as an
+    equi-join key (pre-filter, never post-filter a global top-k); same
+    left-fold dot and tie order as the exact path."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import ann_topk_filtered
+
+    return ann_topk_filtered(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_kmeans_assign(spark, sf_dir):
     """One Lloyd iteration: nearest-of-8-seeds assignment (left-fold
     double distance, the ann convention) + fixed-point-exact per-cluster
@@ -1810,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_pairs": q_simhash64_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
+        "ann_topk_filtered": q_ann_topk_filtered,
         "kmeans_assign": q_kmeans_assign,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1966,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64_pairs": oracle.sql_simhash64_pairs(),
         "simhash_pairs": oracle.sql_simhash_pairs(),
         "ann_topk": oracle.sql_ann_topk(),
+        "ann_topk_filtered": oracle.sql_ann_topk_filtered(),
         "kmeans_assign": oracle.sql_kmeans_assign(k=8),
         "ann_lsh": oracle.sql_ann_lsh(n_planes=2),
         "ann_ivf": oracle.sql_ann_ivf(),

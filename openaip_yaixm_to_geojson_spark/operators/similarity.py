@@ -588,3 +588,46 @@ def kmeans_assign(embeddings: DataFrame, k: int = 8) -> DataFrame:
             ).alias("centroid_next"),
         )
     )
+
+
+def ann_topk_filtered(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_col: str = "label",
+) -> DataFrame:
+    """FILTERED vector search — top-k by dot product among vectors
+    sharing the query's `filter_col` value (the tenant/language/category
+    predicate every production vector store must push INTO the search,
+    not apply after it: post-filtering a global top-k under-returns when
+    the filter is selective). Returns (query_id, vec_id, dot, rank).
+
+    Scale shape: the metadata predicate becomes an EQUI-JOIN key, so the
+    candidate set is pruned by the hash join itself (the relational
+    analogue of per-partition vector indexes); queries broadcast; same
+    left-fold dot product and (dot DESC, vec_id) tie order as the
+    unfiltered exact path."""
+    from pyspark.sql import Window
+
+    q = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(filter_col).alias("_qf"),
+    )
+    scored = (
+        embeddings.alias("e")
+        .join(F.broadcast(q), (F.col(filter_col) == F.col("_qf")) & (F.col(id_col) != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col(id_col).alias("vid"),
+            dot_double(F.col(f"e.{vec_col}"), F.col("qvec")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias("vec_id"), F.col("dot").cast("double").alias("dot"), "rank")
+    )

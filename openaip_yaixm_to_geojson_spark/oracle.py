@@ -3217,3 +3217,18 @@ def sql_quality_funnel(min_chars: int = 50) -> str:
        {s(c_len, 'n_len_ok')}, {s(c_wl, 'n_wordlen_ok')},
        {s(c_punct, 'n_punct_ok')}, {s(c_digit, 'n_all_ok')}
 FROM documents GROUP BY source"""
+
+
+def sql_ann_topk_filtered(n_queries: int = 5, k: int = 3, dim: int = 64) -> str:
+    """similarity.ann_topk_filtered twin: same left-fold dot, the filter
+    as a join predicate on label."""
+    dot = _dot_expr("e.embedding", "q.embedding", dim)
+    return f"""
+WITH s AS (
+  SELECT q.vec_id AS query_id, e.vec_id, {dot} AS dsum
+  FROM embeddings e JOIN embeddings q
+    ON q.vec_id < {n_queries} AND e.vec_id <> q.vec_id AND e.label = q.label
+)
+SELECT query_id, vec_id, CAST(dsum AS DOUBLE) AS dot, rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dsum DESC, vec_id) AS INTEGER) AS rank FROM s)
+WHERE rank <= {k}"""

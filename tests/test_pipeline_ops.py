@@ -1732,3 +1732,30 @@ def test_quality_funnel_cumulative(spark):
     seq = [r["n_total"], r["n_len_ok"], r["n_wordlen_ok"], r["n_punct_ok"], r["n_all_ok"]]
     assert seq == [3, 2, 2, 1, 1]
     assert all(a >= b for a, b in zip(seq, seq[1:]))
+
+
+def test_ann_topk_filtered_respects_filter(spark):
+    """Every returned neighbor shares the query's label, and the result
+    equals brute force within the filtered set (pre-filter, not a
+    post-filtered global top-k)."""
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.operators.similarity import ann_topk_filtered
+
+    rng_vals = [[((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(8)] for i in range(30)]
+    rows = [(i, [float(v) for v in rng_vals[i]], i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    got = ann_topk_filtered(df, n_queries=3, k=2).collect()
+    labels = {i: i % 3 for i in range(30)}
+    vecs = {i: np.array(rng_vals[i], dtype=np.float32).astype(np.float64) for i in range(30)}
+    for r in got:
+        assert labels[r["vec_id"]] == labels[r["query_id"]]
+    for qid in range(3):
+        cands = sorted(
+            ((float(np.sum(np.cumsum([0.0] + list(vecs[i] * vecs[qid]))[-1:])), i)
+             for i in range(30) if i != qid and labels[i] == labels[qid]),
+        )
+        # brute force: top-2 by dot desc, vec_id asc
+        exact = sorted(((-d, i) for d, i in cands))[:2]
+        mine = sorted((r["rank"], r["vec_id"]) for r in got if r["query_id"] == qid)
+        assert [i for _, i in exact] == [v for _, v in mine]
