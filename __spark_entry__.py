@@ -967,6 +967,25 @@ def q_boilerplate_scrub(spark, sf_dir):
     return boilerplate_scrub(synth_html_pages(spark, sf_dir))
 
 
+def q_host_degree_histogram(spark, sf_dir):
+    """Out-degree distribution of the host graph (distinct neighbors) —
+    the power-law sanity check; two host/degree-granularity shuffles."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        host_degree_histogram,
+        synth_linked_pages,
+    )
+
+    return host_degree_histogram(synth_linked_pages(spark, sf_dir))
+
+
+def q_cross_source_dupes(spark, sf_dir):
+    """Train/eval leakage report: texts in >= 2 distinct sources;
+    (digest, source)-level agg first, md5 keys only through the shuffle."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import cross_source_dupes
+
+    return cross_source_dupes(_docs(spark, sf_dir))
+
+
 def q_co_citation(spark, sf_dir):
     """Host co-citation pairs (same-page linking): quadratic bounded by a
     deterministic md5-ordered per-page host cap; per-page self-join keys
@@ -1851,6 +1870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": q_host_link_graph,
         "host_components": q_host_components,
         "co_citation": q_co_citation,
+        "host_degree_histogram": q_host_degree_histogram,
+        "cross_source_dupes": q_cross_source_dupes,
         "anchor_texts": q_anchor_texts,
         "link_pagerank": q_link_pagerank,
         "multimodal_features": q_multimodal_features,
@@ -2008,6 +2029,8 @@ def oracle_sql() -> dict[str, str]:
         "host_link_graph": oracle.sql_host_link_graph(),
         "host_components": oracle.sql_host_components(),
         "co_citation": oracle.sql_co_citation(),
+        "host_degree_histogram": oracle.sql_host_degree_histogram(),
+        "cross_source_dupes": oracle.sql_cross_source_dupes(),
         "anchor_texts": oracle.sql_anchor_texts(),
         "link_pagerank": oracle.sql_link_pagerank(),
         "multimodal_features": oracle.sql_multimodal_features(),

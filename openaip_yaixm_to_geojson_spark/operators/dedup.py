@@ -705,3 +705,31 @@ def normalized_dedup(
             F.count_distinct("raw_digest").alias("n_raw_variants"),
         )
     )
+
+
+def cross_source_dupes(
+    documents: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Cross-source duplicate report: texts appearing in >= 2 DISTINCT
+    sources — the train/eval leakage signal a mixture build checks before
+    weighting sources as if they were independent. Output (digest,
+    n_sources, n_copies, sources) with the source list sorted (exact
+    string, hash-gateable).
+
+    Scale shape: aggregates the (digest, source) level FIRST so the
+    distinct-source count is COUNT(*) (the repo-wide rule), then one
+    digest-level aggregation; text never shuffles (md5 keys only)."""
+    ds = (
+        documents.select(F.md5(F.col(text_col)).alias("digest"), F.col(source_col).alias("src"))
+        .groupBy("digest", "src")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        ds.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("n").cast("bigint").alias("n_copies"),
+            F.array_join(F.array_sort(F.collect_list("src")), ",").alias("sources"),
+        )
+        .where(F.col("n_sources") >= 2)
+    )

@@ -471,3 +471,15 @@ def co_citation(
         .groupBy(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
         .agg(F.count(F.lit(1)).alias("n_pages"))
     )
+
+
+def host_degree_histogram(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Degree distribution of the host link graph: (out_degree,
+    n_hosts) — the power-law sanity check every web-graph pipeline plots
+    before trusting rank/component outputs (and the input to skew
+    decisions: the head of this histogram IS the salt-worthy key set).
+    Distinct-neighbor degree (parallel edges collapse). Two
+    map-side-partial shuffles, both at host/degree granularity."""
+    edges = host_link_graph(pages, html_col=html_col)
+    deg = edges.groupBy("src_host").agg(F.count(F.lit(1)).alias("out_degree"))
+    return deg.groupBy("out_degree").agg(F.count(F.lit(1)).alias("n_hosts"))

@@ -3232,3 +3232,32 @@ WITH s AS (
 SELECT query_id, vec_id, CAST(dsum AS DOUBLE) AS dot, rank
 FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dsum DESC, vec_id) AS INTEGER) AS rank FROM s)
 WHERE rank <= {k}"""
+
+
+def sql_host_degree_histogram() -> str:
+    """web.host_degree_histogram twin."""
+    from .operators.web import PAT_HOST, PAT_HREF
+
+    return f"""WITH {_linked_docs_with()},
+l AS (SELECT url, unnest(regexp_extract_all(html_text, '{PAT_HREF}', 1)) AS link FROM h),
+e AS (
+  SELECT DISTINCT regexp_extract(url, '{PAT_HOST}', 1) AS src,
+         regexp_extract(link, '{PAT_HOST}', 1) AS dst
+  FROM l
+),
+d AS (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY 1)
+SELECT out_degree, COUNT(*) AS n_hosts FROM d GROUP BY 1"""
+
+
+def sql_cross_source_dupes() -> str:
+    """dedup.cross_source_dupes twin: COUNT(DISTINCT source) mechanism +
+    ordered string_agg (vs Spark's dedupe-first + sorted collect)."""
+    return """WITH g AS (
+  SELECT md5(text) AS digest,
+         COUNT(DISTINCT source) AS n_sources,
+         COUNT(*) AS n_copies,
+         string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+  FROM documents GROUP BY 1
+)
+SELECT digest, n_sources, CAST(n_copies AS BIGINT) AS n_copies, sources
+FROM g WHERE n_sources >= 2"""

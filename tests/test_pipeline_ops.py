@@ -1759,3 +1759,45 @@ def test_ann_topk_filtered_respects_filter(spark):
         exact = sorted(((-d, i) for d, i in cands))[:2]
         mine = sorted((r["rank"], r["vec_id"]) for r in got if r["query_id"] == qid)
         assert [i for _, i in exact] == [v for _, v in mine]
+
+
+def test_cross_source_dupes_planted(spark):
+    """A text planted in 3 sources (4 copies) is reported with a sorted
+    source list; single-source duplicates are NOT leakage."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import cross_source_dupes
+
+    rows = [
+        (1, "leaked text", "cc"),
+        (2, "leaked text", "books"),
+        (3, "leaked text", "wiki"),
+        (4, "leaked text", "cc"),      # second copy in cc: counts, adds no source
+        (5, "same-source dupe", "cc"),
+        (6, "same-source dupe", "cc"),
+        (7, "unique", "books"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = cross_source_dupes(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_sources"], r["n_copies"], r["sources"]) == (3, 4, "books,cc,wiki")
+
+
+def test_host_degree_histogram_hand_case(spark):
+    """Distinct-neighbor degrees: parallel links collapse; the histogram
+    buckets hosts by out-degree."""
+    from openaip_yaixm_to_geojson_spark.operators.web import host_degree_histogram
+
+    def page(url, links):
+        body = "".join(f'<a href="{l}">x</a>' for l in links)
+        return (url, f"<html><body>{body}</body></html>")
+
+    pages = [
+        page("http://a.com/1", ["http://x.com/1", "http://x.com/2", "http://y.com/"]),  # deg 2
+        page("http://b.com/1", ["http://x.com/9"]),  # deg 1
+        page("http://c.com/1", ["http://z.com/"]),   # deg 1
+    ]
+    df = spark.createDataFrame(pages, "url string, html_s string").select(
+        "url", F.encode("html_s", "utf-8").alias("html")
+    )
+    got = {r["out_degree"]: r["n_hosts"] for r in host_degree_histogram(df).collect()}
+    assert got == {2: 1, 1: 2}
