@@ -404,6 +404,23 @@ def q_tpch_local_supplier_revenue(spark, sf_dir):
     )
 
 
+def q_tpch_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: returnflag + date-window filters pushed to the
+    scans, dim-broadcast chain, DECIMAL-exact revenue ordered before the
+    single DOUBLE cast, TakeOrdered top-k."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import (
+        returned_item_revenue,
+        table,
+    )
+
+    return returned_item_revenue(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
 def q_tpch_big_orders(spark, sf_dir):
     """TPC-H Q18-shaped: aggregate -> HAVING sliver -> join back to
     orders; DECIMAL-exact quantity threshold."""
@@ -1813,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_local_supplier_revenue": q_tpch_local_supplier_revenue,
         "snapshot_diff": q_snapshot_diff,
         "tpch_big_orders": q_tpch_big_orders,
+        "tpch_returned_revenue": q_tpch_returned_revenue,
         "tpch_segment_topk": q_tpch_segment_topk,
         "tpch_order_distribution": q_tpch_order_distribution,
         "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
@@ -1972,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_local_supplier_revenue": oracle.sql_local_supplier_revenue(),
         "snapshot_diff": oracle.sql_snapshot_diff(),
         "tpch_big_orders": oracle.sql_big_orders(),
+        "tpch_returned_revenue": oracle.sql_returned_item_revenue(),
         "tpch_segment_topk": oracle.sql_segment_revenue_topk(),
         "tpch_order_distribution": oracle.sql_order_count_distribution(),
         "tpch_min_cost_supplier": oracle.sql_min_cost_supplier(),

@@ -413,3 +413,54 @@ def pareto_frontier(documents: DataFrame, n_buckets: int = 32) -> DataFrame:
     return survivors(local).select(
         "doc_id", F.col("x").alias("n_chars"), F.col("y").alias("n_distinct_tokens")
     )
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: lost revenue from returned items per customer in
+    one quarter — fact filter (returnflag + date window) -> dim-broadcast
+    chain (orders-in-window, customer, nation) -> customer rollup ->
+    global top-k. Output (c_custkey, c_name, n_name, revenue, n_items).
+
+    Scale shape: both filters reach the scans as pushed predicates; the
+    date-windowed orders sliver and the dims broadcast; revenue is
+    DECIMAL-exact (price x (1 - discount) in decimal — float products
+    can't hash-gate) with one DOUBLE cast; the top-k is
+    TakeOrderedAndProject on (revenue DESC, custkey) — no global sort
+    materializes. The exact-decimal ordering happens BEFORE the double
+    cast, so ties and near-ties are engine-independent."""
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev"),
+    )
+    ow = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.join(F.broadcast(ow), li.l_orderkey == ow.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("rev").cast("decimal(38,4)").alias("revd"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    out = (
+        per_cust.join(F.broadcast(customer), per_cust.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .orderBy(F.col("revd").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+    return out.select(
+        "c_custkey", "c_name", "n_name", F.col("revd").cast("double").alias("revenue"), "n_items"
+    )

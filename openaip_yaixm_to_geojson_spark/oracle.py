@@ -3261,3 +3261,29 @@ def sql_cross_source_dupes() -> str:
 )
 SELECT digest, n_sources, CAST(n_copies AS BIGINT) AS n_copies, sources
 FROM g WHERE n_sources >= 2"""
+
+
+def sql_returned_item_revenue(
+    date_lo: str = "1996-01-01", date_hi: str = "1996-04-01", k: int = 20
+) -> str:
+    """relational.returned_item_revenue twin: same DECIMAL-exact revenue,
+    ordered on the exact decimal before the single DOUBLE cast."""
+    return f"""WITH li AS (
+  SELECT l_orderkey,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+ow AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{date_lo}' AND o_orderdate < TIMESTAMP '{date_hi}'
+),
+pc AS (
+  SELECT o_custkey, CAST(SUM(rev) AS DECIMAL(38,4)) AS revd, COUNT(*) AS n_items
+  FROM li JOIN ow ON li.l_orderkey = ow.o_orderkey
+  GROUP BY 1
+)
+SELECT c_custkey, c_name, n_name, CAST(revd AS DOUBLE) AS revenue, n_items
+FROM pc JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+ORDER BY revd DESC, c_custkey LIMIT {k}"""

@@ -1801,3 +1801,33 @@ def test_host_degree_histogram_hand_case(spark):
     )
     got = {r["out_degree"]: r["n_hosts"] for r in host_degree_histogram(df).collect()}
     assert got == {2: 1, 1: 2}
+
+
+def test_returned_item_revenue_hand_case(spark):
+    """Only R-flagged lines inside the date window count; revenue is
+    price x (1 - discount) decimal-exact; top-k orders on the exact
+    decimal with custkey tie-break."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import returned_item_revenue
+
+    cust = spark.createDataFrame(
+        [(1, "alice", 10), (2, "bob", 10)], "c_custkey bigint, c_name string, c_nationkey bigint"
+    )
+    nat = spark.createDataFrame([(10, "FR")], "n_nationkey bigint, n_name string")
+    orders = spark.createDataFrame(
+        [(100, 1, "1996-02-01"), (200, 2, "1996-02-01"), (300, 1, "1995-02-01")],
+        "o_orderkey bigint, o_custkey bigint, d string",
+    ).select("o_orderkey", "o_custkey", F.col("d").cast("timestamp_ntz").alias("o_orderdate"))
+    li = spark.createDataFrame(
+        [
+            (100, 100.0, 0.10, "R"),   # alice: 90.00
+            (100, 50.0, 0.00, "N"),    # not returned
+            (200, 200.0, 0.25, "R"),   # bob: 150.00
+            (300, 999.0, 0.00, "R"),   # outside window
+        ],
+        "l_orderkey bigint, l_extendedprice double, l_discount double, l_returnflag string",
+    )
+    got = returned_item_revenue(cust, orders, li, nat, k=10).collect()
+    assert [(r["c_name"], r["revenue"], r["n_items"]) for r in got] == [
+        ("bob", 150.0, 1),
+        ("alice", 90.0, 1),
+    ]
