@@ -830,6 +830,16 @@ def q_ann_topk_filtered(spark, sf_dir):
     return ann_topk_filtered(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def q_label_centroid_distances(spark, sf_dir):
+    """Pairwise label-centroid separation: fixed-point exact row sums
+    (floor(x*2^20+0.5) BIGINTs), common-denominator exact numerator,
+    three single-rounded float ops — cross-row float geometry that
+    hash-gates."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import label_centroid_distances
+
+    return label_centroid_distances(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_kmeans_assign(spark, sf_dir):
     """One Lloyd iteration: nearest-of-8-seeds assignment (left-fold
     double distance, the ann convention) + fixed-point-exact per-cluster
@@ -1858,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_filtered": q_ann_topk_filtered,
         "kmeans_assign": q_kmeans_assign,
+        "label_centroid_distances": q_label_centroid_distances,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
@@ -2018,6 +2029,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oracle.sql_ann_topk(),
         "ann_topk_filtered": oracle.sql_ann_topk_filtered(),
         "kmeans_assign": oracle.sql_kmeans_assign(k=8),
+        "label_centroid_distances": oracle.sql_label_centroid_distances(),
         "ann_lsh": oracle.sql_ann_lsh(n_planes=2),
         "ann_ivf": oracle.sql_ann_ivf(),
         "embedding_neardup": oracle.sql_embedding_neardup(threshold=0.4),

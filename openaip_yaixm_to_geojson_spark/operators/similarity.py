@@ -631,3 +631,61 @@ def ann_topk_filtered(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vid").alias("vec_id"), F.col("dot").cast("double").alias("dot"), "rank")
     )
+
+
+def label_centroid_distances(embeddings: DataFrame) -> DataFrame:
+    """Pairwise squared distances between per-label embedding centroids
+    (label_a < label_b) — the cluster-separation report for mixture /
+    stratification decisions. Hash-gateable float geometry over ROW-wise
+    sums via the kmeans fixed-point contract: components quantize to
+    floor(x * 2^20 + 0.5) BIGINTs (order-independent exact sums); the
+    rational centroids sq/n never materialize — each dim's difference
+    uses the common-denominator numerator num_d = sq_a*n_b - sq_b*n_a
+    (EXACT BIGINT, exact double cast while |num_d| < 2^53), then exactly
+    three single-rounded float ops per dim (divide by n_a*n_b*SCALE,
+    square) and an ORDERED left-fold double sum across dims (the ARRAY
+    fold determinism rule — never a groupBy SUM of doubles, whose value
+    depends on reduction order). A first attempt summed num_d^2 exactly
+    instead and failed the gate by one ulp at sf0.1: past 2^63 DuckDB's
+    HUGEINT->DOUBLE double-rounds while Spark's BigDecimal rounds once.
+
+    Scale shape: one map-side-partial groupBy to (label, dim) moments
+    (#labels x dim rows — localCheckpoint()ed: the corpus explode feeds
+    both self-join sides), then a dim-keyed pair join + per-pair fold at
+    that tiny scale. Exact-cast headroom |num_d| ~ n^2 * 2^20 < 2^53
+    holds to ~10^4.7-member labels at unit scale; shrink SCALE for more."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    fp = F.floor(F.col("x").cast("double") * F.lit(float(KMEANS_FP_SCALE)) + F.lit(0.5))
+    moments = (
+        embeddings.select("label", F.posexplode("embedding").alias("dim_idx", "x"))
+        .select("label", "dim_idx", fp.alias("q"))
+        .groupBy("label", "dim_idx")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    a, b = moments.alias("a"), moments.alias("b")
+    num = F.col("a.sq") * F.col("b.n") - F.col("b.sq") * F.col("a.n")
+    denom = (F.col("a.n") * F.col("b.n")).cast("double") * F.lit(float(KMEANS_FP_SCALE))
+    u = num.cast("double") / denom
+    pair = (
+        a.join(b, (F.col("a.dim_idx") == F.col("b.dim_idx")) & (F.col("a.label") < F.col("b.label")))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.col("a.dim_idx").alias("dim_idx"),
+            (u * u).alias("t"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dim_idx", "t"))).alias("ts"),
+            F.min("na").alias("n_a"),
+            F.min("nb").alias("n_b"),
+        )
+    )
+    fold = F.aggregate(
+        F.transform("ts", lambda s: s["t"]), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return pair.select("label_a", "label_b", "n_a", "n_b", fold.alias("dist_sq"))

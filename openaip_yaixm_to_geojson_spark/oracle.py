@@ -3287,3 +3287,37 @@ SELECT c_custkey, c_name, n_name, CAST(revd AS DOUBLE) AS revenue, n_items
 FROM pc JOIN customer ON c_custkey = o_custkey
         JOIN nation ON n_nationkey = c_nationkey
 ORDER BY revd DESC, c_custkey LIMIT {k}"""
+
+
+def sql_label_centroid_distances(dim: int = 64) -> str:
+    """similarity.label_centroid_distances twin: same fixed-point
+    quantization, exact BIGINT per-dim numerators, the same three
+    single-rounded ops per dim, and the same ORDERED left-fold sum
+    (list_prepend + list_reduce == Spark's 0.0-seeded aggregate)."""
+    from .operators.similarity import KMEANS_FP_SCALE
+
+    fs = float(KMEANS_FP_SCALE)
+    return f"""WITH ex AS (
+  SELECT label, t.j AS dim_idx,
+         CAST(floor(CAST(embedding[t.j + 1] AS DOUBLE) * {fs!r} + 0.5) AS BIGINT) AS q
+  FROM embeddings, (SELECT UNNEST(generate_series(0, {dim - 1})) AS j) t
+),
+m AS (
+  SELECT label, dim_idx, CAST(SUM(q) AS BIGINT) AS sq, COUNT(*) AS n
+  FROM ex GROUP BY 1, 2
+),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.dim_idx,
+         (CAST(a.sq * b.n - b.sq * a.n AS DOUBLE)
+            / (CAST(a.n * b.n AS DOUBLE) * {fs!r})) AS u,
+         a.n AS na, b.n AS nb
+  FROM m a JOIN m b ON a.dim_idx = b.dim_idx AND a.label < b.label
+),
+g AS (
+  SELECT label_a, label_b, MIN(na) AS n_a, MIN(nb) AS n_b,
+         LIST(u * u ORDER BY dim_idx) AS ts
+  FROM p GROUP BY 1, 2
+)
+SELECT label_a, label_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts), (x, y) -> x + y) AS dist_sq
+FROM g"""

@@ -1831,3 +1831,27 @@ def test_returned_item_revenue_hand_case(spark):
         ("bob", 150.0, 1),
         ("alice", 90.0, 1),
     ]
+
+
+def test_label_centroid_distances_matches_numpy(spark):
+    """Fixed-point centroid distances agree with numpy's float centroids
+    to quantization tolerance, and exact-zero separation for two labels
+    with identical member multisets."""
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.operators.similarity import label_centroid_distances
+
+    vecs = [[((i * 17 + j * 5) % 11 - 5) / 5.0 for j in range(4)] for i in range(12)]
+    rows = [(i, [float(v) for v in vecs[i]], i % 2) for i in range(12)]
+    # label 7 == label 8: same multiset of vectors -> dist exactly 0
+    rows += [(100 + i, [float(v) for v in vecs[i]], 7) for i in range(4)]
+    rows += [(200 + i, [float(v) for v in vecs[i]], 8) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    got = {(r["label_a"], r["label_b"]): r for r in label_centroid_distances(df).collect()}
+    c0 = np.mean([vecs[i] for i in range(12) if i % 2 == 0], axis=0)
+    c1 = np.mean([vecs[i] for i in range(12) if i % 2 == 1], axis=0)
+    expected = float(np.sum((c0 - c1) ** 2))
+    # tolerance: 2^-20 quantization per component, squared terms across 4 dims
+    assert abs(got[(0, 1)]["dist_sq"] - expected) < 1e-6
+    assert got[(7, 8)]["dist_sq"] == 0.0
+    assert got[(0, 1)]["n_a"] == 6 and got[(0, 1)]["n_b"] == 6
