@@ -1671,6 +1671,23 @@ def q_length_correlation(spark, sf_dir):
     return lang_length_regression(_docs(spark, sf_dir))
 
 
+def q_events_window_users(spark, sf_dir):
+    """Exact distinct users per tumbling window: (user, window)-level agg
+    first so the distinct count is COUNT(*); oracle uses COUNT DISTINCT
+    directly."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_window_users
+
+    return events_window_users(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_url_path_stats(spark, sf_dir):
+    """Per-host URL shape profile (path depth, query-string share) — the
+    crawl-frontier heuristics; codegen string ops + one shuffle."""
+    from openaip_yaixm_to_geojson_spark.operators.web import synth_html_pages, url_path_stats
+
+    return url_path_stats(synth_html_pages(spark, sf_dir))
+
+
 def q_events_resample(spark, sf_dir):
     """Gap-filled time-series resample: hourly rollup per event type
     densified over each type's [min, max] bucket range (sequence+explode
@@ -1939,6 +1956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_diversity": q_char_diversity,
         "length_outliers": q_length_outliers,
         "events_resample": q_events_resample,
+        "events_window_users": q_events_window_users,
+        "url_path_stats": q_url_path_stats,
         "events_new_users": q_events_new_users,
         "events_anomaly": q_events_anomaly,
         "events_time_pyramid": q_events_time_pyramid,
@@ -2100,6 +2119,8 @@ def oracle_sql() -> dict[str, str]:
         "char_diversity": oracle.sql_char_diversity(),
         "length_outliers": oracle.sql_length_outliers(),
         "events_resample": oracle.sql_events_resample(),
+        "events_window_users": oracle.sql_events_window_users(),
+        "url_path_stats": oracle.sql_url_path_stats(),
         "events_new_users": oracle.sql_events_new_users(),
         "events_anomaly": oracle.sql_events_anomaly(),
         "events_time_pyramid": oracle.sql_events_time_pyramid(),

@@ -850,3 +850,20 @@ def props_k_stats_variant(events: DataFrame) -> DataFrame:
             F.count_distinct("k").alias("k_distinct"),
         )
     )
+
+
+def events_window_users(events: DataFrame, window_seconds: int = 3600) -> DataFrame:
+    """Exact distinct users + events per tumbling window: (window_start,
+    n_users, n_events). The (user, window)-level aggregation comes FIRST
+    so the distinct-user count is a plain COUNT(*) (the repo-wide rule —
+    never a COUNT DISTINCT expand over the fact stream); both shuffles
+    move pre-aggregated rows."""
+    epoch = F.unix_timestamp("ts")
+    per_user = (
+        events.select((epoch - epoch % window_seconds).alias("window_start"), "user_id")
+        .groupBy("window_start", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_user.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("n").cast("bigint").alias("n_events")
+    )

@@ -483,3 +483,25 @@ def host_degree_histogram(pages: DataFrame, html_col: str = "html") -> DataFrame
     edges = host_link_graph(pages, html_col=html_col)
     deg = edges.groupBy("src_host").agg(F.count(F.lit(1)).alias("out_degree"))
     return deg.groupBy("out_degree").agg(F.count(F.lit(1)).alias("n_hosts"))
+
+
+def url_path_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host URL shape profile: (host, n_pages, max_depth, total_depth,
+    n_with_query) where depth counts path segments — the crawl-frontier
+    heuristic inputs (deep paths and query-string URLs are low-priority /
+    trap-prone). Pure codegen string ops + one host-granularity shuffle;
+    depth = occurrences of '/' after the scheme+host prefix, exact
+    integers throughout."""
+    path = F.regexp_replace(F.col(url_col), r"^[a-z]+://[^/]*", "")
+    depth = (F.length(path) - F.length(F.regexp_replace(path, "/", ""))).cast("bigint")
+    has_q = F.col(url_col).contains("?").cast("bigint")
+    return (
+        pages.select(url_host_col(F.col(url_col)).alias("host"), depth.alias("d"), has_q.alias("q"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.max("d").alias("max_depth"),
+            F.sum("d").cast("bigint").alias("total_depth"),
+            F.sum("q").cast("bigint").alias("n_with_query"),
+        )
+    )

@@ -3321,3 +3321,33 @@ g AS (
 SELECT label_a, label_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts), (x, y) -> x + y) AS dist_sq
 FROM g"""
+
+
+def sql_events_window_users(window_seconds: int = 3600) -> str:
+    """events.events_window_users twin, independent mechanism:
+    COUNT(DISTINCT user_id) directly (vs Spark's dedupe-first)."""
+    return f"""WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, user_id FROM events
+)
+SELECT e - e % {window_seconds} AS window_start,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM ev GROUP BY 1"""
+
+
+def sql_url_path_stats() -> str:
+    """web.url_path_stats twin: same depth arithmetic over the stripped
+    path."""
+    from .operators.web import PAT_HOST
+
+    return f"""WITH {pages_with()},
+u AS (
+  SELECT regexp_extract(url, '{PAT_HOST}', 1) AS host,
+         CAST(length(regexp_replace(url, '^[a-z]+://[^/]*', ''))
+              - length(replace(regexp_replace(url, '^[a-z]+://[^/]*', ''), '/', '')) AS BIGINT) AS d,
+         CASE WHEN contains(url, '?') THEN 1 ELSE 0 END AS q
+  FROM pages
+)
+SELECT host, COUNT(*) AS n_pages, MAX(d) AS max_depth,
+       CAST(SUM(d) AS BIGINT) AS total_depth, CAST(SUM(q) AS BIGINT) AS n_with_query
+FROM u GROUP BY 1"""

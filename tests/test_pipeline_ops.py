@@ -1855,3 +1855,35 @@ def test_label_centroid_distances_matches_numpy(spark):
     assert abs(got[(0, 1)]["dist_sq"] - expected) < 1e-6
     assert got[(7, 8)]["dist_sq"] == 0.0
     assert got[(0, 1)]["n_a"] == 6 and got[(0, 1)]["n_b"] == 6
+
+
+def test_events_window_users_and_url_stats(spark):
+    """Distinct users per window hand case; URL depth counts path
+    segments after the scheme+host prefix and flags query strings."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_window_users
+    from openaip_yaixm_to_geojson_spark.operators.web import url_path_stats
+
+    ev = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-01 10:05:00"),
+            (2, 7, "2024-01-01 10:25:00"),  # same user, same hour
+            (3, 9, "2024-01-01 10:59:00"),
+            (4, 7, "2024-01-01 11:01:00"),
+        ],
+        "event_id bigint, user_id bigint, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    base = 1704067200 + 10 * 3600
+    got = {r["window_start"]: (r["n_users"], r["n_events"]) for r in events_window_users(ev).collect()}
+    assert got == {base: (2, 3), base + 3600: (1, 1)}
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.com/x/y/z.html",),
+            ("http://a.com/p?q=1",),
+            ("http://b.com/",),
+        ],
+        "url string",
+    )
+    got2 = {r["host"]: r for r in url_path_stats(pages).collect()}
+    assert (got2["a.com"]["max_depth"], got2["a.com"]["total_depth"], got2["a.com"]["n_with_query"]) == (3, 4, 1)
+    assert (got2["b.com"]["n_pages"], got2["b.com"]["max_depth"]) == (1, 1)
