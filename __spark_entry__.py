@@ -994,6 +994,33 @@ def q_boilerplate_scrub(spark, sf_dir):
     return boilerplate_scrub(synth_html_pages(spark, sf_dir))
 
 
+def q_reciprocal_links(spark, sf_dir):
+    """Link-exchange detection: host pairs linking each other, with
+    per-direction multiplicities; pair-table-scale self-join. The synth
+    link topology is a one-way circulant (no reciprocal pairs exist), so
+    the gate input appends a small deterministic reciprocal set in BOTH
+    engines — a 0-row gate would be vacuous."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        RECIPROCAL_GATE_PAGES,
+        reciprocal_links,
+        synth_linked_pages,
+    )
+
+    extra = spark.createDataFrame(
+        list(RECIPROCAL_GATE_PAGES), "url string, html_s string"
+    ).select("url", F.encode("html_s", "utf-8").alias("html"))
+    pages = synth_linked_pages(spark, sf_dir).select("url", "html").unionByName(extra)
+    return reciprocal_links(pages)
+
+
+def q_conversion_latency(spark, sf_dir):
+    """First-view -> first-purchase-at-or-after latency per user in exact
+    micros; aggregation-only (no windows, no per-user sort)."""
+    from openaip_yaixm_to_geojson_spark.operators.events import conversion_latency
+
+    return conversion_latency(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_host_degree_histogram(spark, sf_dir):
     """Out-degree distribution of the host graph (distinct neighbors) —
     the power-law sanity check; two host/degree-granularity shuffles."""
@@ -1917,6 +1944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components": q_host_components,
         "co_citation": q_co_citation,
         "host_degree_histogram": q_host_degree_histogram,
+        "reciprocal_links": q_reciprocal_links,
+        "conversion_latency": q_conversion_latency,
         "cross_source_dupes": q_cross_source_dupes,
         "anchor_texts": q_anchor_texts,
         "link_pagerank": q_link_pagerank,
@@ -2080,6 +2109,8 @@ def oracle_sql() -> dict[str, str]:
         "host_components": oracle.sql_host_components(),
         "co_citation": oracle.sql_co_citation(),
         "host_degree_histogram": oracle.sql_host_degree_histogram(),
+        "reciprocal_links": oracle.sql_reciprocal_links(),
+        "conversion_latency": oracle.sql_conversion_latency(),
         "cross_source_dupes": oracle.sql_cross_source_dupes(),
         "anchor_texts": oracle.sql_anchor_texts(),
         "link_pagerank": oracle.sql_link_pagerank(),

@@ -867,3 +867,37 @@ def events_window_users(events: DataFrame, window_seconds: int = 3600) -> DataFr
     return per_user.groupBy("window_start").agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("n").cast("bigint").alias("n_events")
     )
+
+
+def conversion_latency(
+    events: DataFrame, from_type: str = "view", to_type: str = "purchase"
+) -> DataFrame:
+    """Per-user conversion latency: first `from_type` event, then the
+    first `to_type` event at-or-after it (exact micros integers —
+    same-instant conversions count, the asof non-strict convention).
+    Output (user_id, first_from_us, first_to_us, latency_us); users who
+    never convert are omitted (inner semantics — the denominator lives in
+    events_funnel).
+
+    Scale shape: one conditional aggregation to per-user first-from, then
+    a user-keyed join + min over the to-events — both at user
+    granularity after map-side partials. No windows, no per-user sort."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    first_from = (
+        events.where(F.col("event_type") == from_type)
+        .groupBy("user_id")
+        .agg(F.min(us).alias("first_from_us"))
+    )
+    to_ev = events.where(F.col("event_type") == to_type).select("user_id", us.alias("to_us"))
+    return (
+        to_ev.join(first_from, "user_id")
+        .where(F.col("to_us") >= F.col("first_from_us"))
+        .groupBy("user_id", "first_from_us")
+        .agg(F.min("to_us").alias("first_to_us"))
+        .select(
+            "user_id",
+            "first_from_us",
+            "first_to_us",
+            (F.col("first_to_us") - F.col("first_from_us")).alias("latency_us"),
+        )
+    )

@@ -505,3 +505,36 @@ def url_path_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.sum("q").cast("bigint").alias("n_with_query"),
         )
     )
+
+
+def reciprocal_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Reciprocal host links — pairs linking each other (link-exchange /
+    mirror detection, a classic spam signal): (host_a, host_b, n_ab,
+    n_ba) with host_a < host_b, counts = parallel-link multiplicities in
+    each direction.
+
+    Scale shape: the host-pair rollup collapses the link stream first;
+    the reciprocity check is a self-join of that pair table against its
+    own flipped projection on the canonicalized pair key — pair-table
+    scale, one equi-join. The pair rollup feeds both sides, so it is
+    localCheckpoint()ed once (fan-out rule)."""
+    g = host_link_graph(pages, html_col=html_col).where(
+        F.col("src_host") != F.col("dst_host")
+    ).localCheckpoint()
+    fwd = g.where(F.col("src_host") < F.col("dst_host")).select(
+        F.col("src_host").alias("host_a"), F.col("dst_host").alias("host_b"), F.col("n_links").alias("n_ab")
+    )
+    rev = g.where(F.col("src_host") > F.col("dst_host")).select(
+        F.col("dst_host").alias("host_a"), F.col("src_host").alias("host_b"), F.col("n_links").alias("n_ba")
+    )
+    return fwd.join(rev, ["host_a", "host_b"])
+
+
+# deterministic reciprocal-link pages appended to the gate input for
+# reciprocal_links (the synthetic circulant topology has none): r1 <-> r2
+# (r1 links r2 twice), r3 -> r1 unreciprocated.
+RECIPROCAL_GATE_PAGES: tuple[tuple[str, str], ...] = (
+    ("http://r1.example/a", '<p><a href="http://r2.example/x">x</a> <a href="http://r2.example/y">y</a></p>'),
+    ("http://r2.example/b", '<p><a href="http://r1.example/z">z</a></p>'),
+    ("http://r3.example/c", '<p><a href="http://r1.example/w">w</a></p>'),
+)

@@ -3351,3 +3351,43 @@ u AS (
 SELECT host, COUNT(*) AS n_pages, MAX(d) AS max_depth,
        CAST(SUM(d) AS BIGINT) AS total_depth, CAST(SUM(q) AS BIGINT) AS n_with_query
 FROM u GROUP BY 1"""
+
+
+def sql_reciprocal_links() -> str:
+    """web.reciprocal_links twin: same link-graph rollup (including the
+    deterministic reciprocal gate pages — the circulant synth topology
+    alone has zero reciprocal pairs, a vacuous gate), reciprocity via a
+    plain self-join on the ordered pair."""
+    from .operators.web import PAT_HOST, PAT_HREF, RECIPROCAL_GATE_PAGES
+
+    extra = ", ".join(
+        "('{0}', '{1}')".format(u, h.replace("'", "''")) for u, h in RECIPROCAL_GATE_PAGES
+    )
+    return f"""WITH {_linked_docs_with()},
+hx AS (
+  SELECT url, html_text FROM h
+  UNION ALL
+  SELECT * FROM (VALUES {extra}) v(url, html_text)
+),
+l AS (SELECT url, unnest(regexp_extract_all(html_text, '{PAT_HREF}', 1)) AS link FROM hx),
+g AS (
+  SELECT regexp_extract(url, '{PAT_HOST}', 1) AS src,
+         regexp_extract(link, '{PAT_HOST}', 1) AS dst, COUNT(*) AS n
+  FROM l GROUP BY 1, 2
+),
+gg AS (SELECT * FROM g WHERE src <> dst)
+SELECT a.src AS host_a, a.dst AS host_b, a.n AS n_ab, b.n AS n_ba
+FROM gg a JOIN gg b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst"""
+
+
+def sql_conversion_latency(from_type: str = "view", to_type: str = "purchase") -> str:
+    """events.conversion_latency twin."""
+    return f"""WITH ff AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_from_us
+  FROM events WHERE event_type = '{from_type}' GROUP BY 1
+),
+tt AS (SELECT user_id, epoch_us(ts) AS to_us FROM events WHERE event_type = '{to_type}')
+SELECT tt.user_id, ff.first_from_us, MIN(tt.to_us) AS first_to_us,
+       MIN(tt.to_us) - ff.first_from_us AS latency_us
+FROM tt JOIN ff ON ff.user_id = tt.user_id AND tt.to_us >= ff.first_from_us
+GROUP BY 1, 2"""

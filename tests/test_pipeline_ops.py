@@ -1887,3 +1887,46 @@ def test_events_window_users_and_url_stats(spark):
     got2 = {r["host"]: r for r in url_path_stats(pages).collect()}
     assert (got2["a.com"]["max_depth"], got2["a.com"]["total_depth"], got2["a.com"]["n_with_query"]) == (3, 4, 1)
     assert (got2["b.com"]["n_pages"], got2["b.com"]["max_depth"]) == (1, 1)
+
+
+def test_reciprocal_links_hand_case(spark):
+    """Only mutually-linking host pairs emit, with per-direction
+    multiplicities; self-links never count."""
+    from openaip_yaixm_to_geojson_spark.operators.web import reciprocal_links
+
+    def page(url, links):
+        body = "".join(f'<a href="{l}">x</a>' for l in links)
+        return (url, f"<html><body>{body}</body></html>")
+
+    pages = [
+        page("http://a.com/1", ["http://b.com/x", "http://b.com/y", "http://c.com/"]),
+        page("http://b.com/1", ["http://a.com/z"]),
+        page("http://c.com/1", ["http://c.com/self"]),  # self-link: ignored
+    ]
+    df = spark.createDataFrame(pages, "url string, html_s string").select(
+        "url", F.encode("html_s", "utf-8").alias("html")
+    )
+    got = [(r["host_a"], r["host_b"], r["n_ab"], r["n_ba"]) for r in reciprocal_links(df).collect()]
+    assert got == [("a.com", "b.com", 2, 1)]
+
+
+def test_conversion_latency_hand_case(spark):
+    """Purchases BEFORE the first view don't count; the first at-or-after
+    purchase wins; same-instant converts with latency 0; non-converters
+    are omitted."""
+    from openaip_yaixm_to_geojson_spark.operators.events import conversion_latency
+
+    rows = [
+        (1, 1, "2024-01-01 09:00:00", "purchase"),  # before first view: ignored
+        (2, 1, "2024-01-01 10:00:00", "view"),
+        (3, 1, "2024-01-01 12:30:00", "purchase"),  # first valid: 2.5h
+        (4, 1, "2024-01-01 13:00:00", "purchase"),
+        (5, 2, "2024-01-02 08:00:00", "view"),
+        (6, 2, "2024-01-02 08:00:00", "purchase"),  # same instant: latency 0
+        (7, 3, "2024-01-03 08:00:00", "view"),      # never converts
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts_s string, event_type string").select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "event_type"
+    )
+    got = {r["user_id"]: r["latency_us"] for r in conversion_latency(df).collect()}
+    assert got == {1: 2 * 3600 * 1_000_000 + 1800 * 1_000_000, 2: 0}

@@ -158,12 +158,59 @@ def _job_web(spark, data_dir: str):
     return pages, lambda: host_link_graph(pages).count()
 
 
+
+def synth_events(spark, n: int):
+    """Deterministic event stream for the windows/sessionization scaling
+    job: n events over n/64 users, md5-derived second offsets inside a
+    90-day span (so per-user streams have real gaps), event types cycling
+    view/click/purchase/error."""
+    from pyspark.sql import functions as F
+
+    users = max(n // 64, 1)
+
+    def h(salt: str, mod: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(salt))), 1, 12),
+                16,
+                10,
+            ).cast("bigint")
+            % mod
+        )
+
+    span = 90 * 86400
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        h("-u", users).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + h("-t", span)).cast("timestamp_ntz").alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase"), F.lit("error")),
+            (h("-e", 4) + 1).cast("int"),
+        ).alias("event_type"),
+    )
+
+
+def _job_windows(spark, data_dir: str):
+    """Gap sessionization + first-k path extraction (session_paths) — the
+    PARTITIONED-WINDOW-SORT regime (sixth family): one exchange on
+    user_id, then per-key ORDER BY (lag + running cumsum + grouped
+    ordered collect). No other family is bound by the per-partition sort
+    + window-function pipeline that every sessionize/asof/SCD operator in
+    the engine rides; at a trillion events this is the clickstream work
+    profile. Path-count rows forced."""
+    from openaip_yaixm_to_geojson_spark.operators.events import session_paths
+
+    events = spark.read.parquet(data_dir)
+    return events, lambda: session_paths(events).count()
+
+
 JOBS = {
     "spatial": _job_spatial,
     "dedup": _job_dedup,
     "terms": _job_terms,
     "graph": _job_graph,
     "web": _job_web,
+    "windows": _job_windows,
 }
 
 
@@ -230,6 +277,8 @@ def main() -> None:
         source = synth_edges(gen, docs)
     elif job == "web":
         source = synth_linked_html(gen, docs)
+    elif job == "windows":
+        source = synth_events(gen, docs)
     else:
         source = synth_docs(gen, docs)
 
@@ -270,6 +319,30 @@ def main() -> None:
         "efficiency": round(efficiency, 3),
     }
     print(json.dumps(summary))
+
+    if job == "windows":
+        md = f"""
+
+## Sixth evidence: gap sessionization + session paths — window-sort family (N vs 4N)
+
+Same methodology, sixth operator family — the PARTITIONED-WINDOW-SORT
+regime no other family stresses: {small['n_docs']:,} synthetic events over
+{small['n_docs'] // 64:,} users -> one user_id exchange -> per-key ORDER BY
+(lag gap flags, running cumsum session ids, grouped ordered collect of the
+first-3 path) -> path-level count. This is the execution shape every
+sessionize / as-of / SCD operator in the engine rides.
+
+| config | best wall (s) | events/sec | samples (s) |
+| --- | --- | --- | --- |
+| local[{n_small}] (N) | {small['best_sec']} | {small['docs_per_sec']:,} | {small['samples_sec']} |
+| local[{n_big}] (4N) | {big['best_sec']} | {big['docs_per_sec']:,} | {big['samples_sec']} |
+
+**Speedup {n_small}->{n_big}: {speedup:.2f}x — scaling efficiency {efficiency:.3f}**
+
+Raw: `{json.dumps(summary)}`
+"""
+        _splice_section("## Sixth evidence:", md)
+        return
 
     if job == "web":
         md = f"""
