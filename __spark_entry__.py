@@ -1263,6 +1263,23 @@ def q_multimodal_real_features(spark, sf_dir):
     )
 
 
+def q_audio_frames(spark, sf_dir):
+    """Frame-level audio features over REAL WAV decode: exact BIGINT
+    frame aggregates + the one-rounding float32 mean/var sequence; the
+    oracle recomputes every int16 sample from the md5 byte layout."""
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        audio_frames,
+        synth_media_real,
+    )
+
+    out = audio_frames(synth_media_real(spark, 500))
+    return out.select(
+        "media_id", "frame_idx", "n_samples", "s_sum", "s_sumsq", "s_min", "s_max",
+        F.col("mean").cast("double").alias("mean"),
+        F.col("var").cast("double").alias("var"),
+    )
+
+
 def q_image_patches(spark, sf_dir):
     """ViT-style patch grid over REAL P6 decode: NumPy block reduction per
     Arrow batch, exact BIGINT channel sums + float32 means; the oracle
@@ -1952,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_real_features": q_multimodal_real_features,
         "image_patches": q_image_patches,
+        "audio_frames": q_audio_frames,
         "multimodal_frames": q_multimodal_frames,
         "pagerank": q_pagerank,
         "lang_median_chars": q_lang_median_chars,
@@ -2117,6 +2135,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": oracle.sql_multimodal_features(),
         "multimodal_real_features": oracle.sql_multimodal_real_features(),
         "image_patches": oracle.sql_image_patches(),
+        "audio_frames": oracle.sql_audio_frames(),
         "multimodal_frames": oracle.sql_multimodal_frames(),
         "pagerank": oracle.sql_pagerank_int(),
         "lang_median_chars": oracle.sql_lang_median_chars(),

@@ -465,3 +465,60 @@ def image_patches(media: DataFrame, patch: int = 4) -> DataFrame:
     return media.where(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
         run, schema=PATCH_SCHEMA
     )
+
+
+FRAME_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("s_sum", T.LongType()),
+        T.StructField("s_sumsq", T.LongType()),
+        T.StructField("s_min", T.IntegerType()),
+        T.StructField("s_max", T.IntegerType()),
+        T.StructField("mean", T.FloatType()),
+        T.StructField("var", T.FloatType()),
+    ]
+)
+
+
+def audio_frames(media: DataFrame, frame: int = 32) -> DataFrame:
+    """Frame-level audio features over REAL WAV decode (the image_patches
+    sibling for the audio column): each PCM payload parses via the stdlib
+    wave module and splits into fixed `frame`-sample windows; per frame,
+    exact BIGINT sum / sum-of-squares / min / max plus float32 mean and
+    variance under the one-rounding contract (sum/n; var = sumsq/n -
+    mean*mean — the real_media_features float sequence).
+
+    Scale shape: mapInPandas, NumPy reshape reduction per clip (no sample
+    loop), partition-preserving, no shuffle. Clips whose length is not a
+    multiple of `frame` raise (the contract a frame stack enforces)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_FEAT_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, samples = decode_wav_pcm16(bytes(payload))
+                if len(samples) % frame:
+                    raise ValueError(f"clip {mid}: {len(samples)} samples not a multiple of frame={frame}")
+                sm = samples.astype(np.int64).reshape(-1, frame)
+                n = float(frame)
+                for fi in range(sm.shape[0]):
+                    row = sm[fi]
+                    s = int(row.sum())
+                    ss = int((row * row).sum())
+                    mean = s / n
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(fi)
+                    out["n_samples"].append(frame)
+                    out["s_sum"].append(s)
+                    out["s_sumsq"].append(ss)
+                    out["s_min"].append(int(row.min()))
+                    out["s_max"].append(int(row.max()))
+                    out["mean"].append(np.float32(mean))
+                    out["var"].append(np.float32(ss / n - mean * mean))
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        run, schema=FRAME_FEAT_SCHEMA
+    )

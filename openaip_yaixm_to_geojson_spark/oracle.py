@@ -3391,3 +3391,38 @@ SELECT tt.user_id, ff.first_from_us, MIN(tt.to_us) AS first_to_us,
        MIN(tt.to_us) - ff.first_from_us AS latency_us
 FROM tt JOIN ff ON ff.user_id = tt.user_id AND tt.to_us >= ff.first_from_us
 GROUP BY 1, 2"""
+
+
+def sql_audio_frames(n: int = 500, frame: int = 32) -> str:
+    """multimodal.audio_frames twin: every decoded int16 sample recomputed
+    from the md5 byte layout (lo + 256*hi two's complement), exact frame
+    aggregates, the same float32 one-rounding sequence."""
+    nsm = 128
+    lo = _md5_byte_sql(
+        "concat(CAST(media_id AS VARCHAR), '-au-', CAST((2 * j) // 16 AS VARCHAR))",
+        "(2 * j) % 16",
+    )
+    hi = _md5_byte_sql(
+        "concat(CAST(media_id AS VARCHAR), '-au-', CAST((2 * j + 1) // 16 AS VARCHAR))",
+        "(2 * j + 1) % 16",
+    )
+    f32 = lambda e: f"CAST(CAST({e} AS FLOAT) AS DOUBLE)"  # noqa: E731
+    mean = f"(s / CAST({frame}.0 AS DOUBLE))"
+    var = f"((ss / CAST({frame}.0 AS DOUBLE)) - {mean} * {mean})"
+    return f"""WITH m AS (SELECT UNNEST(generate_series(0, {n - 1})) AS media_id),
+sm AS (
+  SELECT media_id, t.j,
+         CAST({lo} + 256 * {hi} - (CASE WHEN {lo} + 256 * {hi} >= 32768 THEN 65536 ELSE 0 END) AS BIGINT) AS v
+  FROM (SELECT media_id FROM m WHERE media_id % 3 = 1) a,
+       (SELECT UNNEST(generate_series(0, {nsm - 1})) AS j) t
+),
+g AS (
+  SELECT media_id, CAST(j // {frame} AS INTEGER) AS frame_idx,
+         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss,
+         CAST(MIN(v) AS INTEGER) AS s_min, CAST(MAX(v) AS INTEGER) AS s_max
+  FROM sm GROUP BY 1, 2
+)
+SELECT media_id, frame_idx, CAST({frame} AS INTEGER) AS n_samples,
+       s AS s_sum, ss AS s_sumsq, s_min, s_max,
+       {f32(mean)} AS mean, {f32(var)} AS var
+FROM g"""

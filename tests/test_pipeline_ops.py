@@ -1930,3 +1930,33 @@ def test_conversion_latency_hand_case(spark):
     )
     got = {r["user_id"]: r["latency_us"] for r in conversion_latency(df).collect()}
     assert got == {1: 2 * 3600 * 1_000_000 + 1800 * 1_000_000, 2: 0}
+
+
+def test_audio_frames_exact(spark):
+    """Frame aggregates equal NumPy over the decoded samples; frames
+    tile the clip (sums conserve); non-multiple frame size raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        audio_frames,
+        decode_wav_pcm16,
+        make_wav,
+        synth_media_real,
+    )
+
+    media = synth_media_real(spark, 9)
+    rows = audio_frames(media).collect()
+    assert {r["media_id"] for r in rows} == {1, 4, 7}
+    _, samples = decode_wav_pcm16(make_wav(1))
+    sm = samples.astype(np.int64).reshape(-1, 32)
+    for r in rows:
+        if r["media_id"] != 1:
+            continue
+        row = sm[r["frame_idx"]]
+        assert r["s_sum"] == int(row.sum()) and r["s_sumsq"] == int((row * row).sum())
+        assert r["s_min"] == int(row.min()) and r["s_max"] == int(row.max())
+        assert r["mean"] == np.float32(r["s_sum"] / 32.0)
+    assert sum(r["s_sum"] for r in rows if r["media_id"] == 1) == int(samples.astype(np.int64).sum())
+    with _pytest.raises(Exception, match="not a multiple"):
+        audio_frames(media, frame=33).collect()
