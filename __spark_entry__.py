@@ -1052,6 +1052,17 @@ def q_co_citation(spark, sf_dir):
     return co_citation(synth_linked_pages(spark, sf_dir))
 
 
+def q_host_bfs_depth(spark, sf_dir):
+    """Hop rings from the seed host: iterative BFS frontier expansion
+    (raises past max_rounds); oracle = recursive-CTE walk + MIN(depth)."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        host_bfs_depth,
+        synth_linked_pages,
+    )
+
+    return host_bfs_depth(synth_linked_pages(spark, sf_dir))
+
+
 def q_host_components(spark, sf_dir):
     """Weakly-connected components of the extracted host link graph via
     min-label propagation (raises on non-convergence); oracle verifies by
@@ -1959,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_pyramid": q_geohash_pyramid,
         "host_link_graph": q_host_link_graph,
         "host_components": q_host_components,
+        "host_bfs_depth": q_host_bfs_depth,
         "co_citation": q_co_citation,
         "host_degree_histogram": q_host_degree_histogram,
         "reciprocal_links": q_reciprocal_links,
@@ -2125,6 +2137,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_pyramid": oracle.sql_geohash_pyramid(),
         "host_link_graph": oracle.sql_host_link_graph(),
         "host_components": oracle.sql_host_components(),
+        "host_bfs_depth": oracle.sql_host_bfs_depth(),
         "co_citation": oracle.sql_co_citation(),
         "host_degree_histogram": oracle.sql_host_degree_histogram(),
         "reciprocal_links": oracle.sql_reciprocal_links(),

@@ -146,3 +146,51 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def bfs_depth(
+    edges: DataFrame,
+    seed,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 20,
+    directed: bool = False,
+) -> DataFrame:
+    """Breadth-first hop distance from `seed` over the edge table:
+    (node, depth) for every reachable node. Iterative frontier expansion —
+    each round joins the frontier to the edge list, anti-joins the
+    visited set, and stops when the frontier empties; rounds = graph
+    radius from the seed, lineage cut per round with localCheckpoint.
+    RAISES if the frontier is still non-empty after max_rounds (partial
+    depths are silently wrong — the duplicate_clusters convergence
+    contract). Undirected by default (edges symmetrized).
+
+    Scale shape: per round, one join keyed on the frontier (small side)
+    plus one anti-join against visited; the edge table is checkpointed
+    once and reused every round."""
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    if not directed:
+        e = e.union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+    e = e.localCheckpoint()
+    spark = edges.sparkSession
+    seed_df = spark.createDataFrame([(seed,)], ["node"]).select(
+        F.col("node").cast(dict(e.dtypes)["s"]).alias("node")
+    )
+    visited = seed_df.select("node", F.lit(0).alias("depth")).localCheckpoint()
+    frontier = visited.select("node")
+    for depth in range(1, max_rounds + 1):
+        nxt = (
+            e.join(frontier, e.s == frontier.node)
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            return visited
+        visited = visited.union(nxt.select("node", F.lit(depth).alias("depth"))).localCheckpoint()
+        frontier = nxt
+    raise RuntimeError(
+        f"bfs_depth did not exhaust the reachable set within max_rounds={max_rounds}; "
+        "partial depths would be silently wrong — raise max_rounds"
+    )

@@ -538,3 +538,18 @@ RECIPROCAL_GATE_PAGES: tuple[tuple[str, str], ...] = (
     ("http://r2.example/b", '<p><a href="http://r1.example/z">z</a></p>'),
     ("http://r3.example/c", '<p><a href="http://r1.example/w">w</a></p>'),
 )
+
+
+def host_bfs_depth(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Hop distance of every host from the lexicographically smallest
+    host in the link graph (undirected) — the crawl-frontier 'rings from
+    the seed' view. Composes href extraction with graph.bfs_depth; the
+    seed is data-derived (MIN host), so the query is a pure function of
+    the pages table."""
+    from .graph import bfs_depth
+
+    g = host_link_graph(pages, html_col=html_col).select("src_host", "dst_host").localCheckpoint()
+    seed = g.select(F.least(F.min("src_host"), F.min("dst_host")).alias("m")).collect()[0]["m"]
+    return bfs_depth(g, seed, src_col="src_host", dst_col="dst_host").select(
+        F.col("node").alias("host"), F.col("depth").cast("int").alias("depth")
+    )

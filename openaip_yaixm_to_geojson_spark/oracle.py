@@ -3426,3 +3426,28 @@ SELECT media_id, frame_idx, CAST({frame} AS INTEGER) AS n_samples,
        s AS s_sum, ss AS s_sumsq, s_min, s_max,
        {f32(mean)} AS mean, {f32(var)} AS var
 FROM g"""
+
+
+def sql_host_bfs_depth(max_rounds: int = 20) -> str:
+    """web.host_bfs_depth twin, independent mechanism: recursive-CTE walk
+    from the MIN host with a depth cap, BFS depth = MIN(depth) per node
+    (vs Spark's iterative frontier expansion)."""
+    from .operators.web import PAT_HOST, PAT_HREF
+
+    return f"""WITH RECURSIVE {_linked_docs_with()},
+l AS (SELECT url, unnest(regexp_extract_all(html_text, '{PAT_HREF}', 1)) AS link FROM h),
+e0 AS (
+  SELECT DISTINCT regexp_extract(url, '{PAT_HOST}', 1) AS s,
+                  regexp_extract(link, '{PAT_HOST}', 1) AS d
+  FROM l
+),
+e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+seed AS (SELECT MIN(s) AS m FROM e),
+walk AS (
+  SELECT m AS node, 0 AS depth FROM seed
+  UNION
+  SELECT e.d AS node, w.depth + 1 AS depth
+  FROM walk w JOIN e ON e.s = w.node
+  WHERE w.depth < {max_rounds}
+)
+SELECT node AS host, CAST(MIN(depth) AS INTEGER) AS depth FROM walk GROUP BY node"""

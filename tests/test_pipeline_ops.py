@@ -1960,3 +1960,19 @@ def test_audio_frames_exact(spark):
     assert sum(r["s_sum"] for r in rows if r["media_id"] == 1) == int(samples.astype(np.int64).sum())
     with _pytest.raises(Exception, match="not a multiple"):
         audio_frames(media, frame=33).collect()
+
+
+def test_bfs_depth_hand_case(spark):
+    """Chain a-b-c-d plus a shortcut a-c: depths 0,1,1,2; unreachable
+    nodes absent; directed mode respects edge direction."""
+    from openaip_yaixm_to_geojson_spark.operators.graph import bfs_depth
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["depth"] for r in bfs_depth(edges, "a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    directed = spark.createDataFrame([("b", "a"), ("a", "c")], "src string, dst string")
+    got2 = {r["node"]: r["depth"] for r in bfs_depth(directed, "a", directed=True).collect()}
+    assert got2 == {"a": 0, "c": 1}  # b->a not followed forward
