@@ -1726,6 +1726,15 @@ def q_length_correlation(spark, sf_dir):
     return lang_length_regression(_docs(spark, sf_dir))
 
 
+def q_events_stickiness(spark, sf_dir):
+    """DAU / trailing-30d-MAU per observed day: rolling distinct via a
+    bounded explode of the DEDUPED user-day table (never per-day COUNT
+    DISTINCT rescans); oracle = BETWEEN self-join + COUNT DISTINCT."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_stickiness
+
+    return events_stickiness(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_events_window_users(spark, sf_dir):
     """Exact distinct users per tumbling window: (user, window)-level agg
     first so the distinct count is COUNT(*); oracle uses COUNT DISTINCT
@@ -2016,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": q_length_outliers,
         "events_resample": q_events_resample,
         "events_window_users": q_events_window_users,
+        "events_stickiness": q_events_stickiness,
         "url_path_stats": q_url_path_stats,
         "events_new_users": q_events_new_users,
         "events_anomaly": q_events_anomaly,
@@ -2183,6 +2193,7 @@ def oracle_sql() -> dict[str, str]:
         "length_outliers": oracle.sql_length_outliers(),
         "events_resample": oracle.sql_events_resample(),
         "events_window_users": oracle.sql_events_window_users(),
+        "events_stickiness": oracle.sql_events_stickiness(),
         "url_path_stats": oracle.sql_url_path_stats(),
         "events_new_users": oracle.sql_events_new_users(),
         "events_anomaly": oracle.sql_events_anomaly(),

@@ -901,3 +901,48 @@ def conversion_latency(
             (F.col("first_to_us") - F.col("first_from_us")).alias("latency_us"),
         )
     )
+
+
+def events_stickiness(events: DataFrame, window_days: int = 30) -> DataFrame:
+    """DAU / trailing-MAU stickiness per day: (day_start, dau, mau,
+    stickiness) where mau counts distinct users over the trailing
+    `window_days` ending at each observed day, and stickiness = dau/mau
+    (ONE single-rounded division on exact counts).
+
+    Scale shape: the fact stream collapses to DISTINCT (user, day) rows
+    first; the rolling-distinct then comes from exploding each user-day
+    to the <= window_days future day-buckets it supports (bounded x30
+    expansion of the ALREADY-DEDUPED user-day table, orders of magnitude
+    under the fact table) and counting per (user, target-day) dedupe with
+    COUNT(*) — never a per-day COUNT DISTINCT rescan of the stream. Days
+    with no events have no row (this is an observed-day report, not a
+    gap-filled series — compose with events_resample for that)."""
+    day = 86400
+    epoch = F.unix_timestamp("ts")
+    user_days = (
+        events.select("user_id", (epoch - epoch % day).alias("d"))
+        .distinct()
+        .localCheckpoint()  # feeds DAU, the MAU expansion and the observed-day set
+    )
+    observed = user_days.select("d").distinct()
+    dau = user_days.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    expanded = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.col("d") + F.lit((window_days - 1) * day), F.lit(day))
+            ).alias("d"),
+        )
+        .join(observed, "d")          # only observed days need a MAU value
+        .distinct()                   # (user, target-day) level
+    )
+    mau = expanded.groupBy("d").agg(F.count(F.lit(1)).alias("mau"))
+    return (
+        dau.join(mau, "d")
+        .select(
+            F.col("d").alias("day_start"),
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau").cast("double")).alias("stickiness"),
+        )
+    )

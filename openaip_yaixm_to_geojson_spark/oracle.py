@@ -3451,3 +3451,26 @@ walk AS (
   WHERE w.depth < {max_rounds}
 )
 SELECT node AS host, CAST(MIN(depth) AS INTEGER) AS depth FROM walk GROUP BY node"""
+
+
+def sql_events_stickiness(window_days: int = 30) -> str:
+    """events.events_stickiness twin, independent mechanism: per-day
+    COUNT(DISTINCT) over a BETWEEN self-join (vs Spark's dedupe-explode
+    -> COUNT(*))."""
+    day = 86400
+    span = (window_days - 1) * day
+    return f"""WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % {day} AS d
+  FROM events
+),
+days AS (SELECT DISTINCT d FROM ud),
+dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY 1),
+mau AS (
+  SELECT days.d, COUNT(DISTINCT ud.user_id) AS mau
+  FROM days JOIN ud ON ud.d BETWEEN days.d - {span} AND days.d
+  GROUP BY 1
+)
+SELECT dau.d AS day_start, dau.dau, mau.mau,
+       CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+FROM dau JOIN mau ON mau.d = dau.d"""

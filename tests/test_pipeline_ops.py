@@ -1976,3 +1976,23 @@ def test_bfs_depth_hand_case(spark):
     directed = spark.createDataFrame([("b", "a"), ("a", "c")], "src string, dst string")
     got2 = {r["node"]: r["depth"] for r in bfs_depth(directed, "a", directed=True).collect()}
     assert got2 == {"a": 0, "c": 1}  # b->a not followed forward
+
+
+def test_events_stickiness_hand_case(spark):
+    """Hand-computed DAU/MAU over a 3-day window: repeat visits within a
+    day collapse; the trailing window picks up users from earlier days;
+    days without events get no row."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_stickiness
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 2, "2024-01-01 11:00:00"),
+        (3, 1, "2024-01-01 12:00:00"),  # same user/day: collapses
+        (4, 1, "2024-01-03 09:00:00"),  # day 2 empty
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts_s string").select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts")
+    )
+    base = 1704067200
+    got = {r["day_start"]: (r["dau"], r["mau"], r["stickiness"]) for r in events_stickiness(df, window_days=3).collect()}
+    assert got == {base: (2, 2, 1.0), base + 2 * 86400: (1, 2, 0.5)}
