@@ -699,6 +699,16 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric doc-in-doc near-dup: prefix filtering on rare shingles
+    (every join key fans out <= df_cap docs; provable recall above
+    1 - k/|A| when the rare keys clear the cap), exact intersection
+    verify via (doc, shingle) equi-joins."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir))
+
+
 def q_edit_distance_pairs(spark, sf_dir):
     """Blocked Levenshtein near-dup pairs (untouched prefix-or-suffix
     margin blocking + threshold-ed exact DP verify); oracle recomputes
@@ -1940,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "edit_distance_pairs": q_edit_distance_pairs,
+        "containment_pairs": q_containment_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "lsh_recall_monitor": q_lsh_recall_monitor,
@@ -2108,6 +2119,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": oracle.sql_minhash_lsh_pairs(),
         "ngram_jaccard_pairs": oracle.sql_ngram_jaccard_pairs(),
         "edit_distance_pairs": oracle.sql_edit_distance_pairs(),
+        "containment_pairs": oracle.sql_containment_pairs(),
         "dedup_clusters": oracle.sql_dedup_clusters(),
         "simhash": oracle.sql_simhash(),
         "lsh_recall_monitor": oracle.sql_lsh_recall_monitor(),

@@ -733,3 +733,82 @@ def cross_source_dupes(
         )
         .where(F.col("n_sources") >= 2)
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    k_rarest: int = 4,
+    df_cap: int = 50,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: ordered pairs (a, b) where containment(A in B)
+    = |shingles(A) n shingles(B)| / |shingles(A)| >= threshold — the
+    doc-inside-doc signal (quotes, wrapper pages, prepended boilerplate)
+    that symmetric Jaccard misses: a short doc fully quoted inside a long
+    one has low Jaccard but containment 1.0.
+
+    Candidate generation is PREFIX FILTERING on rare shingles (the
+    PPJoin family's core idea): each probe doc registers only its
+    k_rarest shingles by (df, shingle) — among those with df <= df_cap —
+    and joins the (shingle, doc) inverted index RESTRICTED to the same
+    df <= df_cap slice, so every join key fans out to at most df_cap
+    docs; hot shingles never enter the join. RECALL CONTRACT (provable):
+    a pair with containment > 1 - k_rarest/|A| is found whenever A's
+    k rarest shingles all have df <= df_cap (pigeonhole: fewer than
+    k_rarest of A's shingles are missing from B, so one of its rare keys
+    is shared); pairs whose overlap hides exclusively in hot shingles
+    escape — the documented trade every prefix filter makes.
+
+    Verification is exact: intersection counts via the (doc, shingle)
+    table itself (semi-joined to candidates), never array materialization
+    of whole documents. The deduped (doc, shingle) frame feeds four
+    consumers (df, probe, index, verify) -> localCheckpoint once."""
+    ds = (
+        documents.select(
+            F.col(key_col).alias("doc"),
+            F.explode(word_shingles(F.col(text_col))).alias("s"),
+        )
+        .select("doc", F.md5("s").alias("sh"))
+        .distinct()
+        .localCheckpoint()
+    )
+    df_tab = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    rare = ds.join(df_tab, "sh").where(F.col("df") <= df_cap)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy("df", "sh")
+    probe = (
+        rare.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k_rarest)
+        .select("doc", "sh")
+    )
+    index = rare.select(F.col("doc").alias("idoc"), "sh")
+    cand = (
+        probe.join(index, "sh")
+        .where(F.col("doc") != F.col("idoc"))
+        .select(F.col("doc").alias("key_a"), F.col("idoc").alias("key_b"))
+        .distinct()
+    )
+    sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    # equi-join on (key_b, sh): the second attach IS the intersection —
+    # joining on key_b alone and filtering sh equality after would explode
+    # to |A-shingles| x |B-shingles| per candidate pair
+    inter = (
+        cand.join(ds.select(F.col("doc").alias("key_a"), "sh"), "key_a")
+        .join(ds.select(F.col("doc").alias("key_b"), "sh"), ["key_b", "sh"])
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc").alias("key_a"), F.col("n").alias("n_a")), "key_a")
+        .where(F.col("n_common") * F.lit(10**6) >= F.lit(int(round(threshold * 10**6))) * F.col("n_a"))
+        .select(
+            "key_a",
+            "key_b",
+            "n_common",
+            "n_a",
+            (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias("containment"),
+        )
+    )

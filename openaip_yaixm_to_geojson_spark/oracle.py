@@ -3474,3 +3474,36 @@ mau AS (
 SELECT dau.d AS day_start, dau.dau, mau.mau,
        CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
 FROM dau JOIN mau ON mau.d = dau.d"""
+
+
+def sql_containment_pairs(
+    threshold: float = 0.8, k_rarest: int = 4, df_cap: int = 50
+) -> str:
+    """dedup.containment_pairs twin. The prefix-filter candidate rule is
+    FORMULATION-SHARED (it defines the output set — the polygon_overlap
+    precedent); verification counts the intersection independently via a
+    three-way join. Threshold compare in exact integers."""
+    thr = int(round(threshold * 10**6))
+    return f"""WITH sh0 AS (SELECT doc_id AS doc, {SHINGLES_EXPR} AS shingles FROM documents),
+ds AS (SELECT DISTINCT doc, md5(unnest(shingles)) AS sh FROM sh0),
+dft AS (SELECT sh, COUNT(*) AS df FROM ds GROUP BY 1),
+rare AS (SELECT ds.doc, ds.sh, dft.df FROM ds JOIN dft ON dft.sh = ds.sh WHERE dft.df <= {df_cap}),
+probe AS (
+  SELECT doc, sh FROM (
+    SELECT doc, sh, ROW_NUMBER() OVER (PARTITION BY doc ORDER BY df, sh) AS rn FROM rare
+  ) WHERE rn <= {k_rarest}
+),
+cand AS (
+  SELECT DISTINCT p.doc AS key_a, i.doc AS key_b
+  FROM probe p JOIN rare i ON i.sh = p.sh AND i.doc <> p.doc
+),
+sizes AS (SELECT doc, COUNT(*) AS n FROM ds GROUP BY 1),
+inter AS (
+  SELECT c.key_a, c.key_b, COUNT(*) AS n_common
+  FROM cand c JOIN ds a ON a.doc = c.key_a JOIN ds b ON b.doc = c.key_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT i.key_a, i.key_b, i.n_common, s.n AS n_a,
+       CAST(i.n_common AS DOUBLE) / CAST(s.n AS DOUBLE) AS containment
+FROM inter i JOIN sizes s ON s.doc = i.key_a
+WHERE i.n_common * 1000000 >= {thr} * s.n"""

@@ -1996,3 +1996,24 @@ def test_events_stickiness_hand_case(spark):
     base = 1704067200
     got = {r["day_start"]: (r["dau"], r["mau"], r["stickiness"]) for r in events_stickiness(df, window_days=3).collect()}
     assert got == {base: (2, 2, 1.0), base + 2 * 86400: (1, 2, 0.5)}
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short doc fully quoted inside a long one: containment(A in B) =
+    1.0 while containment(B in A) is low — only the (A, B) orientation
+    passes the threshold; unrelated docs produce nothing."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = "intro words here " + quote + " trailing content " + " ".join(
+        f"w{i}" for i in range(30)
+    )
+    rows = [
+        (1, quote),
+        (2, long_doc),
+        (3, "совершенно unrelated text " + " ".join(f"z{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["key_a"], r["key_b"]): r["containment"] for r in containment_pairs(df, threshold=0.8).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 1.0
