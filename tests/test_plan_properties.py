@@ -321,3 +321,33 @@ def test_link_extract_is_narrow_and_host_graph_single_exchange(spark):
     assert "Exchange" not in plan_of(extract_links(pages))  # decode+regex+explode: narrow
     graph_plan = plan_of(host_link_graph(pages))
     assert graph_plan.count("Exchange hashpartitioning") == 1  # the rollup only
+
+
+def test_r4_continuation_fanout_frames_materialized(spark, pages):
+    """Round-4 continuation operators with multi-consumer frames: the
+    expensive upstream (fact aggregation, paragraph explode, shingle
+    dedupe, vocab distinct, link rollup) is materialized once — no
+    parquet scan and no paragraph/shingle regex work survives downstream
+    of the checkpoint in the final plan."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import containment_pairs
+    from openaip_yaixm_to_geojson_spark.operators.events import events_resample
+    from openaip_yaixm_to_geojson_spark.operators.terms import lang_vocab_overlap
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        boilerplate_scrub,
+        co_citation,
+        reciprocal_links,
+        synth_html_pages,
+        synth_linked_pages,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert plan_of(events_resample(ev)).count("FileScan parquet") == 0
+    assert plan_of(containment_pairs(docs)).count("FileScan parquet") == 0
+    assert plan_of(lang_vocab_overlap(docs)).count("FileScan parquet") == 0
+    html = synth_html_pages(spark, SF_DIR)
+    p = plan_of(boilerplate_scrub(html))
+    assert p.count("FileScan parquet") == 0 and "regexp_extract_all" not in p
+    linked = synth_linked_pages(spark, SF_DIR)
+    assert plan_of(co_citation(linked)).count("FileScan parquet") == 0
+    assert plan_of(reciprocal_links(linked)).count("FileScan parquet") == 0
