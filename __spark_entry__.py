@@ -290,6 +290,15 @@ def q_tile_class_rollup(spark, sf_dir):
     return tile_class_rollup(spatial_join(pages, fixture_polygons()), DEFAULT_TILE_RES)
 
 
+def q_tile_unmatched_counts(spark, sf_dir):
+    """Spatial anti-join rollup: pages matching NO airspace, per tile —
+    the coverage-gap raster; url-granularity anti-join, PIP not redone."""
+    from openaip_yaixm_to_geojson_spark.operators.tiles import tile_unmatched_counts
+
+    pages = pages_from_documents(spark, sf_dir)
+    return tile_unmatched_counts(pages, spatial_join(pages, fixture_polygons()), DEFAULT_TILE_RES)
+
+
 def q_tile_mode_class(spark, sf_dir):
     """Dominant airspace class per tile: (tile, class) counts then a
     struct argmax — no window, no sort; ties break to the largest class
@@ -1915,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_doc_counts": q_tile_doc_counts,
         "tile_class_rollup": q_tile_class_rollup,
         "tile_mode_class": q_tile_mode_class,
+        "tile_unmatched_counts": q_tile_unmatched_counts,
         "tile_zoom_rollup": q_tile_zoom_rollup,
         "tile_xyz_export": q_tile_xyz_export,
         "tile_vector_export": q_tile_vector_export,
@@ -2084,6 +2094,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_doc_counts": oracle.sql_tile_doc_counts(),
         "tile_class_rollup": oracle.sql_tile_class_rollup(),
         "tile_mode_class": oracle.sql_tile_mode_class(),
+        "tile_unmatched_counts": oracle.sql_tile_unmatched_counts(),
         "tile_zoom_rollup": oracle.sql_tile_zoom_rollup(),
         "tile_xyz_export": oracle.sql_tile_xyz_export(),
         "tile_vector_export": oracle.sql_tile_vector_export(),

@@ -298,3 +298,18 @@ def tile_mode_class(join_out: DataFrame, res: int = DEFAULT_TILE_RES) -> DataFra
             F.col("m.n").alias("doc_count"),
         )
     )
+
+
+def tile_unmatched_counts(
+    pages: DataFrame, join_out: DataFrame, res: int = DEFAULT_TILE_RES
+) -> DataFrame:
+    """Raster rollup of the pages NO airspace matched (the spatial
+    anti-join — 'unclassified airspace' coverage gaps a tiling service
+    must render too): (tile_id, n_unmatched). Matched urls arrive from
+    any gated spatial-join mode; the anti-join and the count are both
+    url/tile-granularity shuffles — the PIP work is NOT redone here."""
+    matched = join_out.select("url").distinct()
+    unmatched = pages.join(matched, "url", "left_anti")
+    return with_tile(unmatched, res).groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_unmatched")
+    )

@@ -3507,3 +3507,16 @@ SELECT i.key_a, i.key_b, i.n_common, s.n AS n_a,
        CAST(i.n_common AS DOUBLE) / CAST(s.n AS DOUBLE) AS containment
 FROM inter i JOIN sizes s ON s.doc = i.key_a
 WHERE i.n_common * 1000000 >= {thr} * s.n"""
+
+
+def sql_tile_unmatched_counts(res: int | None = None) -> str:
+    """tiles.tile_unmatched_counts twin: NOT IN over the pip-hit urls
+    (vs Spark's left_anti join)."""
+    from .operators.tiles import DEFAULT_TILE_RES
+
+    r = DEFAULT_TILE_RES if res is None else res
+    return f"""WITH {pages_with()}, {pip_hits_cte()}
+SELECT {cell_id_sql('lon', 'lat', r)} AS tile_id, COUNT(*) AS n_unmatched
+FROM pages
+WHERE url NOT IN (SELECT url FROM hits)
+GROUP BY 1"""

@@ -877,3 +877,30 @@ def test_airspace_density_hand_case(spark):
     assert got[1]["doc_count"] == 3 and got[1]["area_deg2"] == 4.0 and got[1]["docs_per_deg2"] == 0.75
     assert got[2]["doc_count"] == 0 and got[2]["docs_per_deg2"] == 0.0
     assert got[3]["docs_per_deg2"] is None
+
+
+def test_tile_unmatched_counts_complement(spark):
+    """Unmatched counts complement the join exactly: per tile,
+    matched-distinct-urls + unmatched == total pages in that tile."""
+    from openaip_yaixm_to_geojson_spark.functions.convert_local import fixture_polygons
+    from openaip_yaixm_to_geojson_spark.operators.spatial import spatial_join
+    from openaip_yaixm_to_geojson_spark.operators.tiles import (
+        DEFAULT_TILE_RES,
+        tile_unmatched_counts,
+        with_tile,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    from pyspark.sql import functions as F
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    join_out = spatial_join(pages, fixture_polygons())
+    unmatched = {r["tile_id"]: r["n_unmatched"] for r in tile_unmatched_counts(pages, join_out).collect()}
+    total = {r["tile_id"]: r["n"] for r in with_tile(pages, DEFAULT_TILE_RES).groupBy("tile_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    matched_urls = {r["url"] for r in join_out.select("url").distinct().collect()}
+    matched_tiles = {}
+    for r in with_tile(pages, DEFAULT_TILE_RES).select("url", "tile_id").collect():
+        if r["url"] in matched_urls:
+            matched_tiles[r["tile_id"]] = matched_tiles.get(r["tile_id"], 0) + 1
+    for t, n in total.items():
+        assert unmatched.get(t, 0) + matched_tiles.get(t, 0) == n
