@@ -664,6 +664,14 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Langid confusion matrix vs the labeled lang column (per-class
+    recall on the diagonal); one #langs^2-granularity aggregation."""
+    from openaip_yaixm_to_geojson_spark.operators.text import lang_confusion
+
+    return lang_confusion(_docs(spark, sf_dir))
+
+
 def q_quality_funnel(spark, sf_dir):
     """Per-source quality-filter drop-off funnel (cumulative gates): one
     source-granularity aggregation reusing quality_struct's single-rounded
@@ -1978,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "quality": q_quality,
         "quality_funnel": q_quality_funnel,
+        "lang_confusion": q_lang_confusion,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -2148,6 +2157,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": oracle.sql_langid(),
         "quality": oracle.sql_quality(),
         "quality_funnel": oracle.sql_quality_funnel(),
+        "lang_confusion": oracle.sql_lang_confusion(),
         "token_counts": oracle.sql_token_counts(),
         "fingerprint": oracle.sql_fingerprint(),
         "rolling_fingerprint": oracle.sql_rolling_fingerprint(),

@@ -969,3 +969,25 @@ def quality_funnel(documents: DataFrame, min_chars: int = 50) -> DataFrame:
             cnt(c_digit, "n_all_ok"),
         )
     )
+
+
+def lang_confusion(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID confusion matrix: (lang_true, lang_pred, n_docs,
+    frac_of_true) — the classifier-eval primitive (per-class recall lives
+    on the diagonal) a corpus pipeline publishes to monitor its langid
+    heuristic against labeled data. ONE aggregation at #langs^2
+    granularity; frac is exact counts with one division."""
+    from pyspark.sql import Window
+
+    cm = (
+        documents.select(F.col("lang").alias("lang_true"), langid_col(F.col(text_col)).alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = Window.partitionBy("lang_true")
+    return cm.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(tot).cast("double")).alias("frac_of_true"),
+    )

@@ -3520,3 +3520,24 @@ SELECT {cell_id_sql('lon', 'lat', r)} AS tile_id, COUNT(*) AS n_unmatched
 FROM pages
 WHERE url NOT IN (SELECT url FROM hits)
 GROUP BY 1"""
+
+
+def sql_lang_confusion() -> str:
+    """text.lang_confusion twin: the sql_langid prediction CTE rolled up
+    to the confusion matrix; row fractions via a correlated total."""
+    from .operators.text import LANG_STOPWORDS
+
+    hits = {lang: _stopword_hits_sql(words) for lang, words in LANG_STOPWORDS.items()}
+    gmax = "GREATEST(" + ", ".join(f"h_{lang}" for lang in LANG_STOPWORDS) + ")"
+    case = " ".join(
+        f"WHEN h_{lang} = gmax THEN '{lang}'" for lang in sorted(LANG_STOPWORDS, reverse=True)
+    )
+    cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return f"""WITH h AS (SELECT lang, {cols} FROM documents),
+g AS (SELECT *, {gmax} AS gmax FROM h),
+p AS (SELECT lang AS lang_true, (CASE {case} END) AS lang_pred FROM g),
+cm AS (SELECT lang_true, lang_pred, COUNT(*) AS n_docs FROM p GROUP BY 1, 2),
+t AS (SELECT lang_true, SUM(n_docs) AS tot FROM cm GROUP BY 1)
+SELECT cm.lang_true, cm.lang_pred, cm.n_docs,
+       CAST(cm.n_docs AS DOUBLE) / CAST(t.tot AS DOUBLE) AS frac_of_true
+FROM cm JOIN t ON t.lang_true = cm.lang_true"""

@@ -2017,3 +2017,19 @@ def test_containment_pairs_asymmetric(spark):
     got = {(r["key_a"], r["key_b"]): r["containment"] for r in containment_pairs(df, threshold=0.8).collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] == 1.0
+
+
+def test_lang_confusion_rows_sum_to_one(spark):
+    """Row fractions per true language sum to exactly the class total;
+    the diagonal carries per-class recall."""
+    from openaip_yaixm_to_geojson_spark.operators.text import lang_confusion
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = lang_confusion(docs).collect()
+    by_true = {}
+    for r in rows:
+        t = by_true.setdefault(r["lang_true"], [0, 0.0])
+        t[0] += r["n_docs"]
+        t[1] += r["frac_of_true"]
+    for lang, (n, frac) in by_true.items():
+        assert n > 0 and abs(frac - 1.0) < 1e-12, lang
