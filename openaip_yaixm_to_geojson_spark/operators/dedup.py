@@ -660,17 +660,30 @@ def edit_distance_pairs(
         ).alias("block"),
     )
     a, b = docs.alias("a"), docs.alias("b")
-    dist = F.levenshtein(F.col("a.txt"), F.col("b.txt"), max_distance)
+    # candidates via the CHEAP predicates only, then a materialization
+    # barrier before the DP: left in one expression tree, Catalyst pushes
+    # the levenshtein filter INTO the join condition, where conjunct order
+    # runs the O(len x threshold) DP on every block-equal pair BEFORE the
+    # key/length residuals prune them (measured 12.5k DPs for 347 true
+    # candidates at sf0.1 — ~3x the operator's whole runtime). The
+    # candidate frame is pair-bounded by the blocking, so the checkpoint
+    # is tiny at any scale.
+    cand = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.key") < F.col("b.key"))
+        & (F.abs(F.col("a.n") - F.col("b.n")) <= F.lit(max_distance)),
+    ).select(
+        F.col("a.key").alias("key_a"),
+        F.col("b.key").alias("key_b"),
+        F.col("a.txt").alias("txt_a"),
+        F.col("b.txt").alias("txt_b"),
+    ).localCheckpoint()
+    dist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_distance)
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.key") < F.col("b.key"))
-            & (F.abs(F.col("a.n") - F.col("b.n")) <= F.lit(max_distance)),
-        )
-        .withColumn("edit_distance", dist.cast("int"))
+        cand.withColumn("edit_distance", dist.cast("int"))
         .where(F.col("edit_distance") >= 0)
-        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"), "edit_distance")
+        .select("key_a", "key_b", "edit_distance")
         .dropDuplicates(["key_a", "key_b"])
     )
 
