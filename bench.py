@@ -197,6 +197,10 @@ def main() -> None:
     timed("edit_distance_pairs", lambda: edit_distance_pairs(docs).count())
     timed("pareto_frontier", lambda: pareto_frontier(docs).count())
 
+    from openaip_yaixm_to_geojson_spark.operators.dedup import containment_pairs
+
+    timed("containment_pairs", lambda: containment_pairs(docs).count())
+
     result = {
         "metric": "spatial_join_tile_rollup_wall",
         "value": round(headline_sec, 3),

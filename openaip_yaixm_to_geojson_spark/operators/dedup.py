@@ -788,7 +788,12 @@ def containment_pairs(
         .localCheckpoint()
     )
     df_tab = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    rare = ds.join(df_tab, "sh").where(F.col("df") <= df_cap)
+    # rare feeds BOTH the probe (window) and the index side: without a
+    # barrier the ds-x-df shuffle join re-runs per consumer (two shuffles
+    # of corpus-shingle-scale inputs each) — one materialized write of the
+    # df-capped slice is strictly cheaper (measured ~20% of the operator,
+    # and half the first-pass cost, at sf0.1)
+    rare = ds.join(df_tab, "sh").where(F.col("df") <= df_cap).localCheckpoint()
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc").orderBy("df", "sh")
