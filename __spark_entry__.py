@@ -824,6 +824,14 @@ def q_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(minhash_lsh_pairs(docs, jaccard_threshold=0.5), documents=docs)
 
 
+def q_dedup_report(spark, sf_dir):
+    """Per-source dedup summary over the near-dup clusters (drop ratio =
+    non-representatives / docs); labels join + one source aggregation."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import dedup_report
+
+    return dedup_report(_docs(spark, sf_dir))
+
+
 def q_simhash(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", simhash16(F.col("text")).alias("simhash"))
 
@@ -1970,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "containment_pairs": q_containment_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_report": q_dedup_report,
         "simhash": q_simhash,
         "lsh_recall_monitor": q_lsh_recall_monitor,
         "simhash64": q_simhash64,
@@ -2141,6 +2150,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": oracle.sql_edit_distance_pairs(),
         "containment_pairs": oracle.sql_containment_pairs(),
         "dedup_clusters": oracle.sql_dedup_clusters(),
+        "dedup_report": oracle.sql_dedup_report(),
         "simhash": oracle.sql_simhash(),
         "lsh_recall_monitor": oracle.sql_lsh_recall_monitor(),
         "simhash64": oracle.sql_simhash64(),

@@ -830,3 +830,37 @@ def containment_pairs(
             (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias("containment"),
         )
     )
+
+
+def dedup_report(documents: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+    """Per-source dedup report over the MinHash near-dup clusters: (source,
+    n_docs, n_representatives, n_dropped, dup_ratio) where a document is
+    dropped iff it is not its cluster's representative (cluster_id ==
+    smallest member key) — the summary a corpus build publishes per
+    mixture source before reweighting. Exact counts + ONE division.
+
+    Scale shape: the cluster labels come from the gated components
+    operator (iterative min-label propagation, raises on
+    non-convergence); the report itself is one broadcast-joinable
+    labels-x-docs join (labels cover only docs, same cardinality) and a
+    source-granularity aggregation."""
+    clusters = duplicate_clusters(
+        minhash_lsh_pairs(documents, jaccard_threshold=jaccard_threshold), documents=documents
+    )
+    labeled = documents.select(F.col("doc_id").alias("key"), "source").join(clusters, "key")
+    is_rep = (F.col("key") == F.col("cluster_id")).cast("bigint")
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_rep).alias("n_representatives"),
+            F.sum(F.lit(1) - is_rep).alias("n_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_representatives",
+            "n_dropped",
+            (F.col("n_dropped").cast("double") / F.col("n_docs").cast("double")).alias("dup_ratio"),
+        )
+    )

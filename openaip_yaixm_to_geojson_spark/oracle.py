@@ -3541,3 +3541,17 @@ t AS (SELECT lang_true, SUM(n_docs) AS tot FROM cm GROUP BY 1)
 SELECT cm.lang_true, cm.lang_pred, cm.n_docs,
        CAST(cm.n_docs AS DOUBLE) / CAST(t.tot AS DOUBLE) AS frac_of_true
 FROM cm JOIN t ON t.lang_true = cm.lang_true"""
+
+
+def sql_dedup_report(jaccard_threshold: float = 0.5) -> str:
+    """dedup.dedup_report twin: the recursive transitive-closure cluster
+    CTE rolled up per source."""
+    clusters = sql_dedup_clusters(jaccard_threshold=jaccard_threshold)
+    return f"""WITH c AS ({clusters})
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.key = c.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_representatives,
+       CAST(SUM(CASE WHEN c.key = c.cluster_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN c.key = c.cluster_id THEN 0 ELSE 1 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+FROM documents d JOIN c ON c.key = d.doc_id
+GROUP BY d.source"""

@@ -2033,3 +2033,23 @@ def test_lang_confusion_rows_sum_to_one(spark):
         t[1] += r["frac_of_true"]
     for lang, (n, frac) in by_true.items():
         assert n > 0 and abs(frac - 1.0) < 1e-12, lang
+
+
+def test_dedup_report_hand_case(spark):
+    """Three exact copies across two sources form one cluster: the
+    smallest-id member is the representative, the other two count as
+    dropped in THEIR OWN sources; unique docs are their own reps."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import dedup_report
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, dup, "s1"),
+        (2, dup, "s1"),
+        (3, dup, "s2"),
+        (4, "completely different text with many unique words here", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {r["source"]: r for r in dedup_report(df).collect()}
+    assert (got["s1"]["n_docs"], got["s1"]["n_representatives"], got["s1"]["n_dropped"]) == (2, 1, 1)
+    assert (got["s2"]["n_docs"], got["s2"]["n_representatives"], got["s2"]["n_dropped"]) == (2, 1, 1)
+    assert got["s1"]["dup_ratio"] == 0.5
