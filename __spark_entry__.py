@@ -1770,6 +1770,22 @@ def q_events_stickiness(spark, sf_dir):
     return events_stickiness(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_events_seasonality(spark, sf_dir):
+    """Hour-of-day seasonality per event type (UTC-pinned hour); one
+    #types x 24 aggregation, exact fractions."""
+    from openaip_yaixm_to_geojson_spark.operators.events import events_seasonality
+
+    return events_seasonality(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_doc_novelty(spark, sf_dir):
+    """Per-doc contribution novelty (fraction of shingles first owned by
+    the doc); digest-keyed shuffles only, shingle text never moves."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import doc_novelty
+
+    return doc_novelty(_docs(spark, sf_dir))
+
+
 def q_events_window_users(spark, sf_dir):
     """Exact distinct users per tumbling window: (user, window)-level agg
     first so the distinct count is COUNT(*); oracle uses COUNT DISTINCT
@@ -2064,6 +2080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": q_length_outliers,
         "events_resample": q_events_resample,
         "events_window_users": q_events_window_users,
+        "events_seasonality": q_events_seasonality,
+        "doc_novelty": q_doc_novelty,
         "events_stickiness": q_events_stickiness,
         "url_path_stats": q_url_path_stats,
         "events_new_users": q_events_new_users,
@@ -2236,6 +2254,8 @@ def oracle_sql() -> dict[str, str]:
         "length_outliers": oracle.sql_length_outliers(),
         "events_resample": oracle.sql_events_resample(),
         "events_window_users": oracle.sql_events_window_users(),
+        "events_seasonality": oracle.sql_events_seasonality(),
+        "doc_novelty": oracle.sql_doc_novelty(),
         "events_stickiness": oracle.sql_events_stickiness(),
         "url_path_stats": oracle.sql_url_path_stats(),
         "events_new_users": oracle.sql_events_new_users(),

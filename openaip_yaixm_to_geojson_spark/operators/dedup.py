@@ -864,3 +864,41 @@ def dedup_report(documents: DataFrame, jaccard_threshold: float = 0.5) -> DataFr
             (F.col("n_dropped").cast("double") / F.col("n_docs").cast("double")).alias("dup_ratio"),
         )
     )
+
+
+def doc_novelty(documents: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Per-document contribution novelty: the fraction of a doc's
+    distinct shingles whose FIRST owner (smallest key over the whole
+    corpus) is the doc itself — the dataset-curation signal for ordering
+    / pruning ingestion feeds (a doc that introduces nothing new scores
+    0 even when no single near-duplicate exists). Output (doc_id,
+    n_shingles, n_novel, novelty).
+
+    Scale shape: (doc, shingle)-level dedupe, one min-aggregation per
+    shingle digest, one join back keyed on the digest, one doc-level
+    rollup — every shuffle is digest- or doc-granularity and the shingle
+    TEXT never moves (md5 keys only). The deduped frame feeds the
+    first-owner aggregation and the join-back -> localCheckpoint once."""
+    ds = (
+        documents.select(
+            F.col(key_col).alias("doc"), F.explode(word_shingles(F.col(text_col))).alias("s")
+        )
+        .select("doc", F.md5("s").alias("sh"))
+        .distinct()
+        .localCheckpoint()
+    )
+    first_owner = ds.groupBy("sh").agg(F.min("doc").alias("first_doc"))
+    return (
+        ds.join(first_owner, "sh")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("doc") == F.col("first_doc")).cast("bigint")).alias("n_novel"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")).alias("novelty"),
+        )
+    )

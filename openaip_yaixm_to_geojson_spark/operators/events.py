@@ -946,3 +946,26 @@ def events_stickiness(events: DataFrame, window_days: int = 30) -> DataFrame:
             (F.col("dau").cast("double") / F.col("mau").cast("double")).alias("stickiness"),
         )
     )
+
+
+def events_seasonality(events: DataFrame) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: (event_type,
+    hour_of_day, n_events, frac_of_type) — the diurnal-shape view
+    capacity planning and anomaly baselines start from. ONE map-side-
+    partial aggregation at #types x 24 granularity; hour extraction is
+    the UTC-pinned hour() (session timezone contract); frac is exact
+    counts with one division per row of a tiny result."""
+    from pyspark.sql import Window
+
+    agg = (
+        events.select("event_type", F.hour(F.col("ts").cast("timestamp")).alias("hour_of_day"))
+        .groupBy("event_type", "hour_of_day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tot = Window.partitionBy("event_type")
+    return agg.select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        (F.col("n_events").cast("double") / F.sum("n_events").over(tot).cast("double")).alias("frac_of_type"),
+    )

@@ -3555,3 +3555,30 @@ SELECT d.source, COUNT(*) AS n_docs,
          / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
 FROM documents d JOIN c ON c.key = d.doc_id
 GROUP BY d.source"""
+
+
+def sql_events_seasonality() -> str:
+    """events.events_seasonality twin: hour() on the UTC-pinned session,
+    fractions via a correlated total."""
+    return """WITH a AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, SUM(n_events) AS tot FROM a GROUP BY 1)
+SELECT a.event_type, a.hour_of_day, a.n_events,
+       CAST(a.n_events AS DOUBLE) / CAST(t.tot AS DOUBLE) AS frac_of_type
+FROM a JOIN t ON t.event_type = a.event_type"""
+
+
+def sql_doc_novelty() -> str:
+    """dedup.doc_novelty twin: same first-owner rule via a correlated MIN
+    join on the shingle digest."""
+    return f"""WITH sh0 AS (SELECT doc_id AS doc, {SHINGLES_EXPR} AS shingles FROM documents),
+ds AS (SELECT DISTINCT doc, md5(unnest(shingles)) AS sh FROM sh0),
+fo AS (SELECT sh, MIN(doc) AS first_doc FROM ds GROUP BY 1)
+SELECT ds.doc AS doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN ds.doc = fo.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN ds.doc = fo.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM ds JOIN fo ON fo.sh = ds.sh
+GROUP BY ds.doc"""

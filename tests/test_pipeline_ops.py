@@ -2053,3 +2053,30 @@ def test_dedup_report_hand_case(spark):
     assert (got["s1"]["n_docs"], got["s1"]["n_representatives"], got["s1"]["n_dropped"]) == (2, 1, 1)
     assert (got["s2"]["n_docs"], got["s2"]["n_representatives"], got["s2"]["n_dropped"]) == (2, 1, 1)
     assert got["s1"]["dup_ratio"] == 0.5
+
+
+def test_doc_novelty_and_seasonality(spark):
+    """Novelty: the first doc owns all its shingles (1.0); an exact copy
+    later owns none (0.0); a half-overlap doc scores its new fraction.
+    Seasonality fractions per type sum to 1."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import doc_novelty
+    from openaip_yaixm_to_geojson_spark.operators.events import events_seasonality
+
+    base = "a b c d e f"          # shingles: abc bcd cde def (4)
+    rows = [
+        (1, base),
+        (2, base),                 # exact copy: novelty 0
+        (3, "e f g h i"),          # shingles efg fgh ghi (3, all new)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in doc_novelty(df).collect()}
+    assert got[1]["novelty"] == 1.0 and got[2]["novelty"] == 0.0
+    assert got[3]["n_shingles"] == 3 and got[3]["novelty"] == 1.0
+
+    ev = spark.createDataFrame(
+        [(i, "t", f"2024-01-01 {i % 24:02d}:00:00") for i in range(48)],
+        "event_id bigint, event_type string, ts_s string",
+    ).select("event_id", "event_type", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    rows2 = events_seasonality(ev).collect()
+    assert len(rows2) == 24 and abs(sum(r["frac_of_type"] for r in rows2) - 1.0) < 1e-12
+    assert all(r["n_events"] == 2 for r in rows2)
