@@ -472,11 +472,15 @@ def events_decay(
     volume. One map-side-partial shuffle on event_type."""
     period_us = 86_400_000_000 * half_life_days
     # shiftleft's shift must be an expression here (a pyspark literal-only
-    # parameter), and the age floor is integer `div` — never float division
+    # parameter), and the age floor is integer `div` — never float division.
+    # The age is bracketed into [0, cap_days]: an event AFTER the anchor
+    # would give a negative age, pushing the shift past 63 where Spark
+    # silently wraps mod 64 while DuckDB raises (and // vs div floor
+    # semantics diverge on negatives) — greatest(..., 0) pins both engines
     w = F.expr(
-        f"shiftleft(CAST(1 AS BIGINT), {cap_days} - least("
+        f"shiftleft(CAST(1 AS BIGINT), {cap_days} - least(greatest("
         f"({anchor_us} - unix_micros(CAST(ts AS TIMESTAMP))) div {period_us}, "
-        f"CAST({cap_days} AS BIGINT)))"
+        f"CAST(0 AS BIGINT)), CAST({cap_days} AS BIGINT)))"
     )
     return (
         events.select("event_type", w.alias("w"))

@@ -253,7 +253,12 @@ def hll_distinct(
     ).select(
         "grp",
         "idx",
-        F.when(F.col("rem") == 0, F.lit(HLL_REM_BITS + 1))
+        # rem == 0 is capped at HLL_REM_BITS (not REM_BITS+1): the uncapped
+        # rank would make the register weight shiftleft(1, -1), which Spark
+        # wraps mod 64 (adds -2^63) while DuckDB raises — divergent engines
+        # at production vocabulary sizes (P(rem==0) ~ 2^-22 per pair). The
+        # harmonic-sum error of the cap is below the sketch's noise floor.
+        F.when(F.col("rem") == 0, F.lit(HLL_REM_BITS))
         .otherwise(F.lit(HLL_REM_BITS + 1) - F.length(F.bin("rem")))
         .alias("rnk"),
     )

@@ -645,8 +645,15 @@ def mixture_allocate(
         .select(
             "grp",
             "wt",
-            F.expr(f"CAST({budget} AS BIGINT) * wt div total").alias("base"),
-            F.expr(f"(CAST({budget} AS BIGINT) * wt) % total").alias("rem"),
+            # budget * wt in DECIMAL(38,0), not BIGINT: with corpus-scale
+            # weights (wt > ~9.2e18/budget) the BIGINT product silently
+            # wraps in non-ANSI Spark while DuckDB raises — DECIMAL keeps
+            # the product exact to 38 digits; div returns BIGINT, the
+            # remainder is only an ordering key
+            F.expr(f"CAST(CAST({budget} AS DECIMAL(38,0)) * wt div total AS BIGINT)").alias(
+                "base"
+            ),
+            F.expr(f"(CAST({budget} AS DECIMAL(38,0)) * wt) % total").alias("rem"),
         )
     )
     from pyspark.sql import Window

@@ -2041,7 +2041,7 @@ hm AS (SELECT grp, md5(term) AS mh FROM p),
 hs AS (SELECT grp, {_hexcol_sql('mh', 1)} AS h FROM hm),
 rg AS (SELECT grp, h // {rem_mod} AS idx, h % {rem_mod} AS rem FROM hs),
 rk AS (SELECT grp, idx,
-       CASE WHEN rem = 0 THEN {rb1} ELSE {rb1} - length(bin(rem)) END AS rnk FROM rg),
+       CASE WHEN rem = 0 THEN {HLL_REM_BITS} ELSE {rb1} - length(bin(rem)) END AS rnk FROM rg),
 ag AS (SELECT grp, idx, MAX(rnk) AS rmax, COUNT(*) AS cnt FROM rk GROUP BY grp, idx),
 fin AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_exact,
         CAST(COUNT(*) AS BIGINT) AS n_registers,
@@ -2341,8 +2341,8 @@ def sql_mixture_allocate(budget: int = 1_000_000) -> str:
            FROM documents GROUP BY 1),
 t AS (SELECT CAST(SUM(wt) AS BIGINT) AS total FROM w),
 s AS (SELECT grp, wt,
-             (CAST({budget} AS BIGINT) * wt) // total AS base,
-             (CAST({budget} AS BIGINT) * wt) % total AS rem
+             CAST((CAST({budget} AS HUGEINT) * wt) // total AS BIGINT) AS base,
+             (CAST({budget} AS HUGEINT) * wt) % total AS rem
       FROM w CROSS JOIN t),
 r AS (SELECT grp, wt, base,
              ROW_NUMBER() OVER (ORDER BY rem DESC, grp) AS rem_rank,
@@ -2616,9 +2616,9 @@ def sql_events_decay(
     period_us = 86_400_000_000 * half_life_days
     return f"""WITH w AS (
   SELECT event_type,
-         (CAST(1 AS BIGINT) << CAST({cap_days} - LEAST(
+         (CAST(1 AS BIGINT) << CAST({cap_days} - LEAST(GREATEST(
             ({anchor_us} - epoch_us(ts)) // {period_us},
-            {cap_days}) AS INTEGER)) AS w
+            0), {cap_days}) AS INTEGER)) AS w
   FROM events
 )
 SELECT event_type, COUNT(*) AS n_events,

@@ -1354,6 +1354,48 @@ def test_events_decay_weights_exact(spark):
     assert r["decayed_weight"] == 2**cap + 2 ** (cap - 2) + 1
 
 
+def test_events_decay_future_event_clamps_to_age_zero(spark):
+    """An event AFTER the anchor gives a negative raw age; unclamped, the
+    shift exceeds cap_days and past 63 Spark wraps mod 64 (bogus or
+    negative weights) while DuckDB raises. The age is bracketed into
+    [0, cap]: a future event weighs exactly 2^cap, same as age 0."""
+    from openaip_yaixm_to_geojson_spark.operators.events import (
+        DECAY_AGE_CAP_DAYS,
+        events_decay,
+    )
+
+    rows = [
+        (1, 1, "view", "2025-06-01 00:00:00", 0.0),  # ~16 months past anchor
+        (2, 2, "view", "2024-01-31 23:59:59", 0.0),  # age 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts_s string, value double"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value",
+    )
+    [r] = events_decay(df).collect()
+    cap = DECAY_AGE_CAP_DAYS
+    assert r["max_weight"] == 2**cap
+    assert r["decayed_weight"] == 2 * 2**cap
+
+
+def test_mixture_allocate_corpus_scale_weights_no_bigint_wrap(spark):
+    """budget * wt used to be a BIGINT product: with wt > ~9.2e18/budget
+    Spark non-ANSI silently wraps (negative quotas) while DuckDB raises.
+    The quota arithmetic is now DECIMAL/HUGEINT-exact: weights of 1e13
+    chars at a 1M budget allocate proportionally and sum to the budget."""
+    from openaip_yaixm_to_geojson_spark.operators.text import mixture_allocate
+
+    big = 10**13  # budget * wt = 1e19 > 2^63
+    docs = spark.createDataFrame(
+        [(1, "a", 3 * big), (2, "b", big)], "doc_id bigint, source string, n_chars bigint"
+    )
+    got = {r["source"]: r["quota"] for r in mixture_allocate(docs, budget=1_000_000).collect()}
+    assert got == {"a": 750_000, "b": 250_000}
+    assert all(q >= 0 for q in got.values())
+
+
 def test_scd2_lookup_zero_length_run_tie(spark):
     """A same-microsecond dimension boundary produces a zero-length
     [t, t) run; a probe AT t must see the superseding run, and a probe

@@ -753,6 +753,45 @@ def test_hll_distinct_estimator(spark):
     assert abs(row["hll_estimate"] - n) / n < 5 * 1.04 / (HLL_M ** 0.5)
 
 
+def test_hll_rem_zero_rank_is_capped(spark):
+    """A token whose 32-bit md5 prefix has its low REM_BITS bits all zero
+    (tok4546933: h=2315255808, rem=0) used to rank REM_BITS+1, making the
+    register weight shiftleft(1, -1) — Spark wraps the shift mod 64
+    (silently adding -2^63 to occ_sum) while DuckDB raises. The rank is
+    now capped at REM_BITS: weight 1, reg_sum stays in-bounds, and the
+    Spark result equals the DuckDB oracle on the same rows."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import (
+        HLL_M,
+        HLL_REM_BITS,
+        hll_distinct,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tok4546933 alpha beta", "g")], "doc_id bigint, text string, source string"
+    )
+    (row,) = hll_distinct(docs).collect()
+    assert row["n_exact"] == 3
+    # the rem==0 register contributes weight 2^(REM_BITS - REM_BITS) = 1,
+    # never a negative-shift wrap; all weights stay in [1, 2^REM_BITS]
+    assert HLL_M <= row["reg_sum"] <= HLL_M * (1 << HLL_REM_BITS)
+
+    import duckdb
+
+    from openaip_yaixm_to_geojson_spark.oracle import sql_hll_distinct
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id,"
+        " 'tok4546933 alpha beta' AS text, 'g' AS source"
+    )
+    (oracle,) = con.execute(sql_hll_distinct()).fetchall()
+    cols = [d[0] for d in con.description]
+    orow = dict(zip(cols, oracle))
+    assert orow["reg_sum"] == row["reg_sum"]
+    assert orow["n_exact"] == row["n_exact"]
+    assert orow["hll_estimate"] == row["hll_estimate"]
+
+
 def test_hll_register_state_is_bounded(spark):
     """The per-group register state is <= m rows whatever the corpus size
     (the scale contract): two disjoint half-corpora merged by max-rank
