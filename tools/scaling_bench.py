@@ -242,25 +242,29 @@ JOBS = {
 def measure(cores: int, data_dir: str, reps: int, job: str = "spatial") -> dict:
     from openaip_yaixm_to_geojson_spark.plans.session import build_session
 
+    from openaip_yaixm_to_geojson_spark.plans.hostnoise import timed_samples
+
     spark = build_session(app_name=f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
     df, run = JOBS[job](spark, data_dir)
     n_docs = df.count()
     rollup_rows = run()  # warm pass
-    samples = []
-    for _ in range(reps):
-        start = time.perf_counter()
-        run()
-        samples.append(round(time.perf_counter() - start, 3))
+    # every sample carries its /proc/stat steal delta (hypervisor noise is
+    # episodic and 2-4x on this host); auto-resample up to 2 extra passes
+    # if none was quiet, so efficiency numbers self-identify as clean
+    r = timed_samples(run, passes=reps, retry_budget=2)
     spark.stop()
-    best = min(samples)
     return {
         "cores": cores,
         "n_docs": n_docs,
         "rollup_rows": rollup_rows,
-        "samples_sec": samples,
-        "best_sec": best,
-        "docs_per_sec": round(n_docs / best),
+        "samples_sec": [s["sec"] for s in r["samples"]],
+        "samples_meta": r["samples"],
+        "best_sec": r["sec"],
+        "quiet": r["quiet"],
+        "steal_ratio": r["steal_ratio"],
+        "loadavg_before": r["loadavg_before"],
+        "docs_per_sec": round(n_docs / r["sec"]),
     }
 
 
@@ -321,15 +325,21 @@ def main() -> None:
 
     def best(cores: int) -> dict:
         runs = results[cores]
-        all_samples = [s for r in runs for s in r["samples_sec"]]
-        b = min(all_samples)
+        all_meta = [s for r in runs for s in r["samples_meta"]]
+        # min over quiet samples when any exist: steal only ever inflates
+        # wall time, so preferring quiet samples is conservative
+        pool = [s for s in all_meta if s["quiet"]] or all_meta
+        bs = min(pool, key=lambda s: s["sec"])
         return {
             "cores": cores,
             "n_docs": runs[0]["n_docs"],
             "rollup_rows": runs[0]["rollup_rows"],
-            "samples_sec": all_samples,
-            "best_sec": b,
-            "docs_per_sec": round(runs[0]["n_docs"] / b),
+            "samples_sec": [s["sec"] for s in all_meta],
+            "samples_meta": all_meta,
+            "best_sec": bs["sec"],
+            "quiet": bs["quiet"],
+            "steal_ratio": bs["steal_ratio"],
+            "docs_per_sec": round(runs[0]["n_docs"] / bs["sec"]),
         }
 
     small, big = best(n_small), best(n_big)
