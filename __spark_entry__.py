@@ -270,6 +270,37 @@ def q_knn_edge_table(spark, sf_dir):
     return knn_edge_ring_expansion_table(pages, polys_df).select("url", "poly_id", "dist_sq")
 
 
+def q_knn_k(spark, sf_dir):
+    """k=3 nearest DISTINCT airspaces per page by vertex distance (r4
+    VERDICT item 3): the ring-expansion guarantee generalized to the k-th
+    distance, per-(url, poly_id) MIN before the per-url top-k, cross-round
+    merge deduped by poly_id — brute-force ROW_NUMBER <= k oracle."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_k
+
+    pages = pages_from_documents(spark, sf_dir)
+    return knn_k(pages, fixture_polygons(), k=3)
+
+
+def q_knn_table_k(spark, sf_dir):
+    """knn_k with the polygon side a TABLE end to end (distributed vertex
+    index; same oracle as knn_k)."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_table_k
+    from openaip_yaixm_to_geojson_spark.operators.spatial import polygons_to_df
+
+    pages = pages_from_documents(spark, sf_dir)
+    return knn_table_k(pages, polygons_to_df(spark, fixture_polygons()), k=3)
+
+
+def q_knn_edge_k(spark, sf_dir):
+    """k=3 nearest airspaces by EXACT point-to-segment distance — the
+    edge-exact kNN generalized to k > 1 (sampled-segment candidates,
+    exact clamped-projection distances, 0.5-cell bound margin)."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_edge_k
+
+    pages = pages_from_documents(spark, sf_dir)
+    return knn_edge_k(pages, fixture_polygons(), k=3)
+
+
 def q_tile_doc_counts(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir)
     return tile_doc_counts(pages, DEFAULT_TILE_RES)
@@ -1953,6 +1984,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_edge": q_knn_edge,
         "knn_edge_table": q_knn_edge_table,
+        "knn_k": q_knn_k,
+        "knn_table_k": q_knn_table_k,
+        "knn_edge_k": q_knn_edge_k,
         "tile_doc_counts": q_tile_doc_counts,
         "tile_class_rollup": q_tile_class_rollup,
         "tile_mode_class": q_tile_mode_class,
@@ -2127,6 +2161,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": oracle.sql_knn(),
         "knn_edge": oracle.sql_knn_edge(),
         "knn_edge_table": oracle.sql_knn_edge(),
+        "knn_k": oracle.sql_knn_k(k=3),
+        "knn_table_k": oracle.sql_knn_k(k=3),
+        "knn_edge_k": oracle.sql_knn_edge_k(k=3),
         "tile_doc_counts": oracle.sql_tile_doc_counts(),
         "tile_class_rollup": oracle.sql_tile_class_rollup(),
         "tile_mode_class": oracle.sql_tile_mode_class(),

@@ -793,3 +793,225 @@ def knn_points(
     for df in finalized[1:]:
         out = out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# k > 1 polygon kNN (r4 VERDICT item 3): k nearest DISTINCT airspaces
+# ---------------------------------------------------------------------------
+
+KNN_K_OUT_COLS = ("url", "rnk", "poly_id", "dist_sq")
+_BEST_T = "array<struct<d2:double,poly_id:int>>"
+
+
+def _explode_best_k(df: DataFrame) -> DataFrame:
+    return df.select("url", F.posexplode("best")).select(
+        "url",
+        (F.col("pos") + 1).cast("int").alias("rnk"),
+        F.col("col.poly_id").alias("poly_id"),
+        F.col("col.d2").alias("dist_sq"),
+    )
+
+
+def _topk_distinct_pid(best_col: str, cand_col: str, k: int):
+    """Merge two (d2, poly_id) struct arrays into the k smallest entries
+    with DISTINCT poly_ids, keyed by (d2, poly_id) ascending. The dedup is
+    an aggregate() fold over the sorted concat — the fold state `acc` is
+    lambda-local, so nothing outer re-evaluates per element (the HOF
+    re-inline trap), and the fold caps acc at k so work per row is O(k^2)
+    on arrays of at most 2k entries."""
+    return F.expr(
+        f"aggregate(array_sort(concat({best_col}, coalesce({cand_col}, "
+        f"cast(array() as {_BEST_T})))), cast(array() as {_BEST_T}), "
+        f"(acc, x) -> CASE WHEN size(acc) >= {k} "
+        f"OR exists(acc, y -> y.poly_id = x.poly_id) "
+        f"THEN acc ELSE array_append(acc, x) END)"
+    )
+
+
+def _bruteforce_k(tail: DataFrame, vindex: DataFrame, d2_expr: Column, k: int) -> DataFrame:
+    """Exact k-nearest-polygon scan for the expansion stragglers: broadcast
+    the (small) tail against every index partition, reduce to the per
+    (url, poly_id) MIN first — a polygon's many index rows must never
+    occupy more than one top-k slot — then one per-url top-k."""
+    t = tail.select("url", "lat", "lon")
+    return (
+        vindex.crossJoin(F.broadcast(t))
+        .withColumn("d2", d2_expr)
+        .groupBy("url", "poly_id")
+        .agg(F.min("d2").alias("d2"))
+        .groupBy("url")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct(F.col("d2"), F.col("poly_id")))), 1, k
+            ).alias("best")
+        )
+    )
+
+
+def _expansion_loop_k(
+    pages: DataFrame,
+    vindex: DataFrame,
+    n_index: int,
+    res: int,
+    windows: tuple[tuple[int, int], ...],
+    k: int,
+    payload_cols: tuple[str, ...] = ("vlon", "vlat"),
+    d2_expr: Column | None = None,
+    bound_margin: float = 0.0,
+) -> DataFrame:
+    """Ring-expansion generalized from nearest-1 to the k nearest DISTINCT
+    polygons per page (url, rnk, poly_id, dist_sq), rnk 1..k by (dist_sq,
+    poly_id).
+
+    The single-best guarantee generalizes to the K-TH best: a page
+    finalizes once it holds k distinct polygons whose k-th distance is
+    STRICTLY under ((hi - margin) * cell_size)^2 — any index point in an
+    unseen ring (Chebyshev > hi) is at least (hi - margin) * size away
+    (margin 0.5 for sampled-segment indexes, see _expansion_loop), so no
+    unseen point can enter the top k OR improve any reported polygon's
+    distance; strict < keeps an exactly-on-the-bound unseen polygon from
+    stealing the k-th slot via the poly_id tie-break.
+
+    Per round, candidates reduce to the per-(url, poly_id) MIN before the
+    per-url top-k (a polygon's many vertices must fill one slot, not k),
+    and the carried state merges by min-per-poly_id (a later ring can
+    re-surface an already-held polygon; the sorted-fold dedup keeps the
+    smaller key). Truncating each round's candidates to k is lossless: a
+    dropped entry is (d2, pid)-dominated by k distinct kept polygons whose
+    merged keys only ever improve.
+
+    Scale shape matches _expansion_loop: the index side explodes across
+    the window annulus (pages never explode), broadcast while small,
+    shuffle-join past BROADCAST_INDEX_MAX_ROWS; per-page state is one
+    <= k struct array; each round barriers on a localCheckpoint of the
+    shrinking pending set."""
+    spark = pages.sparkSession
+    size = cellgrid.cell_size_deg(res)
+    if d2_expr is None:
+        d2_expr = (F.col("lon") - F.col("vlon")) * (F.col("lon") - F.col("vlon")) + (
+            F.col("lat") - F.col("vlat")
+        ) * (F.col("lat") - F.col("vlat"))
+
+    pending = (
+        pages.select("url", "lat", "lon")
+        .withColumn("cell", cellgrid.cell_id_col(F.col("lon"), F.col("lat"), res))
+        .withColumn("best", F.expr(f"cast(array() as {_BEST_T})"))
+    )
+    finalized: list[DataFrame] = []
+
+    for lo, hi in windows:
+        offsets = [
+            (dx, dy)
+            for dx in range(-hi, hi + 1)
+            for dy in range(-hi, hi + 1)
+            if lo <= max(abs(dx), abs(dy)) <= hi
+        ]
+        off_df = spark.createDataFrame(
+            [(dy * cellgrid._SHIFT + dx,) for dx, dy in offsets], "off bigint"
+        )
+        vwin = vindex.crossJoin(off_df).select(
+            (F.col("vcell") + F.col("off")).alias("cell"), "poly_id", *payload_cols
+        )
+        if n_index * len(offsets) <= BROADCAST_INDEX_MAX_ROWS:
+            vwin = F.broadcast(vwin)
+        cand = (
+            pending.select("url", "lat", "lon", "cell")
+            .join(vwin, "cell")
+            .withColumn("d2", d2_expr)
+            .groupBy("url", "poly_id")
+            .agg(F.min("d2").alias("d2"))
+            .groupBy("url")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct(F.col("d2"), F.col("poly_id")))),
+                    1,
+                    k,
+                ).alias("cbest")
+            )
+        )
+        merged = pending.join(cand, "url", "left").select(
+            "url",
+            "lat",
+            "lon",
+            "cell",
+            _topk_distinct_pid("best", "cbest", k).alias("best"),
+        )
+        bound = float(((hi - bound_margin) * size) * ((hi - bound_margin) * size))
+        guarantee = (F.size("best") >= k) & (
+            F.element_at("best", k)["d2"] < F.lit(bound)
+        )
+        finalized.append(_explode_best_k(merged.where(guarantee)))
+        pending = merged.where(~guarantee).localCheckpoint()
+        if pending.isEmpty():
+            pending = None
+            break
+
+    if pending is not None and not pending.isEmpty():
+        finalized.append(_explode_best_k(_bruteforce_k(pending, vindex, d2_expr, k)))
+
+    out = finalized[0]
+    for df in finalized[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def knn_k(
+    pages: DataFrame,
+    polygons: list[dict[str, Any]],
+    k: int = 3,
+    res: int = KNN_RES,
+    windows: tuple[tuple[int, int], ...] = ((0, 1), (2, 15)),
+) -> DataFrame:
+    """k nearest airspaces per page by VERTEX distance (url, rnk, poly_id,
+    dist_sq) — knn_ring_expansion generalized to k > 1."""
+    spark = pages.sparkSession
+    vindex = vertex_index_df(spark, polygons, res)
+    n_vertices = sum(len(p["ring"]) - 1 for p in polygons)
+    return _expansion_loop_k(pages, vindex, n_vertices, res, windows, k)
+
+
+def knn_edge_k(
+    pages: DataFrame,
+    polygons: list[dict[str, Any]],
+    k: int = 3,
+    res: int = KNN_RES,
+    windows: tuple[tuple[int, int], ...] = ((0, 1), (2, 15)),
+) -> DataFrame:
+    """k nearest airspaces per page by EXACT point-to-segment distance —
+    knn_edge_ring_expansion generalized to k > 1 (sampling drives
+    candidates only; reported distances are the exact clamped projection;
+    bound_margin 0.5 covers the <= cell_size sample spacing)."""
+    spark = pages.sparkSession
+    sindex = segment_index_df(spark, polygons, res)
+    n_index = sindex.count()
+    return _expansion_loop_k(
+        pages,
+        sindex,
+        n_index,
+        res,
+        windows,
+        k,
+        payload_cols=_SEG_PAYLOAD,
+        d2_expr=seg_d2_expr(),
+        bound_margin=0.5,
+    )
+
+
+def knn_table_k(
+    pages: DataFrame,
+    polygons_df: DataFrame,
+    k: int = 3,
+    res: int = KNN_RES,
+    windows: tuple[tuple[int, int], ...] = ((0, 1), (2, 15)),
+) -> DataFrame:
+    """knn_k with the polygon side as a TABLE end to end (distributed
+    vertex index, nothing polygon-shaped on the driver — the 100-TB
+    shape). The index feeds every round plus the fallback, so it is
+    checkpointed once (fan-out audit rule)."""
+    vindex = (
+        vertex_index_from_table(polygons_df, res)
+        .coalesce(pages.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+    n_vertices = vindex.count()
+    return _expansion_loop_k(pages, vindex, n_vertices, res, windows, k)

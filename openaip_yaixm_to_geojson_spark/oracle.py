@@ -135,6 +135,51 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist_sq, poly_id) A
 WHERE rn = 1"""
 
 
+def sql_knn_k(k: int = 3) -> str:
+    """knn.knn_k twin, index-free: per-(url, poly_id) MIN vertex distance
+    over ALL embedded vertices (a polygon's many vertices fill one slot),
+    then ROW_NUMBER by (dist_sq, poly_id) kept through rank k — verifying
+    the k-th-distance finalization bound, the min-per-poly_id cross-round
+    merge and the round-candidate truncation against brute force."""
+    return f"""WITH {pages_with()},
+d AS (
+  SELECT p.url, v.poly_id,
+         MIN((p.lon - v.vlon) * (p.lon - v.vlon) + (p.lat - v.vlat) * (p.lat - v.vlat)) AS dist_sq
+  FROM pages p JOIN {vertices_values()} ON TRUE
+  GROUP BY p.url, v.poly_id
+)
+SELECT url, CAST(rn AS INT) AS rnk, poly_id, dist_sq
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist_sq, poly_id) AS rn FROM d)
+WHERE rn <= {k}"""
+
+
+def sql_knn_edge_k(k: int = 3) -> str:
+    """knn.knn_edge_k twin: the sql_knn_edge point-to-segment formulation
+    (identical clamped-projection op order) ranked through k instead of 1."""
+    return f"""WITH {pages_with()},
+seg AS (
+  SELECT p.url, e.poly_id,
+         (e.x2 - e.x1) AS dx, (e.y2 - e.y1) AS dyy,
+         (p.lon - e.x1) AS px, (p.lat - e.y1) AS py
+  FROM pages p JOIN {edges_values()} ON TRUE
+),
+tt AS (
+  SELECT url, poly_id, dx, dyy, px, py,
+         (px * dx + py * dyy) AS dot, (dx * dx + dyy * dyy) AS len2
+  FROM seg
+),
+dd AS (
+  SELECT url, poly_id,
+         (px - (CASE WHEN dot <= 0 THEN 0 WHEN dot >= len2 THEN 1 ELSE dot / len2 END) * dx) AS ex,
+         (py - (CASE WHEN dot <= 0 THEN 0 WHEN dot >= len2 THEN 1 ELSE dot / len2 END) * dyy) AS ey
+  FROM tt
+),
+d AS (SELECT url, poly_id, MIN(ex * ex + ey * ey) AS dist_sq FROM dd GROUP BY url, poly_id)
+SELECT url, CAST(rn AS INT) AS rnk, poly_id, dist_sq
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist_sq, poly_id) AS rn FROM d)
+WHERE rn <= {k}"""
+
+
 def sql_geo_cluster_cells(res: int = 7, min_pts: int = 2) -> str:
     """spatial.geo_cluster_cells twin with an INDEPENDENT component
     strategy: the dense-cell adjacency closure as a recursive-CTE

@@ -904,3 +904,63 @@ def test_tile_unmatched_counts_complement(spark):
             matched_tiles[r["tile_id"]] = matched_tiles.get(r["tile_id"], 0) + 1
     for t, n in total.items():
         assert unmatched.get(t, 0) + matched_tiles.get(t, 0) == n
+
+
+def test_knn_k_crosses_ring_boundary(spark):
+    """k=3 where the 2nd and 3rd nearest polygons live BEYOND the first
+    window's rings: round 1 (rings 0-1) finds only polygon A, so the page
+    cannot finalize (k unmet); round 2 (rings 2-15) surfaces B (ring 3)
+    and C (ring 5) and the k-th-distance guarantee closes. B also has a
+    second, farther vertex (ring 6) — the distinct-poly_id merge must
+    give B ONE slot at its MIN distance. Verified against an independent
+    NumPy brute force (min per pid over vertices, rank by (d2, pid))."""
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.operators.knn import (
+        _vertex_arrays,
+        knn_edge_k,
+        knn_k,
+    )
+
+    def tri(pid, cx, cy, extra=None):
+        ring = [[cx, cy], [cx + 0.01, cy], [cx, cy + 0.01]]
+        if extra is not None:
+            ring.append(extra)
+        ring.append([cx, cy])
+        return {"poly_id": pid, "ring": ring}
+
+    polys = [
+        tri(1, 0.15, 0.05),                          # ring 0 from the page
+        tri(2, 2.30, 0.05, extra=[4.50, 0.05]),      # rings 3 and 6 (dedup)
+        tri(3, 3.60, 0.05),                          # ring 5
+    ]
+    pages = spark.createDataFrame([("u1", 0.05, 0.05)], "url string, lat double, lon double")
+
+    got = sorted(
+        (r["rnk"], r["poly_id"], r["dist_sq"]) for r in knn_k(pages, polys, k=3).collect()
+    )
+    pids, vx, vy = _vertex_arrays(polys)
+    d2 = (vx - 0.05) ** 2 + (vy - 0.05) ** 2
+    per_pid = sorted((min(d2[pids == p]), int(p)) for p in np.unique(pids))
+    want = sorted((i + 1, p, d) for i, (d, p) in enumerate(per_pid[:3]))
+    assert got == want
+    # the three slots are distinct polygons and B's slot is its MIN vertex
+    assert [p for _, p, _ in got] == [1, 2, 3]
+    assert got[1][2] == (2.30 - 0.05) ** 2
+
+    # edge variant crosses the same boundary; segment distances via the
+    # shared exact kernel (the nearest point of A's hypotenuse beats its
+    # vertices, so the edge distance differs from the vertex distance)
+    from openaip_yaixm_to_geojson_spark.operators.knn import _seg_d2_np, _segment_arrays
+
+    spids, ax, ay, bx, by = _segment_arrays(polys)
+    ed2 = _seg_d2_np(
+        np.full(len(ax), 0.05), np.full(len(ax), 0.05), ax, ay, bx, by
+    )
+    eper = sorted((min(ed2[spids == p]), int(p)) for p in np.unique(spids))
+    ewant = sorted((i + 1, p, d) for i, (d, p) in enumerate(eper[:3]))
+    egot = sorted(
+        (r["rnk"], r["poly_id"], r["dist_sq"])
+        for r in knn_edge_k(pages, polys, k=3).collect()
+    )
+    assert egot == ewant
