@@ -452,26 +452,45 @@ def simhash64(text: Column) -> Column:
     def kernel(texts: pd.Series) -> pd.Series:
         import hashlib
 
+        # Per-batch token memo (r4 VERDICT item 4): natural-language corpora
+        # are Zipf-distributed, so hot tokens dominate — md5 runs once per
+        # UNIQUE token per batch, and the 64-bit vote unpacking is one
+        # vectorized np.unpackbits over all unique digests instead of a
+        # 64-step Python loop per token occurrence.
         out = np.zeros(len(texts), dtype=np.int64)
-        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
-        for row, txt in enumerate(texts):
+        memo: dict[str, int] = {}
+        digests = bytearray()
+        tok_rows: list[np.ndarray | None] = []
+        for txt in texts:
             if txt is None:
                 # expression-twin contract: a NULL text nulls every vote_sum,
                 # each CASE falls to its ELSE 0, so the sketch is 0 — not NULL
+                tok_rows.append(None)
                 continue
-            counts = np.zeros(64, dtype=np.int64)
+            idxs = []
             for tok in ws.split(txt.strip(" ")):
-                h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
-                # hexdigest char `pos` is digest bits [63-4*pos-3 .. 63-4*pos];
-                # simhash bit pos*4+bit tests (digit >> bit) & 1, i.e. digest
-                # bit 63 - 4*pos - (3 - bit) — precompute the index map once
-                for pos in range(16):
-                    d = (h >> (60 - 4 * pos)) & 0xF
-                    base = pos * 4
-                    counts[base] += 1 if (d & 1) else -1
-                    counts[base + 1] += 1 if (d & 2) else -1
-                    counts[base + 2] += 1 if (d & 4) else -1
-                    counts[base + 3] += 1 if (d & 8) else -1
+                i = memo.get(tok)
+                if i is None:
+                    i = len(memo)
+                    memo[tok] = i
+                    digests += hashlib.md5(tok.encode("utf-8")).digest()[:8]
+                idxs.append(i)
+            tok_rows.append(np.asarray(idxs, dtype=np.int64))
+        if memo:
+            # simhash bit pos*4+b tests bit b of hexdigest nibble `pos`;
+            # digest byte j holds nibbles pos=2j (high) and pos=2j+1 (low),
+            # so little-endian unpackbits needs the two nibble groups of
+            # each byte swapped to land in simhash bit order
+            raw = np.frombuffer(bytes(digests), dtype=np.uint8)
+            unpacked = np.unpackbits(raw, bitorder="little").reshape(len(memo), 8, 2, 4)
+            votes = (
+                2 * unpacked[:, :, ::-1, :].reshape(len(memo), 64).astype(np.int32) - 1
+            )
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+        for row, idxs in enumerate(tok_rows):
+            if idxs is None:
+                continue
+            counts = votes[idxs].sum(axis=0, dtype=np.int64)
             bits = (counts >= 0).astype(np.uint64)
             val = int((bits * weights).sum())  # unsigned 64-bit value
             out[row] = val - (1 << 64) if val >= (1 << 63) else val
