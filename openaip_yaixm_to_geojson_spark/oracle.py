@@ -2196,6 +2196,86 @@ SELECT key, stream, tok_offset, n_tokens, tok_offset // {capacity} AS window_id
 FROM c"""
 
 
+def _pipeline_corpus_cte(quality_min: float = 0.7, sample_fraction: float = 0.5) -> str:
+    """The corpus-pipeline selection (plans/pipeline.run_corpus_pipeline)
+    recomputed as one CTE chain ending in `corpus(doc_id, text)`:
+    normalization-fingerprint dedup FIRST (representative = min doc_id per
+    fingerprint over ALL analyzed docs — the pipeline dedups the analyzed
+    stage, unlike sql_corpus_clean's filter-then-dedup operator), then the
+    quality floor, then the deterministic md5-bucket sample."""
+    from .operators.text import SAMPLE_BUCKETS
+
+    score = _quality_parts()["score"]
+    threshold = int(round(sample_fraction * SAMPLE_BUCKETS))
+    bucket = f"{_hex8_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_BUCKETS}"
+    fp = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""an AS (SELECT doc_id, text, {fp} AS fp, {score} AS q FROM documents),
+dd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM an),
+corpus AS (SELECT doc_id, text FROM dd
+           WHERE rn = 1 AND q >= CAST({quality_min!r} AS DOUBLE) AND {bucket} < {threshold})"""
+
+
+def sql_pipeline_corpus_stats() -> str:
+    """Pipeline corpus_stats stage twin: per-predicted-language doc and
+    token totals over the composed corpus selection (langid CASE identical
+    to sql_langid, SUMs cast from HUGEINT to BIGINT)."""
+    from .operators.text import LANG_STOPWORDS
+
+    hits = {lang: _stopword_hits_sql(words) for lang, words in LANG_STOPWORDS.items()}
+    gmax = "GREATEST(" + ", ".join(f"h_{lang}" for lang in LANG_STOPWORDS) + ")"
+    case = " ".join(
+        f"WHEN h_{lang} = gmax THEN '{lang}'" for lang in sorted(LANG_STOPWORDS, reverse=True)
+    )
+    cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    pieces = "len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]'))"
+    return f"""WITH {_pipeline_corpus_cte()},
+h AS (SELECT doc_id, text, {cols} FROM corpus),
+g AS (SELECT *, {gmax} AS gmax FROM h),
+p AS (SELECT doc_id, (CASE {case} END) AS lang_pred,
+             CAST(len({_WORDS}) AS INTEGER) AS n_tokens_ws,
+             CAST({pieces} AS INTEGER) AS n_tokens_bpe
+      FROM g)
+SELECT lang_pred, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens_ws) AS BIGINT) AS total_tokens_ws,
+       CAST(SUM(n_tokens_bpe) AS BIGINT) AS total_tokens_bpe
+FROM p GROUP BY lang_pred"""
+
+
+def sql_pipeline_chunks(size: int = 64, stride: int = 48) -> str:
+    """Pipeline chunks EXPORT stage twin: the sql_chunk_documents body over
+    the composed corpus selection instead of raw documents."""
+    return f"""WITH {_pipeline_corpus_cte()},
+w AS (SELECT doc_id AS key, {_WORDS} AS words FROM corpus),
+s AS (SELECT key, words, unnest(range(0, len(words), {stride})) AS s FROM w)
+SELECT key, s // {stride} AS chunk_id, s AS chunk_start,
+       CAST(LEAST({size}, len(words) - s) AS BIGINT) AS chunk_tokens,
+       array_to_string(words[s + 1 : s + {size}], ' ') AS chunk_text
+FROM s"""
+
+
+def sql_pipeline_packed(capacity: int = 512, n_streams: int = 8) -> str:
+    """Pipeline packed EXPORT stage twin: the sql_pack_documents body over
+    the composed corpus selection."""
+    h = _hex8_sql("CAST(doc_id AS VARCHAR)")
+    return f"""WITH {_pipeline_corpus_cte()},
+t AS (
+  SELECT doc_id AS key, {h} AS h,
+         CAST({h} % {n_streams} AS BIGINT) AS stream,
+         CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+  FROM corpus
+),
+c AS (
+  SELECT key, stream, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY stream ORDER BY h, key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) - n_tokens AS tok_offset
+  FROM t
+)
+SELECT key, stream, tok_offset, n_tokens, tok_offset // {capacity} AS window_id
+FROM c"""
+
+
 def sql_triangle_count() -> str:
     """graph.triangle_count twin: identical canonical-edge dedup, degree-
     ordered orientation via row-value comparison, wedge + closing joins —
