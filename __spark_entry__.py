@@ -187,6 +187,16 @@ def q_polygon_overlap(spark, sf_dir):
     return polygon_overlap_pairs(spark, fixture_polygons())
 
 
+def q_polygon_contains(spark, sf_dir):
+    """Directed airspace NESTING pairs (outer contains inner): cover
+    self-join candidates (provably complete — every inner cover cell is an
+    outer cover cell), refine = all-vertices even-odd inside + no proper
+    edge cross, formulation-shared with the oracle."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import polygon_contains_pairs
+
+    return polygon_contains_pairs(spark, fixture_polygons())
+
+
 def q_polygon_overlap_table(spark, sf_dir):
     """Overlap join with the polygon side a TABLE end to end (distributed
     polyfill cover + ring-attach joins + mapInPandas refine) — nothing
@@ -299,6 +309,18 @@ def q_knn_edge_k(spark, sf_dir):
 
     pages = pages_from_documents(spark, sf_dir)
     return knn_edge_k(pages, fixture_polygons(), k=3)
+
+
+def q_tile_nearest_airspace(spark, sf_dir):
+    """Per-occupied-tile page count + nearest airspace to the tile CENTER
+    (exact segment distance, shared clamped-projection formulation) — kNN
+    on AGGREGATED tile keys: the corpus reduces to distinct tiles before
+    any distance work, so the scan is #tiles x #segments at any corpus
+    size."""
+    from openaip_yaixm_to_geojson_spark.operators.tiles import tile_nearest_airspace
+
+    pages = pages_from_documents(spark, sf_dir)
+    return tile_nearest_airspace(pages, fixture_polygons())
 
 
 def q_tile_doc_counts(spark, sf_dir):
@@ -1961,6 +1983,20 @@ def q_pack_documents(spark, sf_dir):
     return pack_documents(_docs(spark, sf_dir), capacity=512, n_streams=8)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Log-free BM25 document ranking for a fixed query (RSJ odds-ratio
+    term weight — the exp of the classic idf — so every float is a
+    single-rounded IEEE op from exact integers; the score formula is ONE
+    shared SQL string parsed by both engines). Query-term filter before
+    any shuffle; broadcast df/stats; WindowGroupLimit top-k."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import (
+        BM25_DEFAULT_QUERY,
+        bm25_topk,
+    )
+
+    return bm25_topk(_docs(spark, sf_dir), query_terms=BM25_DEFAULT_QUERY, k=20)
+
+
 _PIPELINE_CKPT: dict[str, str] = {}
 
 
@@ -2018,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "airspace_density": q_airspace_density,
         "ring_decimate": q_ring_decimate,
         "polygon_overlap": q_polygon_overlap,
+        "polygon_contains": q_polygon_contains,
         "polygon_overlap_table": q_polygon_overlap_table,
         "knn": q_knn,
         "knn_table": q_knn_table,
@@ -2030,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_table_k": q_knn_table_k,
         "knn_edge_k": q_knn_edge_k,
         "tile_doc_counts": q_tile_doc_counts,
+        "tile_nearest_airspace": q_tile_nearest_airspace,
         "tile_class_rollup": q_tile_class_rollup,
         "tile_mode_class": q_tile_mode_class,
         "tile_unmatched_counts": q_tile_unmatched_counts,
@@ -2139,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cube": q_corpus_cube,
         "chunk_documents": q_chunk_documents,
         "pack_documents": q_pack_documents,
+        "bm25_topk": q_bm25_topk,
         "pipeline_corpus_stats": q_pipeline_corpus_stats,
         "pipeline_chunks": q_pipeline_chunks,
         "pipeline_packed": q_pipeline_packed,
@@ -2198,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
         "airspace_density": oracle.sql_airspace_density(),
         "ring_decimate": oracle.sql_ring_decimate(),
         "polygon_overlap": oracle.sql_polygon_overlap_pairs(),
+        "polygon_contains": oracle.sql_polygon_contains_pairs(),
         "polygon_overlap_table": oracle.sql_polygon_overlap_pairs(),
         "knn": oracle.sql_knn(),
         "knn_table": oracle.sql_knn(),
@@ -2210,6 +2250,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_table_k": oracle.sql_knn_k(k=3),
         "knn_edge_k": oracle.sql_knn_edge_k(k=3),
         "tile_doc_counts": oracle.sql_tile_doc_counts(),
+        "tile_nearest_airspace": oracle.sql_tile_nearest_airspace(),
         "tile_class_rollup": oracle.sql_tile_class_rollup(),
         "tile_mode_class": oracle.sql_tile_mode_class(),
         "tile_unmatched_counts": oracle.sql_tile_unmatched_counts(),
@@ -2319,6 +2360,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_cube": oracle.sql_corpus_cube(),
         "chunk_documents": oracle.sql_chunk_documents(size=32, stride=24),
         "pack_documents": oracle.sql_pack_documents(capacity=512, n_streams=8),
+        "bm25_topk": oracle.sql_bm25_topk(query_terms=("spark", "join", "window"), k=20),
         "pipeline_corpus_stats": oracle.sql_pipeline_corpus_stats(),
         "pipeline_chunks": oracle.sql_pipeline_chunks(size=64, stride=48),
         "pipeline_packed": oracle.sql_pipeline_packed(capacity=512, n_streams=8),

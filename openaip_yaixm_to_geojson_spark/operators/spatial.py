@@ -763,3 +763,45 @@ def airspace_density(join_out: DataFrame, polygons_df: DataFrame) -> DataFrame:
             F.coalesce("doc_count", F.lit(0)).cast("double") / F.col("area_deg2"),
         ).alias("docs_per_deg2"),
     )
+
+
+def _ring_contains_np(outer: np.ndarray, inner: np.ndarray) -> bool:
+    """outer contains inner iff EVERY inner vertex passes the even-odd
+    inside test against outer AND no edge properly crosses — the same
+    float-predicate contract as _rings_overlap_np (identical single-rounded
+    IEEE sequences in NumPy and the SQL oracle; rings that merely TOUCH may
+    verdict either way, deterministically and identically in both engines)."""
+    if not _even_odd_inside_np(inner[:-1, 0], inner[:-1, 1], outer).all():
+        return False
+    return not _proper_cross_np(outer, inner)
+
+
+def polygon_contains_pairs(
+    spark: SparkSession, polygons: list[dict[str, Any]], res: int = DEFAULT_JOIN_RES
+) -> DataFrame:
+    """(outer_poly, inner_poly) DIRECTED nesting pairs — which airspaces sit
+    wholly inside others (a CTR inside its TMA, danger areas inside a CTA).
+
+    Candidate completeness is STRONGER than overlap's: if outer contains
+    inner, every cover cell of inner holds a point of inner ⊆ outer, so it
+    intersects outer and is in outer's cover too — the cover self-join can
+    never miss a true nesting. Refine is vectorized per pair (vertex-in
+    O(|inner|x|outer|) + cross tests), pairs are few."""
+    rings = {int(p["poly_id"]): np.asarray(p["ring"], dtype=np.float64) for p in polygons}
+    cover = polygon_cover_df(spark, polygons, res).select("cell", "poly_id")
+    a = cover.select(F.col("cell"), F.col("poly_id").alias("outer_poly"))
+    b = cover.select(F.col("cell"), F.col("poly_id").alias("inner_poly"))
+    cand = (
+        a.join(b, "cell")
+        .where(F.col("outer_poly") != F.col("inner_poly"))
+        .select("outer_poly", "inner_poly")
+        .distinct()
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def contains(po: pd.Series, pi: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_ring_contains_np(rings[int(x)], rings[int(y)]) for x, y in zip(po, pi)]
+        )
+
+    return cand.where(contains(F.col("outer_poly"), F.col("inner_poly")))

@@ -611,3 +611,96 @@ def lang_vocab_overlap(documents: DataFrame, text_col: str = "text") -> DataFram
             (F.col("n_common").cast("double") / union_sz.cast("double")).alias("jaccard"),
         )
     )
+
+
+# BM25 per-(doc, term) score — ONE formulation string parsed by both Spark
+# (F.expr) and the DuckDB oracle, so every intermediate is the same
+# single-rounded IEEE double in the same order. k1 = 1.2, b = 0.75 are the
+# standard constants, fixed here so the literals stay strtod-shared. The
+# term weight is the Robertson-Sparck-Jones ODDS RATIO (N - df + 0.5) /
+# (df + 0.5) — the exp of the classic BM25 idf. NOTE: unlike a per-term
+# monotone substitution (tfidf_topk's N/df), replacing log-idf by its exp
+# inside a SUM over query terms is a DIFFERENT (log-free) scoring function,
+# not a reordering of textbook BM25 — that is this operator's documented
+# contract (any log is libm-divergent and could never hash-gate).
+BM25_SCORE_SQL = (
+    "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    " * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+    " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)"
+    " * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl)))"
+)
+
+BM25_DEFAULT_QUERY = ("spark", "join", "window")
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
+    k: int = 20,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a fixed query by log-free BM25 (see
+    BM25_SCORE_SQL): per-(doc, query-term) tf with document length carried
+    THROUGH the explode (the tokenizer runs once per document, chunk
+    precedent), query-term filter applied before any shuffle, score =
+    fixed-order sum of the per-term partials (a float SUM over a groupBy
+    is reduction-order dependent — the query is a FIXED small list, so
+    each term becomes a conditional-aggregate column and the adds happen
+    in one deterministic left-assoc order). Ties break to the smaller key.
+
+    Scale shape: the token stream is filtered to query terms BEFORE the
+    (doc, term) aggregation, so the shuffled volume is O(matches), not
+    O(corpus tokens); df and the corpus stats are broadcast one-row /
+    |query|-row relations; the global top-k is a WindowGroupLimit (rank
+    pushdown), never a full sort."""
+    qs = [str(t) for t in query_terms]
+    if not qs:
+        raise ValueError("query_terms must be non-empty")
+
+    w = documents.select(F.col(key_col).alias("key"), _words(text_col).alias("words"))
+    toks = w.select(
+        "key",
+        F.size("words").cast("double").alias("dl"),
+        F.explode("words").alias("term"),
+    ).where(F.col("term").isin(qs))
+    tf = toks.groupBy("key", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        documents.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_words(text_col))).alias("total_tokens"),
+        )
+        .select(
+            "n_docs",
+            (F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+                "avgdl"
+            ),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("key", "term", F.expr(BM25_SCORE_SQL).alias("s"))
+    )
+    parts = [
+        F.max(F.when(F.col("term") == F.lit(t), F.col("s"))).alias(f"s_{i}")
+        for i, t in enumerate(qs)
+    ]
+    pivoted = scored.groupBy("key").agg(*parts)
+    score = F.coalesce(F.col("s_0"), F.lit(0.0))
+    for i in range(1, len(qs)):
+        score = score + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    ranked = pivoted.select("key", score.alias("score")).select(
+        "key",
+        "score",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("score").desc(), F.col("key")))
+        .alias("rnk"),
+    )
+    return ranked.where(F.col("rnk") <= k).select(
+        F.col("key").alias(key_col), "score", "rnk"
+    )

@@ -313,3 +313,58 @@ def tile_unmatched_counts(
     return with_tile(unmatched, res).groupBy("tile_id").agg(
         F.count(F.lit(1)).alias("n_unmatched")
     )
+
+
+def tile_nearest_airspace(
+    pages: DataFrame,
+    polygons: list[dict[str, Any]],
+    res: int = DEFAULT_TILE_RES,
+) -> DataFrame:
+    """(tile_id, n_docs, poly_id, dist_sq): each OCCUPIED tile's page count
+    plus the nearest airspace to the tile CENTER by exact point-to-segment
+    distance, ties to the smaller poly_id — the 'how far is this tile from
+    controlled airspace' rollup a map layer wants.
+
+    Scale shape — kNN on AGGREGATED keys: the corpus reduces to distinct
+    occupied tiles first (one map-side-partial shuffle; at res 8 there are
+    at most 2^16 x 2^15 tiles, in practice the occupied set is tiny), so
+    the distance scan costs #tiles x #segments however many pages exist —
+    pages never meet the segment table. Centers derive from the tile id by
+    exact arithmetic (cell size 360/2^res is a power-of-two multiple, the
+    center products round once, identically in both engines); distances
+    use the shared seg_d2_expr clamped-projection formulation."""
+    from ..operators.knn import _segment_arrays, seg_d2_expr
+
+    import pandas as pd
+
+    tiles = with_tile(pages, res).groupBy("tile_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    size = cellgrid.cell_size_deg(res)
+    x = F.pmod(F.col("tile_id"), F.lit(cellgrid._SHIFT))
+    y = F.pmod(F.expr(f"tile_id div {cellgrid._SHIFT}"), F.lit(cellgrid._SHIFT))
+    centers = tiles.select(
+        "tile_id",
+        "n_docs",
+        (F.lit(-180.0) + (x.cast("double") + F.lit(0.5)) * F.lit(size)).alias("lon"),
+        (F.lit(-90.0) + (y.cast("double") + F.lit(0.5)) * F.lit(size)).alias("lat"),
+    )
+    pids, ax, ay, bx, by = _segment_arrays(polygons)
+    segs = pages.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {"poly_id": pids.astype("int32"), "ax": ax, "ay": ay, "bx": bx, "by": by}
+        )
+    )
+    return (
+        segs.crossJoin(F.broadcast(centers))
+        .select("tile_id", "n_docs", "poly_id", seg_d2_expr().alias("d2"))
+        .groupBy("tile_id")
+        .agg(
+            F.min("n_docs").alias("n_docs"),
+            F.min(F.struct(F.col("d2"), F.col("poly_id"))).alias("_b"),
+        )
+        .select(
+            "tile_id",
+            "n_docs",
+            F.col("_b.poly_id").alias("poly_id"),
+            F.col("_b.d2").alias("dist_sq"),
+        )
+    )

@@ -303,6 +303,41 @@ SELECT DISTINCT poly_a, poly_b
 FROM (SELECT poly_a, poly_b FROM vin UNION ALL SELECT poly_a, poly_b FROM xs)"""
 
 
+def sql_polygon_contains_pairs() -> str:
+    """spatial.polygon_contains_pairs twin: DIRECTED (outer, inner) pairs
+    where EVERY distinct inner vertex passes the even-odd test against the
+    outer edges (BOOL_AND over the per-vertex parity, identical op order
+    to sql_polygon_overlap_pairs) and no edge properly crosses (the same
+    strict sign tests, both directions covered by the a <> b join);
+    candidates are ALL ordered pairs — independent of the engine's cover
+    self-join."""
+    d1 = "((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))"
+    d2 = "((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1))"
+    d3 = "((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))"
+    d4 = "((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1))"
+    return f"""WITH e AS (SELECT * FROM {edges_values()}),
+verts AS (SELECT DISTINCT poly_id, x1 AS vx, y1 AS vy FROM e),
+vin AS (
+  SELECT v.poly_id AS inner_poly, e.poly_id AS outer_poly,
+         SUM(CASE WHEN (e.y1 > v.vy) <> (e.y2 > v.vy)
+              THEN (CASE WHEN v.vx < e.x1 + (e.x2 - e.x1) * (v.vy - e.y1) / (e.y2 - e.y1)
+                    THEN 1 ELSE 0 END)
+              ELSE 0 END) % 2 = 1 AS inside
+  FROM verts v JOIN e ON e.poly_id <> v.poly_id
+  GROUP BY v.poly_id, e.poly_id, v.vx, v.vy
+),
+allin AS (SELECT outer_poly, inner_poly FROM vin
+          GROUP BY outer_poly, inner_poly HAVING BOOL_AND(inside)),
+xs AS (
+  SELECT DISTINCT a.poly_id AS outer_poly, b.poly_id AS inner_poly
+  FROM e a JOIN e b ON a.poly_id <> b.poly_id
+  WHERE {d1} * {d2} < 0 AND {d3} * {d4} < 0
+)
+SELECT outer_poly, inner_poly FROM allin
+EXCEPT
+SELECT outer_poly, inner_poly FROM xs"""
+
+
 def sql_knn_edge() -> str:
     """Edge-exact kNN oracle: minimum squared point-to-SEGMENT distance
     over the embedded edges, identical op order to operators/knn.seg_d2_expr
@@ -330,6 +365,47 @@ dd AS (
 d AS (SELECT url, poly_id, MIN(ex * ex + ey * ey) AS dist_sq FROM dd GROUP BY url, poly_id)
 SELECT url, poly_id, dist_sq
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist_sq, poly_id) AS rn FROM d)
+WHERE rn = 1"""
+
+
+def sql_tile_nearest_airspace(res: int | None = None) -> str:
+    """tiles.tile_nearest_airspace twin: occupied-tile counts, centers by
+    the identical exact arithmetic (-180.0 + (x + 0.5) * size, size a
+    power-of-two multiple), nearest segment via the shared sql_knn_edge
+    clamped-projection formulation, ties to the smaller poly_id."""
+    from .functions.cellgrid import _SHIFT, cell_size_deg
+    from .operators.tiles import DEFAULT_TILE_RES as _RES
+
+    res = _RES if res is None else res
+    size = cell_size_deg(res)
+    return f"""WITH {pages_with()},
+tl AS (SELECT {cell_id_sql('lon', 'lat', res)} AS tile_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM pages GROUP BY 1),
+ct AS (SELECT tile_id, n_docs,
+       CAST(-180.0 AS DOUBLE) + (CAST(tile_id % {_SHIFT} AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST({size!r} AS DOUBLE) AS lon,
+       CAST(-90.0 AS DOUBLE) + (CAST((tile_id // {_SHIFT}) % {_SHIFT} AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST({size!r} AS DOUBLE) AS lat
+       FROM tl),
+seg AS (
+  SELECT c.tile_id, c.n_docs, e.poly_id,
+         (e.x2 - e.x1) AS dx, (e.y2 - e.y1) AS dyy,
+         (c.lon - e.x1) AS px, (c.lat - e.y1) AS py
+  FROM ct c JOIN {edges_values()} ON TRUE
+),
+tt AS (
+  SELECT tile_id, n_docs, poly_id, dx, dyy, px, py,
+         (px * dx + py * dyy) AS dot, (dx * dx + dyy * dyy) AS len2
+  FROM seg
+),
+dd AS (
+  SELECT tile_id, n_docs, poly_id,
+         (px - (CASE WHEN dot <= 0 THEN 0 WHEN dot >= len2 THEN 1 ELSE dot / len2 END) * dx) AS ex,
+         (py - (CASE WHEN dot <= 0 THEN 0 WHEN dot >= len2 THEN 1 ELSE dot / len2 END) * dyy) AS ey
+  FROM tt
+),
+d AS (SELECT tile_id, n_docs, poly_id, MIN(ex * ex + ey * ey) AS dist_sq
+      FROM dd GROUP BY tile_id, n_docs, poly_id)
+SELECT tile_id, n_docs, poly_id, dist_sq
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_id ORDER BY dist_sq, poly_id) AS rn FROM d)
 WHERE rn = 1"""
 
 
@@ -2194,6 +2270,38 @@ c AS (
 )
 SELECT key, stream, tok_offset, n_tokens, tok_offset // {capacity} AS window_id
 FROM c"""
+
+
+def sql_bm25_topk(query_terms: tuple[str, ...], k: int = 20) -> str:
+    """terms.bm25_topk twin: the SAME BM25_SCORE_SQL string (shared
+    formulation, not merely equivalent semantics), per-term partials via
+    MAX(CASE) pivot columns added in the identical left-assoc order, tf/df
+    exact BIGINTs, avgdl one shared division. Unnest happens in the FROM
+    clause (lateral) — this DuckDB's binder cannot filter a SELECT-list
+    unnest column downstream (the triangle_count note)."""
+    from .operators.terms import BM25_SCORE_SQL
+
+    qs = list(query_terms)
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in qs)
+    pivot = ", ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{i}" for i, t in enumerate(qs)
+    )
+    total = " + ".join(f"COALESCE(s_{i}, CAST(0.0 AS DOUBLE))" for i in range(len(qs)))
+    return f"""WITH w AS (SELECT doc_id AS key, {_WORDS} AS words FROM documents),
+t0 AS (SELECT key, CAST(len(words) AS DOUBLE) AS dl, u.term AS term
+       FROM w, unnest(w.words) AS u(term)),
+tf AS (SELECT key, term, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+       FROM t0 WHERE term IN ({inlist}) GROUP BY key, term),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(words)) AS BIGINT) AS total_tokens FROM w),
+st2 AS (SELECT n_docs, CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM st),
+s AS (SELECT key, term, {BM25_SCORE_SQL} AS s
+      FROM tf JOIN dft USING (term) CROSS JOIN st2),
+p AS (SELECT key, {pivot} FROM s GROUP BY key),
+sc AS (SELECT key, {total} AS score FROM p),
+r AS (SELECT key, score, ROW_NUMBER() OVER (ORDER BY score DESC, key) AS rn FROM sc)
+SELECT key AS doc_id, score, CAST(rn AS INT) AS rnk FROM r WHERE rn <= {k}"""
 
 
 def _pipeline_corpus_cte(quality_min: float = 0.7, sample_fraction: float = 0.5) -> str:

@@ -964,3 +964,25 @@ def test_knn_k_crosses_ring_boundary(spark):
         for r in knn_edge_k(pages, polys, k=3).collect()
     )
     assert egot == ewant
+
+
+def test_polygon_contains_pairs_synthetic(spark):
+    """Nested squares: outer 1 contains inner 2; 3 properly crosses 1 (not
+    contained); 4 is disjoint. Directed output, candidate step included."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import polygon_contains_pairs
+
+    def sq(pid, x0, y0, s, name="P"):
+        ring = [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]]
+        return {"poly_id": pid, "ring": ring, "name": name, "type": "CTA", "class": "D"}
+
+    polys = [
+        sq(1, 0.0, 0.0, 4.0),      # outer
+        sq(2, 1.0, 1.0, 1.0),      # nested inside 1
+        sq(3, 3.0, 3.0, 4.0),      # crosses 1's boundary
+        sq(4, 10.0, 10.0, 1.0),    # disjoint
+    ]
+    got = sorted(
+        (r["outer_poly"], r["inner_poly"])
+        for r in polygon_contains_pairs(spark, polys).collect()
+    )
+    assert got == [(1, 2)]
