@@ -1983,6 +1983,25 @@ def q_pack_documents(spark, sf_dir):
     return pack_documents(_docs(spark, sf_dir), capacity=512, n_streams=8)
 
 
+def q_length_winsorize(spark, sf_dir):
+    """Per-language winsorization at exact rank-selected p05/p95: clip
+    counts + BIGINT-exact clamped char sum (interpolated quantiles are
+    float-divergent; order statistics hash-gate)."""
+    from openaip_yaixm_to_geojson_spark.operators.text import length_winsorize
+
+    return length_winsorize(_docs(spark, sf_dir))
+
+
+def q_source_diversity(spark, sf_dir):
+    """Per-language Simpson concentration over sources ('is one crawl
+    dominating'): ratios divide while exact in double, then a
+    source-ordered left fold — never a reduction-order-dependent float
+    SUM, never a >2^63 integer cast."""
+    from openaip_yaixm_to_geojson_spark.operators.text import source_diversity
+
+    return source_diversity(_docs(spark, sf_dir))
+
+
 def q_bm25_topk(spark, sf_dir):
     """Log-free BM25 document ranking for a fixed query (RSJ odds-ratio
     term weight — the exp of the classic idf — so every float is a
@@ -2178,6 +2197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_documents": q_pack_documents,
         "bm25_topk": q_bm25_topk,
+        "length_winsorize": q_length_winsorize,
+        "source_diversity": q_source_diversity,
         "pipeline_corpus_stats": q_pipeline_corpus_stats,
         "pipeline_chunks": q_pipeline_chunks,
         "pipeline_packed": q_pipeline_packed,
@@ -2361,6 +2382,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": oracle.sql_chunk_documents(size=32, stride=24),
         "pack_documents": oracle.sql_pack_documents(capacity=512, n_streams=8),
         "bm25_topk": oracle.sql_bm25_topk(query_terms=("spark", "join", "window"), k=20),
+        "length_winsorize": oracle.sql_length_winsorize(),
+        "source_diversity": oracle.sql_source_diversity(),
         "pipeline_corpus_stats": oracle.sql_pipeline_corpus_stats(),
         "pipeline_chunks": oracle.sql_pipeline_chunks(size=64, stride=48),
         "pipeline_packed": oracle.sql_pipeline_packed(capacity=512, n_streams=8),

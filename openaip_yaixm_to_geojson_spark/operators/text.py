@@ -998,3 +998,82 @@ def lang_confusion(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "n_docs",
         (F.col("n_docs").cast("double") / F.sum("n_docs").over(tot).cast("double")).alias("frac_of_true"),
     )
+
+
+def length_winsorize(
+    documents: DataFrame, lo_num: int = 1, lo_den: int = 20, hi_num: int = 19, hi_den: int = 20
+) -> DataFrame:
+    """Per-language winsorization profile at exact RANK-SELECTED p05/p95
+    thresholds (interpolated quantiles are float-divergent across engines;
+    the rank-selected element is an integer and hash-gates): every doc's
+    n_chars clamps into [lo, hi], and the output per language is
+    (lang, n_docs, lo_chars, hi_chars, n_clipped_low, n_clipped_high,
+    winsorized_chars) with the clamped sum exact BIGINT.
+
+    Rank = ceil(p * n) in integer arithmetic. EXACT order statistics are
+    the contract here, so the per-language window ranks every row (the
+    lang_percentile_chars shape — the group sort spills at corpus scale);
+    sampled_percentile_chars is the documented sketch-path alternative."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = documents.select("lang", "n_chars", "doc_id").select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+    )
+    lo_t = F.expr(f"({lo_num} * cnt + {lo_den - 1}) div {lo_den}")
+    hi_t = F.expr(f"({hi_num} * cnt + {hi_den - 1}) div {hi_den}")
+    thresholds = (
+        ranked.where((F.col("rn") == lo_t) | (F.col("rn") == hi_t))
+        .groupBy("lang")
+        .agg(F.min("n_chars").alias("lo_chars"), F.max("n_chars").alias("hi_chars"))
+    )
+    # lo and hi can be the SAME rank row for tiny groups (min == max then);
+    # the thresholds table is #langs rows — broadcast
+    clamped = documents.select("lang", "n_chars").join(F.broadcast(thresholds), "lang")
+    wins = F.greatest(F.col("lo_chars"), F.least(F.col("hi_chars"), F.col("n_chars")))
+    return clamped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("lo_chars").alias("lo_chars"),
+        F.min("hi_chars").alias("hi_chars"),
+        F.sum((F.col("n_chars") < F.col("lo_chars")).cast("bigint")).alias("n_clipped_low"),
+        F.sum((F.col("n_chars") > F.col("hi_chars")).cast("bigint")).alias("n_clipped_high"),
+        F.sum(wins.cast("bigint")).alias("winsorized_chars"),
+    )
+
+
+def source_diversity(documents: DataFrame, group_col: str = "lang", key_col: str = "source") -> DataFrame:
+    """Per-group Simpson concentration index over sources: sum over
+    sources of (c_s / n)^2 — 1/HHI-style mixture-diversity monitor, the
+    'is one crawl dominating this language' number a corpus build watches.
+
+    Hash-gating shape: per-source ratios divide while the integers are
+    exact in double (c_s, n < 2^53 — the label_centroid_distances ulp
+    lesson: never sum the big squared integers first, a HUGEINT->DOUBLE
+    cast past 2^63 double-rounds in DuckDB), then an ORDERED left-fold
+    over the source-sorted ratio array (a float SUM over a groupBy is
+    reduction-order dependent; the fold is one deterministic sequence,
+    == DuckDB's list_reduce(list_prepend(0.0, ...))). Source counts per
+    group are map-side-partial; the fold array is #sources long (tiny)."""
+    counts = (
+        documents.groupBy(F.col(group_col).alias("grp"), F.col(key_col).alias("src"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_grp = counts.groupBy("grp").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.array_sort(F.collect_list(F.struct(F.col("src"), F.col("c")))).alias("cs"),
+    )
+    simpson = F.expr(
+        "aggregate(transform(cs, x -> (CAST(x.c AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+        " * (CAST(x.c AS DOUBLE) / CAST(n_docs AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return per_grp.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_sources",
+        simpson.alias("simpson"),
+    )

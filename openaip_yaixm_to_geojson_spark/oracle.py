@@ -2272,6 +2272,45 @@ SELECT key, stream, tok_offset, n_tokens, tok_offset // {capacity} AS window_id
 FROM c"""
 
 
+def sql_length_winsorize() -> str:
+    """text.length_winsorize twin: identical integer rank targets
+    ((p_num*cnt + p_den-1) // p_den on non-negative ints == Spark div),
+    threshold rows by MIN/MAX over the one-or-two selected ranks, clamped
+    sum exact BIGINT."""
+    return """WITH r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents),
+t AS (SELECT lang, MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars
+      FROM r WHERE rn = (1 * cnt + 19) // 20 OR rn = (19 * cnt + 19) // 20
+      GROUP BY lang)
+SELECT d.lang, COUNT(*) AS n_docs,
+       MIN(lo_chars) AS lo_chars, MIN(hi_chars) AS hi_chars,
+       CAST(SUM(CASE WHEN n_chars < lo_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN n_chars > hi_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       CAST(SUM(GREATEST(lo_chars, LEAST(hi_chars, n_chars))) AS BIGINT) AS winsorized_chars
+FROM documents d JOIN t USING (lang) GROUP BY d.lang"""
+
+
+def sql_source_diversity() -> str:
+    """text.source_diversity twin: per-source ratios divide FIRST (exact
+    ints < 2^53 in double — the HUGEINT->DOUBLE double-rounding trap),
+    then the identical source-ordered left fold (list_reduce over a
+    0.0-prepended list == Spark's aggregate with a 0.0 seed)."""
+    return """WITH c AS (
+  SELECT lang AS grp, source AS src, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+g AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_sources,
+             list(CAST(c AS DOUBLE) ORDER BY src) AS cl
+      FROM c GROUP BY grp)
+SELECT grp AS lang, n_docs, n_sources,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(cl, v -> (v / CAST(n_docs AS DOUBLE)) * (v / CAST(n_docs AS DOUBLE)))),
+         (x, y) -> x + y) AS simpson
+FROM g"""
+
+
 def sql_bm25_topk(query_terms: tuple[str, ...], k: int = 20) -> str:
     """terms.bm25_topk twin: the SAME BM25_SCORE_SQL string (shared
     formulation, not merely equivalent semantics), per-term partials via
