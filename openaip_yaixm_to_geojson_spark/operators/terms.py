@@ -665,9 +665,14 @@ def bm25_topk(
         F.size("words").cast("double").alias("dl"),
         F.explode("words").alias("term"),
     ).where(F.col("term").isin(qs))
+    # tf feeds TWO consumers (the df derivation and the score join) — the
+    # fan-out-reuse audit: without materialization the corpus explode +
+    # filter + aggregate run once per consumer (plan-audited: 3 FileScans
+    # -> 2). The frame is tiny (<= |docs| x |query| rows), so checkpointing
+    # is the cheap side of the rule.
     tf = toks.groupBy("key", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
-    )
+    ).localCheckpoint()
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = (
         documents.agg(

@@ -364,3 +364,18 @@ def test_r4_continuation_fanout_frames_materialized(spark, pages):
     # materialized candidates
     assert p.count("FileScan parquet") == 0 and "levenshtein" in p
     assert "Join" not in p
+
+
+def test_bm25_topk_tf_materialized_single_scan(spark):
+    """bm25_topk: the filtered (doc, query-term) tf frame feeds TWO
+    consumers (df derivation + score join) and is checkpointed, so the
+    final plan holds exactly ONE parquet scan (the corpus stats branch);
+    df and stats enter as broadcasts."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = bm25_topk(docs, k=5)
+    out.count()
+    p = plan_of(out)
+    assert p.count("FileScan parquet") == 1
+    assert p.count("BroadcastExchange") >= 2
