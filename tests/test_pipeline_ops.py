@@ -2122,3 +2122,50 @@ def test_doc_novelty_and_seasonality(spark):
     rows2 = events_seasonality(ev).collect()
     assert len(rows2) == 24 and abs(sum(r["frac_of_type"] for r in rows2) - 1.0) < 1e-12
     assert all(r["n_events"] == 2 for r in rows2)
+
+
+def test_length_winsorize_tiny_group_and_clipping(spark):
+    """A single-doc language has lo == hi == its own length (rank targets
+    coincide, zero clips); a 20-doc language clips exactly the extremes
+    below p05 / above p95 and the clamped sum is exact."""
+    from openaip_yaixm_to_geojson_spark.operators.text import length_winsorize
+
+    rows = [(100, "xx", 7)] + [(i, "en", 10 * (i + 1)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    got = {r["lang"]: r for r in length_winsorize(docs).collect()}
+    assert got["xx"]["lo_chars"] == got["xx"]["hi_chars"] == 7
+    assert got["xx"]["n_clipped_low"] == got["xx"]["n_clipped_high"] == 0
+    assert got["xx"]["winsorized_chars"] == 7
+    en = got["en"]
+    # n=20: lo rank ceil(20/20)=1 -> 10; hi rank ceil(19*20/20)=19 -> 190
+    assert en["lo_chars"] == 10 and en["hi_chars"] == 190
+    assert en["n_clipped_low"] == 0 and en["n_clipped_high"] == 1  # only 200 > 190
+    assert en["winsorized_chars"] == sum(10 * (i + 1) for i in range(19)) + 190
+
+
+def test_bm25_topk_hand_case(spark):
+    """Two query terms, hand-computed scores: doc 1 has tf(spark)=2 of 4
+    tokens, doc 2 has tf(join)=1 of 2; df(spark)=1, df(join)=1, N=3.
+    Scores follow the documented log-free formula with k1=1.2, b=0.75."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark scan agg"),
+            (2, "join filter"),
+            (3, "scan scan scan"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["score"], r["rnk"]) for r in bm25_topk(docs, ("spark", "join"), k=3).collect()}
+
+    def score(tf, df, dl, n_docs, avgdl):
+        w = (n_docs - df + 0.5) / (df + 0.5)
+        return w * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+
+    avgdl = (4 + 2 + 3) / 3
+    s1 = score(2, 1, 4.0, 3, avgdl)
+    s2 = score(1, 1, 2.0, 3, avgdl)
+    assert got[1][0] == s1 and got[2][0] == s2
+    assert got[1][1] == (1 if s1 > s2 else 2)
+    assert 3 not in got  # no query term -> no row
