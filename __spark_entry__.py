@@ -323,6 +323,16 @@ def q_tile_nearest_airspace(spark, sf_dir):
     return tile_nearest_airspace(pages, fixture_polygons())
 
 
+def q_knn_edge_table_k(spark, sf_dir):
+    """knn_edge_k with the polygon side a TABLE end to end (distributed
+    segment index; same oracle as knn_edge_k)."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import knn_edge_table_k
+    from openaip_yaixm_to_geojson_spark.operators.spatial import polygons_to_df
+
+    pages = pages_from_documents(spark, sf_dir)
+    return knn_edge_table_k(pages, polygons_to_df(spark, fixture_polygons()), k=3)
+
+
 def q_tile_doc_counts(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir)
     return tile_doc_counts(pages, DEFAULT_TILE_RES)
@@ -2085,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_k": q_knn_k,
         "knn_table_k": q_knn_table_k,
         "knn_edge_k": q_knn_edge_k,
+        "knn_edge_table_k": q_knn_edge_table_k,
         "tile_doc_counts": q_tile_doc_counts,
         "tile_nearest_airspace": q_tile_nearest_airspace,
         "tile_class_rollup": q_tile_class_rollup,
@@ -2270,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_k": oracle.sql_knn_k(k=3),
         "knn_table_k": oracle.sql_knn_k(k=3),
         "knn_edge_k": oracle.sql_knn_edge_k(k=3),
+        "knn_edge_table_k": oracle.sql_knn_edge_k(k=3),
         "tile_doc_counts": oracle.sql_tile_doc_counts(),
         "tile_nearest_airspace": oracle.sql_tile_nearest_airspace(),
         "tile_class_rollup": oracle.sql_tile_class_rollup(),

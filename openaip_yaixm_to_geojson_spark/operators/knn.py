@@ -1015,3 +1015,32 @@ def knn_table_k(
     )
     n_vertices = vindex.count()
     return _expansion_loop_k(pages, vindex, n_vertices, res, windows, k)
+
+
+def knn_edge_table_k(
+    pages: DataFrame,
+    polygons_df: DataFrame,
+    k: int = 3,
+    res: int = KNN_RES,
+    windows: tuple[tuple[int, int], ...] = ((0, 1), (2, 15)),
+) -> DataFrame:
+    """knn_edge_k with the polygon side as a TABLE end to end (distributed
+    zip/explode segment index — nothing polygon-shaped on the driver).
+    Checkpointed once: the index feeds every round plus the fallback."""
+    sindex = (
+        segment_index_from_table(polygons_df, res)
+        .coalesce(pages.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+    n_index = sindex.count()
+    return _expansion_loop_k(
+        pages,
+        sindex,
+        n_index,
+        res,
+        windows,
+        k,
+        payload_cols=_SEG_PAYLOAD,
+        d2_expr=seg_d2_expr(),
+        bound_margin=0.5,
+    )
