@@ -280,6 +280,15 @@ def q_knn_edge_table(spark, sf_dir):
     return knn_edge_ring_expansion_table(pages, polys_df).select("url", "poly_id", "dist_sq")
 
 
+def q_salt_plan(spark, sf_dir):
+    """The skew-handling derivation itself, driver-certified: hottest-cell
+    histogram -> salt factor (ceil-div, clamped [1,64]) — the number the
+    salted shuffle join and the skew scaling family actually use."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import salt_plan
+
+    return salt_plan(pages_from_documents(spark, sf_dir))
+
+
 def q_knn_k(spark, sf_dir):
     """k=3 nearest DISTINCT airspaces per page by vertex distance (r4
     VERDICT item 3): the ring-expansion guarantee generalized to the k-th
@@ -2092,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_edge": q_knn_edge,
         "knn_edge_table": q_knn_edge_table,
+        "salt_plan": q_salt_plan,
         "knn_k": q_knn_k,
         "knn_table_k": q_knn_table_k,
         "knn_edge_k": q_knn_edge_k,
@@ -2278,6 +2288,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": oracle.sql_knn(),
         "knn_edge": oracle.sql_knn_edge(),
         "knn_edge_table": oracle.sql_knn_edge(),
+        "salt_plan": oracle.sql_salt_plan(),
         "knn_k": oracle.sql_knn_k(k=3),
         "knn_table_k": oracle.sql_knn_k(k=3),
         "knn_edge_k": oracle.sql_knn_edge_k(k=3),

@@ -805,3 +805,31 @@ def polygon_contains_pairs(
         )
 
     return cand.where(contains(F.col("outer_poly"), F.col("inner_poly")))
+
+
+def salt_plan(
+    pages: DataFrame, res: int = DEFAULT_JOIN_RES, rows_per_task: int = 2_000_000
+) -> DataFrame:
+    """The skew-handling DERIVATION as a queryable one-row plan:
+    (hottest_cell, hottest_rows, salt) with salt = ceil(hottest_rows /
+    rows_per_task) clamped to [1, 64] — what choose_salt computes, exposed
+    as a DataFrame so the driver gate certifies the derivation the salted
+    join runs on. Ties on the hottest count break to the smaller cell id.
+    One map-side-partial aggregation to #cells rows, then a 1-row min-by."""
+    hist = cell_histogram(pages, res)
+    # hottest cell as a 1-row min-by over the negated count (ties -> the
+    # smaller cell id, deterministic)
+    top = hist.agg(
+        F.min(F.struct((-F.col("n_pages")).alias("neg"), F.col("cell"))).alias("_b")
+    ).select(
+        F.col("_b.cell").alias("hottest_cell"),
+        (-F.col("_b.neg")).alias("hottest_rows"),
+    )
+    salt = F.least(
+        F.lit(64).cast("bigint"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr(f"(hottest_rows + {rows_per_task - 1}) div {rows_per_task}"),
+        ),
+    )
+    return top.select("hottest_cell", "hottest_rows", salt.alias("salt"))

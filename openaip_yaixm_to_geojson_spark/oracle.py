@@ -122,6 +122,24 @@ def sql_join_count_by_airspace() -> str:
     )
 
 
+def sql_salt_plan(res: int | None = None, rows_per_task: int = 2_000_000) -> str:
+    """spatial.salt_plan twin: hottest-cell histogram max (ties to the
+    smaller cell), salt = ceil-div clamped to [1, 64] in integer
+    arithmetic."""
+    from .operators.spatial import DEFAULT_JOIN_RES as _R
+
+    res = _R if res is None else res
+    return f"""WITH {pages_with()},
+h AS (SELECT {cell_id_sql('lon', 'lat', res)} AS cell, CAST(COUNT(*) AS BIGINT) AS n_pages
+      FROM pages GROUP BY 1),
+t AS (SELECT cell AS hottest_cell, n_pages AS hottest_rows,
+             ROW_NUMBER() OVER (ORDER BY n_pages DESC, cell) AS rn FROM h)
+SELECT hottest_cell, hottest_rows,
+       LEAST(CAST(64 AS BIGINT), GREATEST(CAST(1 AS BIGINT),
+         (hottest_rows + {rows_per_task - 1}) // {rows_per_task})) AS salt
+FROM t WHERE rn = 1"""
+
+
 def sql_knn() -> str:
     return f"""WITH {pages_with()},
 d AS (
