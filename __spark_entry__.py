@@ -280,6 +280,16 @@ def q_knn_edge_table(spark, sf_dir):
     return knn_edge_ring_expansion_table(pages, polys_df).select("url", "poly_id", "dist_sq")
 
 
+def q_range_partition_plan(spark, sf_dir):
+    """Equi-depth range-partitioner boundaries WITHOUT ranking the corpus:
+    value-granularity histogram -> cumsum over sorted DISTINCT values ->
+    ceil-div rank targets -> value-based bins (ties share a bin). The
+    derivation behind range-clustered writes, integer-exact."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import range_partition_plan
+
+    return range_partition_plan(_docs(spark, sf_dir), n_bins=8)
+
+
 def q_salt_plan(spark, sf_dir):
     """The skew-handling derivation itself, driver-certified: hottest-cell
     histogram -> salt factor (ceil-div, clamped [1,64]) — the number the
@@ -2102,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_edge": q_knn_edge,
         "knn_edge_table": q_knn_edge_table,
         "salt_plan": q_salt_plan,
+        "range_partition_plan": q_range_partition_plan,
         "knn_k": q_knn_k,
         "knn_table_k": q_knn_table_k,
         "knn_edge_k": q_knn_edge_k,
@@ -2289,6 +2300,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_edge": oracle.sql_knn_edge(),
         "knn_edge_table": oracle.sql_knn_edge(),
         "salt_plan": oracle.sql_salt_plan(),
+        "range_partition_plan": oracle.sql_range_partition_plan(n_bins=8),
         "knn_k": oracle.sql_knn_k(k=3),
         "knn_table_k": oracle.sql_knn_k(k=3),
         "knn_edge_k": oracle.sql_knn_edge_k(k=3),

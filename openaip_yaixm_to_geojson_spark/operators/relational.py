@@ -464,3 +464,52 @@ def returned_item_revenue(
     return out.select(
         "c_custkey", "c_name", "n_name", F.col("revd").cast("double").alias("revenue"), "n_items"
     )
+
+
+def range_partition_plan(
+    documents: DataFrame, n_bins: int = 8, value_col: str = "n_chars"
+) -> DataFrame:
+    """Balanced RANGE-PARTITIONER boundary derivation (the planner behind
+    range-clustered writes / global sorted output): equi-depth bin edges
+    at exact target ranks, computed WITHOUT ranking the corpus.
+
+    Shape: a value-granularity histogram first (map-side-partial groupBy —
+    the distinct-value set is small; the corpus is never windowed), then
+    the cumulative count over the SORTED DISTINCT VALUES only, edge_j =
+    smallest value whose cumulative count reaches ceil(j*N/n_bins), and
+    bin(v) = #edges < v (value-based: equal values always share a bin, so
+    bins can be uneven exactly where duplicates force it — deterministic,
+    unlike NTILE's rank-splitting of ties). Everything is integer
+    arithmetic; output (bin_id, lo_value, hi_value, n_docs) hash-gates.
+
+    The single-partition window runs over #distinct values, not rows —
+    the same aggregate-first discipline as events_retention."""
+    from pyspark.sql import Window
+
+    hist = documents.groupBy(F.col(value_col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "v",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    ).localCheckpoint()  # feeds the edge derivation AND the bin assignment
+    edges = (
+        cum.select(
+            "v", "cum", "n", F.explode(F.sequence(F.lit(1), F.lit(n_bins - 1))).alias("j")
+        )
+        .where(F.col("cum") >= F.expr(f"(j * n + {n_bins - 1}) div {n_bins}"))
+        .groupBy("j")
+        .agg(F.min("v").alias("edge"))
+    )
+    assigned = (
+        cum.select("v", "c")
+        .crossJoin(F.broadcast(edges.select("edge")))
+        .groupBy("v", "c")
+        .agg(F.sum((F.col("edge") < F.col("v")).cast("bigint")).alias("bin_id"))
+    )
+    return assigned.groupBy("bin_id").agg(
+        F.min("v").alias("lo_value"),
+        F.max("v").alias("hi_value"),
+        F.sum("c").alias("n_docs"),
+    )

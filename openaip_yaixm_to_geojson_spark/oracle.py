@@ -122,6 +122,27 @@ def sql_join_count_by_airspace() -> str:
     )
 
 
+def sql_range_partition_plan(n_bins: int = 8) -> str:
+    """relational.range_partition_plan twin: value-granularity histogram,
+    cumulative count over sorted distinct values, edge_j = min value whose
+    cum reaches the identical ceil-div target, bin = #edges < value."""
+    return f"""WITH h AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1),
+cm AS (SELECT v, c,
+       CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       CAST(SUM(c) OVER () AS BIGINT) AS n
+       FROM h),
+ed AS (SELECT j, MIN(v) AS edge
+       FROM cm CROSS JOIN (SELECT unnest(range(1, {n_bins})) AS j)
+       WHERE cum >= (j * n + {n_bins - 1}) // {n_bins}
+       GROUP BY j),
+asg AS (SELECT v, c, CAST(SUM(CASE WHEN edge < v THEN 1 ELSE 0 END) AS BIGINT) AS bin_id
+        FROM cm CROSS JOIN ed GROUP BY v, c)
+SELECT bin_id, MIN(v) AS lo_value, MAX(v) AS hi_value,
+       CAST(SUM(c) AS BIGINT) AS n_docs
+FROM asg GROUP BY bin_id"""
+
+
 def sql_salt_plan(res: int | None = None, rows_per_task: int = 2_000_000) -> str:
     """spatial.salt_plan twin: hottest-cell histogram max (ties to the
     smaller cell), salt = ceil-div clamped to [1, 64] in integer
