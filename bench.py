@@ -224,6 +224,12 @@ def main() -> None:
 
     timed("containment_pairs", lambda: containment_pairs(docs).count())
 
+    from openaip_yaixm_to_geojson_spark.operators.terms import bm25_topk
+    from openaip_yaixm_to_geojson_spark.operators.tiles import tile_nearest_airspace
+
+    timed("bm25_topk", lambda: bm25_topk(docs, k=20).count())
+    timed("tile_nearest_airspace", lambda: tile_nearest_airspace(pages, polys).count())
+
     run_meta = steal_meta(run_ticks0, cpu_ticks())
     result = {
         "metric": "spatial_join_tile_rollup_wall",
