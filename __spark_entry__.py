@@ -290,6 +290,16 @@ def q_range_partition_plan(spark, sf_dir):
     return range_partition_plan(_docs(spark, sf_dir), n_bins=8)
 
 
+def q_page_zorder(spark, sf_dir):
+    """Z-order / Morton storage-clustering key (bit interleave as shared
+    integer div/mod arithmetic — codegen, zero shuffles): ONE sort key
+    that preserves locality on both axes, the input to z-clustered
+    writes + range_partition_plan."""
+    from openaip_yaixm_to_geojson_spark.operators.spatial import page_zorder
+
+    return page_zorder(pages_from_documents(spark, sf_dir), res=12)
+
+
 def q_salt_plan(spark, sf_dir):
     """The skew-handling derivation itself, driver-certified: hottest-cell
     histogram -> salt factor (ceil-div, clamped [1,64]) — the number the
@@ -2113,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_edge_table": q_knn_edge_table,
         "salt_plan": q_salt_plan,
         "range_partition_plan": q_range_partition_plan,
+        "page_zorder": q_page_zorder,
         "knn_k": q_knn_k,
         "knn_table_k": q_knn_table_k,
         "knn_edge_k": q_knn_edge_k,
@@ -2301,6 +2312,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_edge_table": oracle.sql_knn_edge(),
         "salt_plan": oracle.sql_salt_plan(),
         "range_partition_plan": oracle.sql_range_partition_plan(n_bins=8),
+        "page_zorder": oracle.sql_page_zorder(res=12),
         "knn_k": oracle.sql_knn_k(k=3),
         "knn_table_k": oracle.sql_knn_k(k=3),
         "knn_edge_k": oracle.sql_knn_edge_k(k=3),

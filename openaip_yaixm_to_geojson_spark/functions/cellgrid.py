@@ -289,3 +289,26 @@ def cell_id_sql(lon_expr: str, lat_expr: str, res: int) -> str:
         f"CAST(FLOOR(({lat_expr} + 90.0) / {size}) AS BIGINT)) * {_SHIFT} + "
         f"CAST(FLOOR(({lon_expr} + 180.0) / {size}) AS BIGINT))"
     )
+
+
+def morton_terms(x_expr: str, y_expr: str, res: int, intdiv: str) -> str:
+    """Z-order (Morton) bit interleave as dialect-shared integer
+    arithmetic: bit i of x lands at position 2i, bit i of y at 2i+1 —
+    expressed with integer division / modulo / multiply only, so the SAME
+    formula (modulo the integer-division spelling: Spark `div`, DuckDB
+    `//`) evaluates bit-identically in both engines on non-negative
+    coordinates. 2*res terms, all codegen."""
+    parts = []
+    for i in range(res):
+        parts.append(f"((({x_expr}) {intdiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        parts.append(f"((({y_expr}) {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(parts)
+
+
+def morton_np(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:
+    """NumPy twin of morton_terms (test reference)."""
+    out = np.zeros(len(x), dtype=np.int64)
+    for i in range(res):
+        out += ((x >> i) & 1) << (2 * i)
+        out += ((y >> i) & 1) << (2 * i + 1)
+    return out

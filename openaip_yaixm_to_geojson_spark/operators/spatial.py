@@ -833,3 +833,19 @@ def salt_plan(
         ),
     )
     return top.select("hottest_cell", "hottest_rows", salt.alias("salt"))
+
+
+def page_zorder(pages: DataFrame, res: int = 12) -> DataFrame:
+    """(url, zkey): Z-order / Morton clustering key at `res` bits per axis
+    — the storage-layout key for 2D-local writes (a z-sorted or
+    z-range-partitioned table prunes on BOTH lon and lat with one sort
+    key, where the row-major cell id preserves locality only along x).
+    Pure integer arithmetic shared with the oracle; codegen, zero
+    shuffles. Pair with range_partition_plan over zkey for balanced
+    z-clustered output files."""
+    size = cellgrid.cell_size_deg(res)
+    x = F.floor((F.col("lon") + F.lit(180.0)) / F.lit(size)).cast("bigint")
+    y = F.floor((F.col("lat") + F.lit(90.0)) / F.lit(size)).cast("bigint")
+    return pages.select("url", x.alias("zx"), y.alias("zy")).select(
+        "url", F.expr(cellgrid.morton_terms("zx", "zy", res, "div")).cast("bigint").alias("zkey")
+    )

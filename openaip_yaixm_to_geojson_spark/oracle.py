@@ -143,6 +143,21 @@ SELECT bin_id, MIN(v) AS lo_value, MAX(v) AS hi_value,
 FROM asg GROUP BY bin_id"""
 
 
+def sql_page_zorder(res: int = 12) -> str:
+    """spatial.page_zorder twin: identical floor-encode coordinates and the
+    SAME morton_terms interleave (integer div/mod/mul only; DuckDB `//`
+    spelling of Spark's `div`)."""
+    from .functions.cellgrid import cell_size_deg, morton_terms
+
+    size = repr(cell_size_deg(res))
+    return f"""WITH {pages_with()},
+xy AS (SELECT url,
+       CAST(FLOOR((lon + 180.0) / {size}) AS BIGINT) AS zx,
+       CAST(FLOOR((lat + 90.0) / {size}) AS BIGINT) AS zy
+       FROM pages)
+SELECT url, CAST({morton_terms('zx', 'zy', res, '//')} AS BIGINT) AS zkey FROM xy"""
+
+
 def sql_salt_plan(res: int | None = None, rows_per_task: int = 2_000_000) -> str:
     """spatial.salt_plan twin: hottest-cell histogram max (ties to the
     smaller cell), salt = ceil-div clamped to [1, 64] in integer

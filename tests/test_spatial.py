@@ -986,3 +986,22 @@ def test_polygon_contains_pairs_synthetic(spark):
         for r in polygon_contains_pairs(spark, polys).collect()
     )
     assert got == [(1, 2)]
+
+
+def test_morton_key_quadrant_recursion_and_locality():
+    """morton(x, y, res) div 4 == morton(x div 2, y div 2, res-1) — the
+    quadtree recursion that makes a z-sorted table prune on both axes —
+    plus NumPy-vs-formula spot equality."""
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.functions.cellgrid import morton_np
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1 << 12, 500)
+    y = rng.integers(0, 1 << 12, 500)
+    z = morton_np(x, y, 12)
+    zp = morton_np(x >> 1, y >> 1, 11)
+    assert (z >> 2 == zp).all()
+    # hand case: x=0b101, y=0b011 -> interleave y2x2 y1x1 y0x0 = 0b011011... :
+    # bits: x=5 (101), y=3 (011) -> z = 1*1 + 1*2 + 0*4 + 1*8 + 1*16 + 0*32 = 27
+    assert morton_np(np.array([5]), np.array([3]), 3)[0] == 27
