@@ -1401,6 +1401,27 @@ def q_multimodal_real_features(spark, sf_dir):
     )
 
 
+def q_multimodal_png_features(spark, sf_dir):
+    """REAL compressed-format decode (r5): payloads are genuine PNGs
+    (CRC'd chunks, zlib IDAT, per-row filters cycling all five types);
+    the extractor walks the chunk layout, INFLATES and UNFILTERS for
+    real. Pixels are the same md5 chain as the PPM table, so the oracle
+    recomputes the statistics exactly — the zlib round-trip is hash-gated.
+    JPEG/MP3/MP4 (DCT/psychoacoustic codecs) remain env-blocked."""
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        extract_features,
+        real_media_features,
+        synth_media_png,
+    )
+
+    media = synth_media_png(spark, 300)
+    feats = extract_features(media, decoder=real_media_features)
+    return feats.select(
+        "media_id",
+        *[F.col("feature")[j].cast("double").alias(f"f{j}") for j in range(8)],
+    )
+
+
 def q_audio_frames(spark, sf_dir):
     """Frame-level audio features over REAL WAV decode: exact BIGINT
     frame aggregates + the one-rounding float32 mean/var sequence; the
@@ -2220,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_features": q_multimodal_real_features,
+        "multimodal_png_features": q_multimodal_png_features,
         "image_patches": q_image_patches,
         "audio_frames": q_audio_frames,
         "multimodal_frames": q_multimodal_frames,
@@ -2409,6 +2431,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": oracle.sql_link_pagerank(),
         "multimodal_features": oracle.sql_multimodal_features(),
         "multimodal_real_features": oracle.sql_multimodal_real_features(),
+        "multimodal_png_features": oracle.sql_multimodal_png_features(n=300),
         "image_patches": oracle.sql_image_patches(),
         "audio_frames": oracle.sql_audio_frames(),
         "multimodal_frames": oracle.sql_multimodal_frames(),

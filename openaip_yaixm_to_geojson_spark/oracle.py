@@ -1424,6 +1424,47 @@ def _md5_byte_sql(seed: str, off: str) -> str:
     return f"({d(f'2 * ({off}) + 1')} * 16 + {d(f'2 * ({off}) + 2')})"
 
 
+def sql_multimodal_png_features(n: int = 300) -> str:
+    """Oracle for the REAL PNG decode path (r5): synth_media_png pixels
+    are the same chained-md5 bytes as the PPM table, so the statistics are
+    recomputable with exact integer arithmetic — while the Spark side must
+    walk real PNG chunks, zlib-inflate the IDAT and unfilter scanlines to
+    land on the identical values. n_bytes is excluded (the zlib stream
+    length is not SQL-recomputable); the 8 features are the contract."""
+    npx = 8 * 8 * 3
+    px_byte = _md5_byte_sql(
+        "concat(CAST(media_id AS VARCHAR), '-px-', CAST(j // 16 AS VARCHAR))", "j % 16"
+    )
+
+    def f32(expr: str) -> str:
+        return f"CAST(CAST({expr} AS FLOAT) AS DOUBLE)"
+
+    img_mean = lambda c: f"(s{c} / CAST(64.0 AS DOUBLE))"  # noqa: E731
+    img_var = lambda c: f"((ss{c} / CAST(64.0 AS DOUBLE)) - {img_mean(c)} * {img_mean(c)})"  # noqa: E731
+    return f"""
+WITH m AS (SELECT UNNEST(generate_series(0, {n - 1})) AS media_id),
+px AS (
+  SELECT media_id, t.j, CAST({px_byte} AS BIGINT) AS v
+  FROM m, (SELECT UNNEST(generate_series(0, {npx - 1})) AS j) t
+),
+chan AS (
+  SELECT media_id, j % 3 AS c, CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+  FROM px GROUP BY 1, 2
+),
+chanw AS (
+  SELECT media_id,
+         MAX(CASE WHEN c = 0 THEN s END) AS s0, MAX(CASE WHEN c = 0 THEN ss END) AS ss0,
+         MAX(CASE WHEN c = 1 THEN s END) AS s1, MAX(CASE WHEN c = 1 THEN ss END) AS ss1,
+         MAX(CASE WHEN c = 2 THEN s END) AS s2, MAX(CASE WHEN c = 2 THEN ss END) AS ss2
+  FROM chan GROUP BY media_id
+)
+SELECT media_id,
+       {f32("8.0")} AS f0, {f32("8.0")} AS f1,
+       {f32(img_mean(0))} AS f2, {f32(img_mean(1))} AS f3, {f32(img_mean(2))} AS f4,
+       {f32(img_var(0))} AS f5, {f32(img_var(1))} AS f6, {f32(img_var(2))} AS f7
+FROM chanw"""
+
+
 def sql_multimodal_real_features(n: int = 500) -> str:
     """Oracle for the REAL multimodal decode path: synth_media_real's
     payloads are genuine P6 PPM / PCM WAV files whose pixel/sample bytes
