@@ -1401,6 +1401,34 @@ def q_multimodal_real_features(spark, sf_dir):
     )
 
 
+_WARC_DIR: dict[str, str] = {}
+
+
+def q_warc_read(spark, sf_dir):
+    """REAL Common-Crawl-style WARC ingest (r5): spec-shaped multi-member
+    .warc.gz files (per-record gzip members — the actual Common Crawl
+    layout; `gzip -dc` round-trips them) read DISTRIBUTED via binaryFile +
+    mapInPandas member walk + WARC header parse. Record content derives
+    from (file, record) ids, so the oracle recomputes every extracted row
+    — the gzip + header round-trip is hash-gated."""
+    import tempfile
+
+    from openaip_yaixm_to_geojson_spark.sources.warc import read_warc, write_warc_dir
+
+    d = _WARC_DIR.get("dir")
+    if d is None:
+        d = tempfile.mkdtemp(prefix="gate_warc_")
+        write_warc_dir(d, n_files=6, records_per_file=50)
+        _WARC_DIR["dir"] = d
+    out = read_warc(spark, d)
+    return out.select(
+        "url",
+        "warc_ts_s",
+        F.length("html").cast("bigint").alias("n_bytes"),
+        F.md5("html").alias("html_md5"),
+    )
+
+
 def q_multimodal_png_features(spark, sf_dir):
     """REAL compressed-format decode (r5): payloads are genuine PNGs
     (CRC'd chunks, zlib IDAT, per-row filters cycling all five types);
@@ -2242,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_real_features": q_multimodal_real_features,
         "multimodal_png_features": q_multimodal_png_features,
+        "warc_read": q_warc_read,
         "image_patches": q_image_patches,
         "audio_frames": q_audio_frames,
         "multimodal_frames": q_multimodal_frames,
@@ -2432,6 +2461,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": oracle.sql_multimodal_features(),
         "multimodal_real_features": oracle.sql_multimodal_real_features(),
         "multimodal_png_features": oracle.sql_multimodal_png_features(n=300),
+        "warc_read": oracle.sql_warc_read(n_files=6, records_per_file=50),
         "image_patches": oracle.sql_image_patches(),
         "audio_frames": oracle.sql_audio_frames(),
         "multimodal_frames": oracle.sql_multimodal_frames(),

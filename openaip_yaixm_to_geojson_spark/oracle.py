@@ -1424,6 +1424,33 @@ def _md5_byte_sql(seed: str, off: str) -> str:
     return f"({d(f'2 * ({off}) + 1')} * 16 + {d(f'2 * ({off}) + 2')})"
 
 
+def sql_warc_read(n_files: int = 6, records_per_file: int = 50) -> str:
+    """Oracle for the REAL WARC ingest: record content derives from
+    (file_id, rec_id) via md5 chains, so every extracted row — url,
+    parsed WARC-Date epoch seconds, payload length and payload md5 — is
+    recomputable in SQL, while the Spark side must walk real multi-member
+    gzip files and parse real WARC headers to land on the same values."""
+    from .sources.warc import WARC_EPOCH
+
+    html = (
+        "'<html><head><title>page ' || CAST(fid AS VARCHAR) || '/' || CAST(rid AS VARCHAR)"
+        " || '</title></head><body><p>crawl body '"
+        " || md5('warc-' || CAST(fid AS VARCHAR) || '-' || CAST(rid AS VARCHAR))"
+        " || '</p></body></html>'"
+    )
+    return f"""WITH g AS (
+  SELECT f.fid, r.rid
+  FROM (SELECT UNNEST(generate_series(0, {n_files - 1})) AS fid) f,
+       (SELECT UNNEST(generate_series(0, {records_per_file - 1})) AS rid) r
+),
+h AS (SELECT fid, rid, {html} AS html FROM g)
+SELECT 'https://warc.example/' || CAST(fid AS VARCHAR) || '/' || CAST(rid AS VARCHAR) AS url,
+       CAST({WARC_EPOCH} + fid * 86400 + rid * 37 AS BIGINT) AS warc_ts_s,
+       CAST(length(html) AS BIGINT) AS n_bytes,
+       md5(html) AS html_md5
+FROM h"""
+
+
 def sql_multimodal_png_features(n: int = 300) -> str:
     """Oracle for the REAL PNG decode path (r5): synth_media_png pixels
     are the same chained-md5 bytes as the PPM table, so the statistics are

@@ -367,3 +367,34 @@ def test_corpus_pipeline_resume_and_byte_identity(spark, tmp_path):
     again = run_corpus_pipeline(spark, SF_DIR, ckpt)
     for stage in again:
         assert runner.content_hash(stage) == StageRunner(spark, ckpt).content_hash(stage)
+
+
+def test_warc_gz_is_real_gzip_and_reads_back(spark, tmp_path):
+    """make_warc_gz writes genuine multi-member gzip (stdlib gzip module
+    decompresses the WHOLE file — member concatenation is spec behavior)
+    and read_warc extracts exactly the generated records."""
+    import gzip
+
+    from openaip_yaixm_to_geojson_spark.sources.warc import (
+        make_warc_gz,
+        read_warc,
+        record_html,
+        record_ts_s,
+        record_url,
+        write_warc_dir,
+    )
+
+    blob = make_warc_gz(3, 4)
+    full = gzip.decompress(blob)  # all members, external-tool equivalent
+    assert full.count(b"WARC/1.0\r\n") == 4
+    assert record_url(3, 0).encode() in full
+
+    d = str(tmp_path / "warc")
+    write_warc_dir(d, n_files=2, records_per_file=3)
+    rows = {r["url"]: r for r in read_warc(spark, d).collect()}
+    assert len(rows) == 6
+    for fid in range(2):
+        for rid in range(3):
+            r = rows[record_url(fid, rid)]
+            assert r["warc_ts_s"] == record_ts_s(fid, rid)
+            assert bytes(r["html"]).decode() == record_html(fid, rid)
