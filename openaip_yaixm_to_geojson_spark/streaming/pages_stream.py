@@ -423,3 +423,40 @@ def run_tile_merge_available_now(
     )
     query.awaitTermination()
     return query
+
+
+def stream_warc(spark: SparkSession, path: str) -> DataFrame:
+    """STREAMING WARC ingest: the same gzip-member walk + header parse as
+    sources.warc.read_warc, but over readStream binaryFile — new crawl
+    files landing in the directory become micro-batches; maxFilesPerTrigger
+    bounds per-batch work at production scale. Stream == batch rows is
+    pinned in tests."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.warc import WARC_OUT_SCHEMA, _split_members, parse_warc_record
+
+    # streaming file sources require an explicit schema — binaryFile's is
+    # fixed (path, modificationTime, length, content)
+    binary_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for member in _split_members(bytes(blob)):
+                    url, ts_s, payload = parse_warc_record(member)
+                    rows.append((url, ts_s, payload))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts_s", "html"])
+
+    return files.mapInPandas(run, schema=WARC_OUT_SCHEMA)

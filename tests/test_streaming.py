@@ -451,3 +451,28 @@ def test_tile_merge_crash_recovery(spark, tmp_path):
     }
     assert got == expect and snapshot  # recovered + merged, nothing lost
     assert not os.path.isdir(state + "._old_1") and not os.path.isdir(state + "._tmp_1")
+
+
+def test_stream_warc_equals_batch(spark, tmp_path):
+    """Streaming WARC ingest drains the same rows the batch reader
+    extracts (url + ts + byte-identical html), via availableNow."""
+    from openaip_yaixm_to_geojson_spark.sources.warc import read_warc, write_warc_dir
+    from openaip_yaixm_to_geojson_spark.streaming.pages_stream import (
+        run_available_now,
+        stream_warc,
+    )
+
+    d = str(tmp_path / "warc_in")
+    write_warc_dir(d, n_files=3, records_per_file=4)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(stream_warc(spark, d), out_dir, ckpt)
+    got = {
+        (r["url"], r["warc_ts_s"], bytes(r["html"]))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["url"], r["warc_ts_s"], bytes(r["html"]))
+        for r in read_warc(spark, d).collect()
+    }
+    assert got == want and len(got) == 12
