@@ -1429,6 +1429,26 @@ def q_warc_read(spark, sf_dir):
     )
 
 
+def q_multimodal_gif_features(spark, sf_dir):
+    """REAL GIF decode (r5): genuine single-frame GIF89a payloads whose
+    image data is a spec-correct LZW stream; the extractor runs a FULL
+    LZW decoder (variable-width 9->12-bit codes, clear/EOI, KwKwK) —
+    a second real compression algorithm beside PNG's DEFLATE. Pixels are
+    the md5 chain, so the decode round-trip is hash-gated."""
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        extract_features,
+        real_media_features,
+        synth_media_gif,
+    )
+
+    media = synth_media_gif(spark, 300)
+    feats = extract_features(media, decoder=real_media_features)
+    return feats.select(
+        "media_id",
+        *[F.col("feature")[j].cast("double").alias(f"f{j}") for j in range(8)],
+    )
+
+
 def q_multimodal_png_features(spark, sf_dir):
     """REAL compressed-format decode (r5): payloads are genuine PNGs
     (CRC'd chunks, zlib IDAT, per-row filters cycling all five types);
@@ -2270,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_real_features": q_multimodal_real_features,
         "multimodal_png_features": q_multimodal_png_features,
+        "multimodal_gif_features": q_multimodal_gif_features,
         "warc_read": q_warc_read,
         "image_patches": q_image_patches,
         "audio_frames": q_audio_frames,
@@ -2461,6 +2482,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": oracle.sql_multimodal_features(),
         "multimodal_real_features": oracle.sql_multimodal_real_features(),
         "multimodal_png_features": oracle.sql_multimodal_png_features(n=300),
+        "multimodal_gif_features": oracle.sql_multimodal_gif_features(n=300),
         "warc_read": oracle.sql_warc_read(n_files=6, records_per_file=50),
         "image_patches": oracle.sql_image_patches(),
         "audio_frames": oracle.sql_audio_frames(),

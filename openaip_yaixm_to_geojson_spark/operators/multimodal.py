@@ -397,6 +397,18 @@ def real_media_features(payload: bytes, kind: str) -> np.ndarray:
             for c in range(3)
         ]
         return np.asarray(feats + means + sq, dtype=np.float32)
+    if payload[:4] == b"GIF8":
+        # REAL LZW decode (r5): see decode_gif; grayscale statistics with
+        # the shared exact-integer-then-one-division contract
+        g = decode_gif(payload).astype(np.int64)
+        h, w = g.shape
+        n = w * h
+        mean = int(g.sum()) / float(n)
+        var = int((g * g).sum()) / float(n) - mean * mean
+        return np.asarray(
+            [float(w), float(h), mean, var, float(g.min()), float(g.max()), float(n), 0.0],
+            dtype=np.float32,
+        )
     if payload[:2] == b"P6":
         px = decode_ppm(payload).astype(np.int64)
         h, w = px.shape[0], px.shape[1]
@@ -693,6 +705,189 @@ def synth_media_png(spark, n: int) -> DataFrame:
         for pdf in batches:
             rows = [
                 (int(mid), "image", make_png(int(mid)), (PPM_W, PPM_H, 0, 8, "image/png"))
+                for mid in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF (r5): pure-Python LZW codec — a SECOND compression algorithm
+# ---------------------------------------------------------------------------
+#
+# PNG covered DEFLATE; GIF's image data is LZW, a different algorithm
+# entirely, implemented here from the spec (variable-width codes 9->12
+# bits LSB-first, clear/EOI codes, KwKwK case). The encoder emits literal
+# root codes with spec-correct width growth and periodic CLEARs (a valid,
+# widely-used "uncompressed GIF" stream — any viewer opens it); the
+# decoder is a FULL LZW decoder (string table, width growth, KwKwK), so
+# decode exercises real decompression, not just our encoder's subset.
+# Subset: 8-bit single-frame, 256-entry grayscale palette, non-interlaced.
+
+_GIF_GRAY_PALETTE = bytes(v for g in range(256) for v in (g, g, g))
+
+
+def encode_gif(gray: np.ndarray) -> bytes:
+    """A real single-frame GIF89a from an (h, w) uint8 array (grayscale
+    palette): literal-root LZW stream with lockstep width growth."""
+    import struct
+
+    h, w = gray.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+    out += _GIF_GRAY_PALETTE
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(8)  # LZW min code size
+
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    CLEAR, EOI = 256, 257
+    code_size = 9
+    next_code = 258
+    emit(CLEAR, code_size)
+    first = True
+    for px in gray.reshape(-1).astype(int):
+        emit(int(px), code_size)
+        if first:
+            first = False
+        else:
+            # the decoder adds one table entry per code after the first
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        if next_code >= 4094:
+            emit(CLEAR, code_size)
+            code_size, next_code, first = 9, 258, True
+    emit(EOI, code_size)
+    if nbits:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """REAL GIF decode: header + screen descriptor + GCT walk, extension
+    skip, full variable-width LZW (clear/EOI, KwKwK, width growth), palette
+    lookup -> (h, w) uint8 gray. Subset: single frame, global 256-entry
+    palette, non-interlaced (raises otherwise)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        palette = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while True:
+        block = payload[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF has no image block")
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    x, y, w, h = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+    iflags = payload[pos + 9]
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    if iflags & 0x80:
+        raise ValueError("local color table not supported")
+    if palette is None:
+        raise ValueError("GIF without a global color table not supported")
+    pos += 10
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos]:
+        ln = payload[pos]
+        data += payload[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+
+    CLEAR, EOI = 1 << min_code, (1 << min_code) + 1
+    roots = [bytes([i]) for i in range(1 << min_code)]
+
+    def fresh():
+        return roots + [b"", b""]
+
+    table = fresh()
+    code_size = min_code + 1
+    acc = nbits = bitpos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        while nbits < code_size:
+            acc |= data[bitpos] << nbits
+            nbits += 8
+            bitpos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == CLEAR:
+            table = fresh()
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    idx = np.frombuffer(bytes(out), dtype=np.uint8)[: w * h].reshape(h, w)
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+    return pal[idx, 0].astype(np.uint8)
+
+
+def make_gif(media_id: int) -> bytes:
+    """A real GIF whose pixels are the chained-md5 bytes (seed '{id}-px',
+    first w*h bytes — the same generation rule family as PPM/PNG)."""
+    px = np.frombuffer(_md5_bytes(f"{media_id}-px", PPM_W * PPM_H), dtype=np.uint8)
+    return encode_gif(px.reshape(PPM_H, PPM_W))
+
+
+def synth_media_gif(spark, n: int) -> DataFrame:
+    """Deterministic media table of REAL LZW-compressed GIF images."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(mid), "image", make_gif(int(mid)), (PPM_W, PPM_H, 0, 8, "image/gif"))
                 for mid in pdf["id"]
             ]
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])

@@ -1451,6 +1451,40 @@ SELECT 'https://warc.example/' || CAST(fid AS VARCHAR) || '/' || CAST(rid AS VAR
 FROM h"""
 
 
+def sql_multimodal_gif_features(n: int = 300) -> str:
+    """Oracle for the REAL GIF (LZW) decode path: pixels are the first
+    w*h chained-md5 bytes (seed '{id}-px'), so the grayscale statistics
+    are recomputable exactly — the Spark side must LZW-decode genuine GIF
+    streams (variable-width codes, clear/EOI) to land on them."""
+    npx = 8 * 8
+    px_byte = _md5_byte_sql(
+        "concat(CAST(media_id AS VARCHAR), '-px-', CAST(j // 16 AS VARCHAR))", "j % 16"
+    )
+
+    def f32(expr: str) -> str:
+        return f"CAST(CAST({expr} AS FLOAT) AS DOUBLE)"
+
+    mean = f"(s / CAST({float(npx)!r} AS DOUBLE))"
+    var = f"((ss / CAST({float(npx)!r} AS DOUBLE)) - {mean} * {mean})"
+    return f"""
+WITH m AS (SELECT UNNEST(generate_series(0, {n - 1})) AS media_id),
+px AS (
+  SELECT media_id, CAST({px_byte} AS BIGINT) AS v
+  FROM m, (SELECT UNNEST(generate_series(0, {npx - 1})) AS j) t
+),
+agg AS (
+  SELECT media_id, CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss,
+         MIN(v) AS mn, MAX(v) AS mx
+  FROM px GROUP BY media_id
+)
+SELECT media_id,
+       {f32("8.0")} AS f0, {f32("8.0")} AS f1,
+       {f32(mean)} AS f2, {f32(var)} AS f3,
+       {f32("CAST(mn AS DOUBLE)")} AS f4, {f32("CAST(mx AS DOUBLE)")} AS f5,
+       {f32(f"CAST({npx} AS DOUBLE)")} AS f6, {f32("0.0")} AS f7
+FROM agg"""
+
+
 def sql_multimodal_png_features(n: int = 300) -> str:
     """Oracle for the REAL PNG decode path (r5): synth_media_png pixels
     are the same chained-md5 bytes as the PPM table, so the statistics are

@@ -2205,3 +2205,27 @@ def test_png_codec_roundtrip_all_filters_and_subset_guard():
     p[24] = 16  # IHDR data byte 8 = bit depth (8 sig + 8 len/type)
     with pytest.raises(ValueError):
         decode_png(bytes(p))
+
+
+def test_gif_lzw_codec_roundtrip_and_subset_guard():
+    """The r5 pure-Python GIF codec: full LZW decode (width growth, CLEAR
+    resets, KwKwK path exercised by repetitive input), arbitrary sizes;
+    unsupported subsets raise."""
+    import numpy as np
+    import pytest
+
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(13)
+    for h, w in [(1, 1), (9, 17), (80, 80)]:  # 80x80 forces CLEAR resets
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        assert (decode_gif(encode_gif(img)) == img).all()
+    # constant image: the literal-root stream still decodes (the decoder's
+    # table grows over repeated codes — width-growth bookkeeping must match)
+    flat = np.full((50, 50), 7, dtype=np.uint8)
+    assert (decode_gif(encode_gif(flat)) == flat).all()
+    with pytest.raises(ValueError):
+        decode_gif(b"JFIF not a gif")
