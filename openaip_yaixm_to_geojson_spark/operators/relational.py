@@ -486,6 +486,10 @@ def range_partition_plan(
     the same aggregate-first discipline as events_retention."""
     from pyspark.sql import Window
 
+    if n_bins < 2:
+        # sequence(1, 0) counts DOWN in Spark (the _word_ngrams_col trap) —
+        # a 1-bin plan is also meaningless; fail loudly
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     hist = documents.groupBy(F.col(value_col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
     wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = hist.select(

@@ -2229,3 +2229,22 @@ def test_gif_lzw_codec_roundtrip_and_subset_guard():
     assert (decode_gif(encode_gif(flat)) == flat).all()
     with pytest.raises(ValueError):
         decode_gif(b"JFIF not a gif")
+
+
+def test_range_partition_plan_exact_bins_and_guard(spark):
+    """Hand case: 8 distinct values x 2 rows, 4 bins -> 2 values per bin
+    with exact edges; duplicates share a bin; n_bins=1 raises (the
+    sequence(1,0) counts-down trap is guarded)."""
+    import pytest
+
+    from openaip_yaixm_to_geojson_spark.operators.relational import range_partition_plan
+
+    rows = [(i, "en", (i % 8) * 10) for i in range(16)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    got = {r["bin_id"]: r for r in range_partition_plan(docs, n_bins=4).collect()}
+    assert len(got) == 4
+    assert all(r["n_docs"] == 4 for r in got.values())
+    assert got[0]["lo_value"] == 0 and got[0]["hi_value"] == 10
+    assert got[3]["lo_value"] == 60 and got[3]["hi_value"] == 70
+    with pytest.raises(ValueError):
+        range_partition_plan(docs, n_bins=1)
