@@ -1401,6 +1401,16 @@ def q_multimodal_real_features(spark, sf_dir):
     )
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt longest-match allow/deny per URL (the Google rule: most
+    specific path rule wins, ties to Allow): deterministic md5-derived
+    per-host rules, prefix match + argmax as pure codegen, broadcast
+    hosts-x-3 rules table, ONE shuffle."""
+    from openaip_yaixm_to_geojson_spark.operators.web import robots_filter
+
+    return robots_filter(pages_from_documents(spark, sf_dir))
+
+
 _WARC_DIR: dict[str, str] = {}
 
 
@@ -2292,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_features": q_multimodal_png_features,
         "multimodal_gif_features": q_multimodal_gif_features,
         "warc_read": q_warc_read,
+        "robots_filter": q_robots_filter,
         "image_patches": q_image_patches,
         "audio_frames": q_audio_frames,
         "multimodal_frames": q_multimodal_frames,
@@ -2484,6 +2495,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_png_features": oracle.sql_multimodal_png_features(n=300),
         "multimodal_gif_features": oracle.sql_multimodal_gif_features(n=300),
         "warc_read": oracle.sql_warc_read(n_files=6, records_per_file=50),
+        "robots_filter": oracle.sql_robots_filter(),
         "image_patches": oracle.sql_image_patches(),
         "audio_frames": oracle.sql_audio_frames(),
         "multimodal_frames": oracle.sql_multimodal_frames(),

@@ -553,3 +553,55 @@ def host_bfs_depth(pages: DataFrame, html_col: str = "html") -> DataFrame:
     return bfs_depth(g, seed, src_col="src_host", dst_col="dst_host").select(
         F.col("node").alias("host"), F.col("depth").cast("int").alias("depth")
     )
+
+
+def synth_robots_rules(pages: DataFrame) -> DataFrame:
+    """Deterministic per-host robots rules (host, rule_path, allow):
+    Disallow '/<d1>', Allow '/<d1><d2>' (the more specific override), and
+    the Allow-all '/' fallback, with d1/d2 digits derived from md5(host) —
+    a pure function of the host set, recomputable by the oracle."""
+    hosts = pages.select(url_host_col(F.col("url")).alias("host")).distinct()
+    hx = F.md5("host")
+    v = lambda i: F.conv(F.substring(hx, i, 1), 16, 10).cast("int") % 10  # noqa: E731
+    d1 = F.expr("chr(48 + v1)")
+    d2 = F.expr("chr(48 + v2)")
+    rules = F.array(
+        F.struct(F.concat(F.lit("/"), d1).alias("rule_path"), F.lit(False).alias("allow")),
+        F.struct(F.concat(F.lit("/"), d1, d2).alias("rule_path"), F.lit(True).alias("allow")),
+        F.struct(F.lit("/").alias("rule_path"), F.lit(True).alias("allow")),
+    )
+    return (
+        hosts.select("host", v(1).alias("v1"), v(2).alias("v2"))
+        .select("host", F.explode(rules).alias("r"))
+        .select("host", F.col("r.rule_path"), F.col("r.allow"))
+    )
+
+
+def robots_filter(pages: DataFrame, rules: DataFrame | None = None) -> DataFrame:
+    """Robots longest-match verdict per URL (the Google rule: the most
+    specific — longest — matching path rule wins; ties break to Allow):
+    (url, allowed, matched_rule). A match is a path PREFIX comparison, so
+    matching + argmax are pure codegen (substring equality + one max-by
+    struct ordered (len, allow, rule)); the rules table is hosts x 3 rows
+    and broadcasts. One shuffle: the per-url argmax groupBy."""
+    if rules is None:
+        rules = synth_robots_rules(pages)
+    path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]*(/.*)$", 1)
+    base = pages.select(
+        "url", url_host_col(F.col("url")).alias("host"), path.alias("path")
+    )
+    joined = base.join(F.broadcast(rules), "host").where(
+        F.substring(F.col("path"), 1, F.length("rule_path")) == F.col("rule_path")
+    )
+    best = joined.groupBy("url").agg(
+        F.max(
+            F.struct(
+                F.length("rule_path").alias("ln"),
+                F.col("allow"),
+                F.col("rule_path"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        "url", F.col("_b.allow").alias("allowed"), F.col("_b.rule_path").alias("matched_rule")
+    )

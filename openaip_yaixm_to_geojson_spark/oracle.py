@@ -1424,6 +1424,38 @@ def _md5_byte_sql(seed: str, off: str) -> str:
     return f"({d(f'2 * ({off}) + 1')} * 16 + {d(f'2 * ({off}) + 2')})"
 
 
+def sql_robots_filter() -> str:
+    """web.robots_filter twin: identical md5-digit rule derivation per
+    host (Disallow '/<d1>', Allow '/<d1><d2>', Allow '/'), prefix match
+    via left(path, len) equality, and the longest-match verdict as
+    ROW_NUMBER ordered (len DESC, allow DESC, rule DESC) — the same total
+    order as Spark's max over struct(len, allow, rule)."""
+
+    def hexd(i: int) -> str:
+        c = f"ascii(substring(mh, {i}, 1))"
+        return f"((CASE WHEN {c} >= 97 THEN {c} - 87 ELSE {c} - 48 END) % 10)"
+
+    return f"""WITH {pages_with()},
+h AS (SELECT DISTINCT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM pages),
+hm AS (SELECT host, md5(host) AS mh FROM h),
+rl AS (
+  SELECT host, '/' || chr(48 + {hexd(1)}) AS rule_path, FALSE AS allow FROM hm
+  UNION ALL
+  SELECT host, '/' || chr(48 + {hexd(1)}) || chr(48 + {hexd(2)}), TRUE FROM hm
+  UNION ALL
+  SELECT host, '/', TRUE FROM hm
+),
+p AS (SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+             regexp_extract(url, '^[a-z]+://[^/]*(/.*)$', 1) AS path
+      FROM pages),
+m AS (SELECT p.url, rl.rule_path, rl.allow,
+             ROW_NUMBER() OVER (PARTITION BY p.url
+               ORDER BY length(rl.rule_path) DESC, rl.allow DESC, rl.rule_path DESC) AS rn
+      FROM p JOIN rl ON rl.host = p.host
+      WHERE left(p.path, length(rl.rule_path)) = rl.rule_path)
+SELECT url, allow AS allowed, rule_path AS matched_rule FROM m WHERE rn = 1"""
+
+
 def sql_warc_read(n_files: int = 6, records_per_file: int = 50) -> str:
     """Oracle for the REAL WARC ingest: record content derives from
     (file_id, rec_id) via md5 chains, so every extracted row — url,

@@ -2248,3 +2248,22 @@ def test_range_partition_plan_exact_bins_and_guard(spark):
     assert got[3]["lo_value"] == 60 and got[3]["hi_value"] == 70
     with pytest.raises(ValueError):
         range_partition_plan(docs, n_bins=1)
+
+
+def test_robots_filter_longest_match_semantics(spark):
+    """Hand rules: Disallow /1, Allow /12, Allow / — a /12x url is allowed
+    (longer rule overrides), /1y is blocked, /3 falls to the Allow-all."""
+    from openaip_yaixm_to_geojson_spark.operators.web import robots_filter
+
+    pages = spark.createDataFrame(
+        [("https://h.example/123",), ("https://h.example/19",), ("https://h.example/3",)],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [("h.example", "/1", False), ("h.example", "/12", True), ("h.example", "/", True)],
+        "host string, rule_path string, allow boolean",
+    )
+    got = {r["url"]: (r["allowed"], r["matched_rule"]) for r in robots_filter(pages, rules).collect()}
+    assert got["https://h.example/123"] == (True, "/12")
+    assert got["https://h.example/19"] == (False, "/1")
+    assert got["https://h.example/3"] == (True, "/")
