@@ -1737,6 +1737,16 @@ def q_ann_topk_quantized(spark, sf_dir):
     return ann_topk_quantized(_emb(spark, sf_dir))
 
 
+def q_ann_two_stage(spark, sf_dir):
+    """Two-stage retrieval (the production serving shape): int8
+    compressed-domain candidate generation (k*overfetch, exact BIGINT
+    dots) -> exact float-dot rerank on candidates only. Both stages
+    formulation-shared with the oracle."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import ann_two_stage
+
+    return ann_two_stage(_emb(spark, sf_dir))
+
+
 def q_quantization_error(spark, sf_dir):
     """Max per-vector int8 reconstruction error (the compressed-serving
     quality gate); single-rounded IEEE arithmetic end to end."""
@@ -2365,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_exists_subquery": q_sql_exists_subquery,
         "embedding_quantize": q_embedding_quantize,
         "ann_topk_quantized": q_ann_topk_quantized,
+        "ann_two_stage": q_ann_two_stage,
         "quantization_error": q_quantization_error,
     }
 
@@ -2557,6 +2568,7 @@ def oracle_sql() -> dict[str, str]:
         "json_roundtrip": oracle.sql_json_roundtrip_stats(),
         "embedding_quantize": oracle.sql_embedding_quantize(),
         "ann_topk_quantized": oracle.sql_ann_topk_quantized(),
+        "ann_two_stage": oracle.sql_ann_two_stage(),
         "quantization_error": oracle.sql_quantization_error(),
         "sql_exists_subquery": """SELECT d.lang, COUNT(*) AS n_non_longest
 FROM documents d

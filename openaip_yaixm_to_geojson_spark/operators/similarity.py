@@ -689,3 +689,38 @@ def label_centroid_distances(embeddings: DataFrame) -> DataFrame:
         F.transform("ts", lambda s: s["t"]), F.lit(0.0), lambda acc, v: acc + v
     )
     return pair.select("label_a", "label_b", "n_a", "n_b", fold.alias("dist_sq"))
+
+
+def ann_two_stage(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 3, overfetch: int = 4
+) -> DataFrame:
+    """Two-stage retrieval — the standard production serving shape:
+    stage 1 generates k*overfetch candidates in the COMPRESSED domain
+    (int8 code dot products: exact BIGINTs, 4x less memory traffic),
+    stage 2 reranks ONLY those candidates with the exact float dot
+    (dot_double's left-fold contract). Returns (query_id, vec_id, dot,
+    rank) with rank <= k over the reranked order, ties to vec_id.
+
+    Scale shape: stage 1 is the quantized broadcast top-m; stage 2's
+    exact dots run on m rows per query (never the corpus), attached by
+    one vec_id equi-join + a broadcast query join."""
+    from pyspark.sql import Window
+
+    cands = ann_topk_quantized(embeddings, n_queries, k * overfetch).select(
+        "query_id", "vec_id"
+    )
+    qv = queries_from_embeddings(embeddings, n=n_queries)
+    joined = cands.join(embeddings.select("vec_id", "embedding"), "vec_id").join(
+        F.broadcast(qv), "query_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+    return (
+        joined.select(
+            "query_id",
+            "vec_id",
+            dot_double(F.col("embedding"), F.col("qvec")).alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("dot").cast("double").alias("dot"), "rank")
+    )

@@ -3010,6 +3010,43 @@ FROM d
 QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) <= {k}"""
 
 
+def sql_ann_two_stage(n_queries: int = 5, k: int = 3, overfetch: int = 4, dim: int = 64) -> str:
+    """similarity.ann_two_stage twin: the identical two stages — quantized
+    BIGINT-dot top-(k*overfetch) candidates, then the exact left-fold
+    float dot (the sql_ann_topk formulation) reranked to k."""
+    m = k * overfetch
+    qexpr = (
+        "list_transform(embedding, x -> CAST(CASE WHEN scale = 0 THEN 0 "
+        f"ELSE floor({_dbl(127.0)} * CAST(x AS DOUBLE) / scale + {_dbl(0.5)}) END AS BIGINT))"
+    )
+    dot = _dot_expr("e.embedding", "q.embedding", dim)
+    return f"""WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+),
+qv AS (SELECT vec_id, {qexpr} AS qc FROM s),
+qs AS (SELECT vec_id AS query_id, qc AS qq FROM qv WHERE vec_id < {n_queries}),
+d AS (
+  SELECT qs.query_id, qv.vec_id,
+         list_sum(list_transform(range(1, len(qv.qc) + 1), i -> qv.qc[i] * qs.qq[i])) AS qdot
+  FROM qv CROSS JOIN qs WHERE qs.query_id <> qv.vec_id
+),
+c AS (
+  SELECT query_id, vec_id FROM d
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) <= {m}
+),
+r AS (
+  SELECT c.query_id, c.vec_id, {dot} AS dsum
+  FROM c JOIN embeddings e ON e.vec_id = c.vec_id
+         JOIN embeddings q ON q.vec_id = c.query_id
+)
+SELECT query_id, vec_id, CAST(dsum AS DOUBLE) AS dot,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dsum DESC, vec_id) AS INTEGER) AS rank
+FROM r
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dsum DESC, vec_id) <= {k}"""
+
+
 def sql_quantization_error(bits_max: int = 127) -> str:
     """similarity.quantization_error twin: same quantize, same
     single-rounded reconstruction arithmetic, order-independent max."""
