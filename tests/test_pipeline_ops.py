@@ -1048,8 +1048,12 @@ def test_real_format_decoders():
     with pytest.raises(ValueError):
         decode_wav_pcm16(buf2.getvalue())
 
-    # unsupported magic stays env-blocked, loudly
+    # unsupported magic stays env-blocked, loudly (JPEG — PNG left this
+    # set in r5: it decodes for real via the stdlib-zlib codec, so a
+    # TRUNCATED png now fails as a corrupt stream, not as unsupported)
     with pytest.raises(NotImplementedError):
+        real_media_features(b"\xff\xd8\xff\xe0JFIF....", "image")
+    with pytest.raises(Exception):
         real_media_features(b"\x89PNG\r\n\x1a\n....", "image")
 
 
