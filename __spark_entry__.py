@@ -1610,6 +1610,16 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_docs(spark, sf_dir), k=16)
 
 
+def q_hll_union(spark, sf_dir):
+    """HLL SKETCH MERGE as a first-class op: per-source register states
+    merged by max-rank into the union-cardinality estimate; the oracle
+    builds the union sketch from scratch over the global distinct-term
+    set, so equality proves the merge exactly lossless cross-engine."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import hll_union
+
+    return hll_union(_docs(spark, sf_dir))
+
+
 def q_hll_distinct(spark, sf_dir):
     """Per-source distinct-term cardinality via a HyperLogLog sketch
     (p=10, 32-bit md5-prefix hash) alongside the exact count — the
@@ -2325,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_span_stats": q_duplicated_span_stats,
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
+        "hll_union": q_hll_union,
         "bigram_pmi": q_bigram_pmi,
         "token_rarity": q_token_rarity,
         "inverted_index_capped": q_inverted_index_capped,
@@ -2519,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicated_span_stats": oracle.sql_duplicated_span_stats(),
         "kmv_distinct": oracle.sql_kmv_distinct(k=16),
         "hll_distinct": oracle.sql_hll_distinct(),
+        "hll_union": oracle.sql_hll_union(),
         "bigram_pmi": oracle.sql_bigram_pmi(top=20),
         "token_rarity": oracle.sql_token_rarity(),
         "inverted_index_capped": oracle.sql_inverted_index(df_cap=300),

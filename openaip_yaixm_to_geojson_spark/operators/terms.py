@@ -709,3 +709,58 @@ def bm25_topk(
     return ranked.where(F.col("rnk") <= k).select(
         F.col("key").alias(key_col), "score", "rnk"
     )
+
+
+def hll_union(
+    documents: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """SKETCH ALGEBRA as a first-class operator: per-group HLL register
+    states MERGED into the union-cardinality estimate — max(rank) per
+    register across groups, the property that makes HLL the sketch
+    production pipelines ship (estimate the union without re-reading the
+    groups). One row: (n_groups, n_registers, reg_sum, hll_estimate).
+
+    The gate proves the merge cross-engine: Spark computes per-group
+    sketches and MERGES them; the oracle computes the union sketch from
+    scratch over the global distinct-term set — equal registers mean the
+    merge is exactly lossless, not approximately so.
+
+    Scale shape: the per-(grp, idx) rmax state is what a production job
+    would persist per partition/day; the merge is a second map-side
+    partial max over at most m rows per group."""
+    pairs = (
+        documents.select(F.col(group_col).alias("grp"), F.explode(_words(text_col)).alias("term"))
+        .distinct()
+        .select(
+            "grp", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint").alias("h")
+        )
+    )
+    rem_mod = 1 << HLL_REM_BITS
+    ranks = pairs.select(
+        "grp",
+        F.expr(f"h div {rem_mod}").alias("idx"),
+        F.pmod("h", F.lit(rem_mod)).alias("rem"),
+    ).select(
+        "grp",
+        "idx",
+        F.when(F.col("rem") == 0, F.lit(HLL_REM_BITS))
+        .otherwise(F.lit(HLL_REM_BITS + 1) - F.length(F.bin("rem")))
+        .alias("rnk"),
+    )
+    # the per-group register state (what a real pipeline stores) ...
+    per_group = ranks.groupBy("grp", "idx").agg(F.max("rnk").alias("rmax"))
+    # ... merged across groups: max rank per register
+    merged = per_group.groupBy("idx").agg(F.max("rmax").alias("rmax"))
+    n_groups = documents.select(group_col).distinct().count()
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_REM_BITS} - rmax)")).alias("occ_sum"),
+    )
+    empty_weight = 1 << HLL_REM_BITS
+    reg_sum = F.col("occ_sum") + (F.lit(HLL_M) - F.col("n_registers")) * F.lit(empty_weight)
+    return agg.select(
+        F.lit(n_groups).cast("bigint").alias("n_groups"),
+        F.col("n_registers"),
+        reg_sum.alias("reg_sum"),
+        (F.lit(HLL_NUMERATOR) / reg_sum.cast("double")).alias("hll_estimate"),
+    )

@@ -2364,6 +2364,36 @@ SELECT grp, n_exact,
 FROM fin"""
 
 
+def sql_hll_union() -> str:
+    """terms.hll_union twin, computed WITHOUT the merge: the union sketch
+    built directly over the GLOBAL distinct-term set (union of per-group
+    distinct sets == global distinct set; same hash -> same registers).
+    Equality with Spark's max-per-register MERGE of per-group sketches
+    proves the merge exactly lossless across engines."""
+    from .operators.terms import HLL_M, HLL_NUMERATOR, HLL_REM_BITS
+
+    rem_mod = 1 << HLL_REM_BITS
+    rb1 = HLL_REM_BITS + 1
+    return f"""WITH w AS (SELECT {_WORDS} AS words FROM documents),
+p0 AS (SELECT unnest(words) AS term FROM w),
+p AS (SELECT DISTINCT term FROM p0),
+hm AS (SELECT md5(term) AS mh FROM p),
+hs AS (SELECT {_hexcol_sql('mh', 1)} AS h FROM hm),
+rg AS (SELECT h // {rem_mod} AS idx, h % {rem_mod} AS rem FROM hs),
+rk AS (SELECT idx,
+       CASE WHEN rem = 0 THEN {HLL_REM_BITS} ELSE {rb1} - length(bin(rem)) END AS rnk FROM rg),
+ag AS (SELECT idx, MAX(rnk) AS rmax FROM rk GROUP BY idx),
+fin AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_registers,
+        CAST(SUM(CAST(1 AS BIGINT) << CAST({HLL_REM_BITS} - rmax AS INT)) AS BIGINT) AS occ_sum
+        FROM ag),
+ng AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups FROM documents)
+SELECT n_groups, n_registers,
+       occ_sum + ({HLL_M} - n_registers) * {rem_mod} AS reg_sum,
+       {_dbl(HLL_NUMERATOR)}
+         / CAST(occ_sum + ({HLL_M} - n_registers) * {rem_mod} AS DOUBLE) AS hll_estimate
+FROM fin CROSS JOIN ng"""
+
+
 def sql_bigram_pmi(top: int = 20) -> str:
     """terms.bigram_pmi twin: ratio = (c_ab * N) / (c_a * c_b) with both
     products formed from exact BIGINTs and the same association — rank by
