@@ -23,6 +23,16 @@ Protocol (documented in BENCH.md):
   a polluted artifact is self-identifying.
 
 Reading /proc/stat is ~10us; it never perturbs the measurement.
+
+CAVEAT measured in r5: at LOW parallelism the ratio OVER-attributes —
+/proc/stat steal counts hypervisor ticks stolen from ALL cpus, including
+idle ones, so a local[2] job on a 32-thread box can read steal_ratio 0.2+
+while its two busy threads run untouched (observed: a 0.01-ratio sample
+SLOWER than a 0.26-ratio one; the residual variance is cache/datagen
+state). Treat quiet flags as sufficient-but-not-necessary evidence of a
+clean sample, compare configs only within one matched run over one shared
+input, and prefer the min over all samples of a matched run when flags
+disagree with the data.
 """
 
 from __future__ import annotations
