@@ -115,24 +115,23 @@ def main() -> None:
     shutil.rmtree(pages_dir, ignore_errors=True)
 
     if os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
+        payload = {
+            "metric": "spatial_join_tile_rollup_wall",
+            "value": round(headline_sec, 3),
+            "unit": "sec",
+            "quiet": hr["quiet"],
+            "docs_per_sec": round(docs_per_sec),
+            "bench_docs": BENCH_DOCS,
+            "rollup_rows": n_rollup,
+            "cpus": CPUS,
+            "queries": {"spatial_join_tiles_synth": round(headline_sec, 3)},
+            "sf": "synthetic",
+        }
         print(
-            json.dumps(
-                {
-                    "metric": "spatial_join_tile_rollup_wall",
-                    "value": round(headline_sec, 3),
-                    "unit": "sec",
-                    "quiet": hr["quiet"],
-                    "docs_per_sec": round(docs_per_sec),
-                    "bench_docs": BENCH_DOCS,
-                    "rollup_rows": n_rollup,
-                    "cpus": CPUS,
-                    "loadavg_before": run_load0,
-                    "queries": {"spatial_join_tiles_synth": timings["spatial_join_tiles_synth"]},
-                    "query_meta": query_meta,
-                    "sf": "synthetic",
-                }
-            )
+            json.dumps({**payload, "query_meta": query_meta, "loadavg_before": run_load0}),
+            file=sys.stderr,
         )
+        print(json.dumps(payload))
         spark.stop()
         return
 
@@ -243,11 +242,7 @@ def main() -> None:
         "bench_docs": BENCH_DOCS,
         "rollup_rows": n_rollup,
         "cpus": CPUS,
-        "loadavg_before": run_load0,
-        "loadavg_after": loadavg1(),
-        "run_steal_ratio": run_meta["steal_ratio"],
-        "queries": timings,
-        "query_meta": query_meta,
+        "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
     # surface the last recorded N->4N scaling run (tools/scaling_bench.py)
@@ -259,7 +254,21 @@ def main() -> None:
         m = re.search(r"scaling efficiency (\d+\.\d+)", text)
         if m:
             result["scaling_efficiency_n_to_4n"] = float(m.group(1))
-    print(json.dumps(result))
+    # Per-sample noise metadata goes to STDERR: the driver keeps only the
+    # last ~2,000 chars of stdout, and r5's query_meta pushed the headline
+    # metric off the front of that tail (BENCH_r05.json parsed: null). The
+    # FINAL stdout line stays compact (<1,500 chars), headline first.
+    verbose = dict(result)
+    verbose["query_meta"] = query_meta
+    verbose["loadavg_before"] = run_load0
+    verbose["loadavg_after"] = loadavg1()
+    verbose["run_steal_ratio"] = run_meta["steal_ratio"]
+    print(json.dumps(verbose), file=sys.stderr)
+    line = json.dumps(result)
+    if len(line) > 1500:  # drop per-query detail before losing the headline
+        result["queries"] = {"spatial_join_tiles_synth": result["value"]}
+        line = json.dumps(result)
+    print(line)
     spark.stop()
 
 

@@ -112,7 +112,12 @@ def vertex_index_df(spark: SparkSession, polygons: list[dict[str, Any]], res: in
     pids, vx, vy = _vertex_arrays(polygons)
     cells = cellgrid.encode_np(vx, vy, res)
     pdf = pd.DataFrame({"vcell": cells, "poly_id": pids.astype("int32"), "vlon": vx, "vlat": vy})
-    return spark.createDataFrame(pdf)
+    # Explicit schema: without it the inferred dtype of poly_id depends on
+    # spark.sql.execution.arrow.pyspark.enabled (arrow keeps int32, the
+    # non-arrow fallback widens to bigint), and _topk_distinct_pid's fold
+    # zero literal hard-codes poly_id:int — a vanilla default session would
+    # raise DATATYPE_MISMATCH.ARRAY_FUNCTION_DIFF_TYPES (round-5 driver red).
+    return spark.createDataFrame(pdf, "vcell bigint, poly_id int, vlon double, vlat double")
 
 
 def vertex_index_from_table(polygons_df: DataFrame, res: int = KNN_RES) -> DataFrame:
@@ -506,7 +511,11 @@ def segment_index_df(
                 rows.append((cell, int(pids[i]), float(ax[i]), float(ay[i]), float(bx[i]), float(by[i])))
     pdf = pd.DataFrame(rows, columns=["vcell", "poly_id", "ax", "ay", "bx", "by"])
     pdf["poly_id"] = pdf["poly_id"].astype("int32")
-    return spark.createDataFrame(pdf)
+    # Explicit schema for the same arrow-off dtype-widening reason as
+    # vertex_index_df: poly_id must stay int to match _BEST_T's fold zero.
+    return spark.createDataFrame(
+        pdf, "vcell bigint, poly_id int, ax double, ay double, bx double, by double"
+    )
 
 
 def segment_index_from_table(polygons_df: DataFrame, res: int = KNN_RES) -> DataFrame:

@@ -127,10 +127,11 @@ def real_image_decoder(payload: bytes, kind: str) -> np.ndarray:
     formats do NOT need this slot — P6 PPM and PCM WAV decode for real via
     `real_media_features` (stdlib + NumPy, oracle-gated)."""
     raise NotImplementedError(
-        "JPEG/MP3/MP4 decoding requires a codec library (PNG decodes for real via decode_png — stdlib zlib; e.g. "
-        "Pillow/opencv) that is not installed in this environment; use "
-        "real_media_features for PPM/WAV (real stdlib decode) or "
-        "decoder=None for the deterministic fake"
+        "MP3/MP4 decoding requires a codec library (e.g. soundfile/opencv) "
+        "that is not installed in this environment; PNG/GIF/JPEG decode for "
+        "real via decode_png/decode_gif/decode_jpeg (stdlib + NumPy, "
+        "oracle-gated); use real_media_features for those, or decoder=None "
+        "for the deterministic fake"
     )
 
 
@@ -409,6 +410,19 @@ def real_media_features(payload: bytes, kind: str) -> np.ndarray:
             [float(w), float(h), mean, var, float(g.min()), float(g.max()), float(n), 0.0],
             dtype=np.float32,
         )
+    if payload[:2] == b"\xff\xd8":
+        # REAL baseline JPEG decode (r6): full Huffman/dequant/integer-IDCT
+        # pipeline — see decode_jpeg; grayscale statistics share the GIF
+        # branch's exact-integer-then-one-division contract
+        g = decode_jpeg(payload).astype(np.int64)
+        h, w = g.shape
+        n = w * h
+        mean = int(g.sum()) / float(n)
+        var = int((g * g).sum()) / float(n) - mean * mean
+        return np.asarray(
+            [float(w), float(h), mean, var, float(g.min()), float(g.max()), float(n), 0.0],
+            dtype=np.float32,
+        )
     if payload[:2] == b"P6":
         px = decode_ppm(payload).astype(np.int64)
         h, w = px.shape[0], px.shape[1]
@@ -435,8 +449,9 @@ def real_media_features(payload: bytes, kind: str) -> np.ndarray:
             dtype=np.float32,
         )
     raise NotImplementedError(
-        f"no stdlib decoder for this payload (magic {payload[:4]!r}); "
-        "JPEG/MP3/MP4 need codec libraries not present in this environment (PNG decodes for real: see decode_png)"
+        f"no decoder for this payload (magic {payload[:4]!r}); "
+        "MP3/MP4 need codec libraries not present in this environment "
+        "(PNG/GIF/JPEG decode for real: decode_png / decode_gif / decode_jpeg)"
     )
 
 
@@ -871,6 +886,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
         prev = entry
     idx = np.frombuffer(bytes(out), dtype=np.uint8)[: w * h].reshape(h, w)
     pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+    # honest-failure contract (r5 advice): this decoder's 'gray' output is
+    # only meaningful for a grayscale palette — a color GIF must raise, not
+    # silently return the red channel.
+    if not ((pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all()):
+        raise ValueError("non-grayscale GIF palette not supported")
     return pal[idx, 0].astype(np.uint8)
 
 
@@ -888,6 +908,411 @@ def synth_media_gif(spark, n: int) -> DataFrame:
         for pdf in batches:
             rows = [
                 (int(mid), "image", make_gif(int(mid)), (PPM_W, PPM_H, 0, 8, "image/gif"))
+                for mid in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT), grayscale subset — round-6.
+# Public-spec codec, NO codec libraries: the encoder is a real baseline
+# encoder (level shift -> float64 DCT -> quantize -> zigzag -> DC-pred +
+# AC run-length -> canonical Huffman -> 0xFF byte stuffing -> full JFIF
+# marker stream) and the decoder is a real baseline decoder (marker walk,
+# canonical Huffman from the file's own DHT, unstuffing, dequant, integer
+# IDCT). The IDCT is a HARDCODED fixed-point transform (K[u][x] =
+# round(2048*C(u)*cos((2x+1)u*pi/16)), descale floor((acc + 2^23)/2^24)),
+# so decoded pixels are an EXACT integer function of the quantized
+# coefficients — no libm in the decode chain, hence cross-engine
+# hash-gateable (the same no-transcendentals rule as geohash).
+# Subset: 8-bit, single component (grayscale), dimensions multiples of 8,
+# no restart markers, no progressive/arithmetic coding (raises otherwise).
+# MP3/MP4 (psychoacoustic/container codecs) remain the env-blocked slot.
+# ---------------------------------------------------------------------------
+
+JPEG_W, JPEG_H = 16, 16
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex-K-shaped luminance quant table with q[0][0] = 17 (not 16): an ODD
+# DC quantizer means floor(8*s/q00 + 0.5) is never evaluated at an exact
+# integer boundary for any s in [-128, 127] (16*s - q00 is odd, so it can
+# never be a multiple of the even modulus 2*q00) — margin >= 1/(2*q00) =
+# 1/34, astronomically above float-DCT ulp error, so the encoder's float
+# forward path can never flip the quantized DC (the tile_xyz margin-proof
+# pattern). Everything downstream of the quantizer is exact integers.
+JPEG_QUANT = np.array(
+    [
+        [17, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+# Fixed-point IDCT basis K[u][x] = round(2048 * C(u) * cos((2x+1)u*pi/16)),
+# C(0) = 1/sqrt(2), C(u>0) = 1 — 64 integer literals (no runtime libm).
+_JPEG_IDCT_K = np.array(
+    [
+        [1448, 1448, 1448, 1448, 1448, 1448, 1448, 1448],
+        [2009, 1703, 1138, 400, -400, -1138, -1703, -2009],
+        [1892, 784, -784, -1892, -1892, -784, 784, 1892],
+        [1703, -400, -2009, -1138, 1138, 2009, 400, -1703],
+        [1448, -1448, -1448, 1448, 1448, -1448, -1448, 1448],
+        [1138, -2009, 400, 1703, -1703, -400, 2009, -1138],
+        [784, -1892, 1892, -784, -784, 1892, -1892, 784],
+        [400, -1138, 1703, -2009, 2009, -1703, 1138, -400],
+    ],
+    dtype=np.int64,
+)
+
+# Custom (valid) canonical Huffman tables, carried in the file's DHT like
+# any baseline JPEG: DC categories 0..11 (cat 0 short — constant-ish
+# blocks dominate), AC: EOB len 2, ZRL len 6, all 160 run/size symbols
+# len 9. Kraft sums 0.422 / 0.578 — well-formed prefix codes.
+_JPEG_DC_SPEC = [(0, 2)] + [(c, 6) for c in range(1, 12)]
+_JPEG_AC_SPEC = (
+    [(0x00, 2), (0xF0, 6)]
+    + [((r << 4) | s, 9) for r in range(16) for s in range(1, 11)]
+)
+
+
+def _jpeg_canonical(spec: list[tuple[int, int]]) -> tuple[list[int], list[int], dict[int, tuple[int, int]]]:
+    """(BITS[1..16], HUFFVAL, sym -> (code, length)) for a (sym, len) spec,
+    assigned canonically exactly as a decoder rebuilds them from DHT."""
+    by_len = sorted(spec, key=lambda t: (t[1],))
+    bits = [0] * 17
+    huffval = []
+    for sym, ln in by_len:
+        bits[ln] += 1
+        huffval.append(sym)
+    enc: dict[int, tuple[int, int]] = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            enc[huffval[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return bits[1:], huffval, enc
+
+
+_JPEG_DC_BITS, _JPEG_DC_VALS, _JPEG_DC_ENC = _jpeg_canonical(_JPEG_DC_SPEC)
+_JPEG_AC_BITS, _JPEG_AC_VALS, _JPEG_AC_ENC = _jpeg_canonical(_JPEG_AC_SPEC)
+
+_JPEG_DCT_A = None  # lazy orthonormal DCT-II matrix (encoder only)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    global _JPEG_DCT_A
+    if _JPEG_DCT_A is None:
+        x = np.arange(8)
+        a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        a[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+        _JPEG_DCT_A = a
+    return _JPEG_DCT_A
+
+
+def jpeg_quantized_blocks(gray: np.ndarray) -> np.ndarray:
+    """Forward path shared by encoder and tests: (n_by, n_bx, 64) quantized
+    coefficients in NATURAL order; quantizer = floor(coef/q + 0.5)."""
+    h, w = gray.shape
+    if h % 8 or w % 8:
+        raise ValueError("jpeg subset: dimensions must be multiples of 8")
+    a = _jpeg_dct_matrix()
+    s = gray.astype(np.float64) - 128.0
+    out = np.empty((h // 8, w // 8, 64), dtype=np.int64)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = s[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = a @ blk @ a.T
+            out[by, bx] = np.floor(coef / JPEG_QUANT + 0.5).astype(np.int64).reshape(64)
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg(gray: np.ndarray) -> bytes:
+    """Real baseline JFIF grayscale encoder (subset documented above)."""
+    h, w = gray.shape
+    qz = bytes(int(JPEG_QUANT.reshape(64)[i]) for i in _JPEG_ZIGZAG)
+    blocks = jpeg_quantized_blocks(gray)
+    bw = _JpegBitWriter()
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = blocks[by, bx][_JPEG_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t = _jpeg_category(diff)
+            code, ln = _JPEG_DC_ENC[t]
+            bw.put(code, ln)
+            if t:
+                bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    c, l = _JPEG_AC_ENC[0xF0]
+                    bw.put(c, l)
+                    run -= 16
+                size = _jpeg_category(v)
+                c, l = _JPEG_AC_ENC[(run << 4) | size]
+                bw.put(c, l)
+                bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if run:
+                c, l = _JPEG_AC_ENC[0x00]
+                bw.put(c, l)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    def dht(tc: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([tc << 4]) + bytes(bits) + bytes(vals)
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + qz)  # DQT: Pq=0, Tq=0
+    out += seg(
+        0xC0,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x01\x11\x00",
+    )  # SOF0: 8-bit, 1 component, 1x1 sampling, quant table 0
+    out += seg(0xC4, dht(0, _JPEG_DC_BITS, _JPEG_DC_VALS))
+    out += seg(0xC4, dht(1, _JPEG_AC_BITS, _JPEG_AC_VALS))
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += scan + b"\xff\xd9"
+    return out
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if not self.nbits:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                self.pos += 1
+                if nxt != 0x00:
+                    raise ValueError(f"unexpected marker 0xff{nxt:02x} in scan")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, canonical assignment (inverse of encode)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_read_sym(br: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_idct_int(d: np.ndarray) -> np.ndarray:
+    """The decoder's EXACT integer IDCT: d is the dequantized 8x8 block
+    (natural order, int64); out = clamp(floor((K^T d K + 2^23) / 2^24)
+    + 128). Pure integer adds/multiplies/floor-divisions — the oracle
+    mirrors the DC-only closed form ((1448^2*d00 + 2^23) // 2^24 + 128)."""
+    acc = _JPEG_IDCT_K.T @ d @ _JPEG_IDCT_K
+    pix = ((acc + (1 << 23)) >> 24) + 128
+    return np.clip(pix, 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Real baseline JPEG decoder for the documented grayscale subset:
+    marker walk, DQT/DHT/SOF0/SOS parse, canonical Huffman decode with
+    0xFF00 unstuffing, DC prediction, dezigzag, dequantize, integer IDCT."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = -1
+    comp_q = 0
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        ln = int.from_bytes(payload[pos : pos + 2], "big")
+        body = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = zz
+                quant[tq] = nat.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                huff[(tc, th)] = _jpeg_decode_table(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            if body[5] != 1:
+                raise ValueError("only single-component (grayscale) supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            dc_tab = huff[(0, body[2] >> 4)]
+            ac_tab = huff[(1, body[2] & 0xF)]
+            pos += ln
+            break
+        pos += ln
+    if h < 0 or h % 8 or w % 8:
+        raise ValueError("jpeg subset: dimensions must be multiples of 8")
+    q = quant[comp_q]
+    br = _JpegBitReader(payload, pos)
+    img = np.zeros((h, w), dtype=np.uint8)
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = np.zeros(64, dtype=np.int64)
+            t = _jpeg_read_sym(br, dc_tab)
+            diff = _jpeg_extend(br.bits(t), t) if t else 0
+            pred += diff
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = _jpeg_read_sym(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _jpeg_extend(br.bits(size), size)
+                k += 1
+            nat = np.zeros(64, dtype=np.int64)
+            nat[_JPEG_ZIGZAG] = zz
+            d = nat.reshape(8, 8) * q
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = jpeg_idct_int(d)
+    return img
+
+
+def make_jpeg(media_id: int) -> bytes:
+    """A real baseline JPEG whose source image is BLOCKWISE-CONSTANT: each
+    8x8 block is one md5-chain byte (seed '{id}-px', byte b = block index).
+    Constant blocks quantize to a DC-only spectrum (float-DCT AC noise is
+    ~1e-13, far inside the quantizer's dead zone; the DC floor has the
+    1/34 odd-q00 margin), so the decoded value of every block is the
+    closed-form integer the oracle recomputes — while the decoder must
+    still run the full Huffman/unstuff/dezigzag/dequant/IDCT pipeline."""
+    vals = _md5_bytes(f"{media_id}-px", (JPEG_H // 8) * (JPEG_W // 8))
+    img = np.zeros((JPEG_H, JPEG_W), dtype=np.uint8)
+    i = 0
+    for by in range(JPEG_H // 8):
+        for bx in range(JPEG_W // 8):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = vals[i]
+            i += 1
+    return encode_jpeg(img)
+
+
+def synth_media_jpeg(spark, n: int) -> DataFrame:
+    """Deterministic media table of REAL baseline JPEG images."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(mid), "image", make_jpeg(int(mid)), (JPEG_W, JPEG_H, 0, 8, "image/jpeg"))
                 for mid in pdf["id"]
             ]
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])

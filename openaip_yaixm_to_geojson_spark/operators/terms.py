@@ -751,7 +751,12 @@ def hll_union(
     per_group = ranks.groupBy("grp", "idx").agg(F.max("rnk").alias("rmax"))
     # ... merged across groups: max rank per register
     merged = per_group.groupBy("idx").agg(F.max("rmax").alias("rmax"))
-    n_groups = documents.select(group_col).distinct().count()
+    # NULL-group semantics shared with the oracle's COUNT(DISTINCT ...),
+    # which excludes NULL — distinct().count() would count a NULL source
+    # as a group (r5 advice; latent only, synthetic data is non-null)
+    n_groups = (
+        documents.where(F.col(group_col).isNotNull()).select(group_col).distinct().count()
+    )
     agg = merged.agg(
         F.count(F.lit(1)).alias("n_registers"),
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_REM_BITS} - rmax)")).alias("occ_sum"),

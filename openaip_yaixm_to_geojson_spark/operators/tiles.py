@@ -351,7 +351,9 @@ def tile_nearest_airspace(
     segs = pages.sparkSession.createDataFrame(
         pd.DataFrame(
             {"poly_id": pids.astype("int32"), "ax": ax, "ay": ay, "bx": bx, "by": by}
-        )
+        ),
+        # explicit schema: inferred poly_id dtype is arrow-conf-dependent
+        "poly_id int, ax double, ay double, bx double, by double",
     )
     return (
         segs.crossJoin(F.broadcast(centers))

@@ -586,7 +586,12 @@ def robots_filter(pages: DataFrame, rules: DataFrame | None = None) -> DataFrame
     and broadcasts. One shuffle: the per-url argmax groupBy."""
     if rules is None:
         rules = synth_robots_rules(pages)
-    path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]*(/.*)$", 1)
+    # a URL with no path component ('https://host') extracts '' — default it
+    # to '/' so the Allow-all rule matches and every URL gets a verdict
+    # (r5 advice: the empty path failed even the '/' prefix test, silently
+    # dropping the row through the inner join)
+    raw_path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]*(/.*)$", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     base = pages.select(
         "url", url_host_col(F.col("url")).alias("host"), path.alias("path")
     )

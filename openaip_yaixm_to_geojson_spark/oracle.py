@@ -1446,7 +1446,9 @@ rl AS (
   SELECT host, '/', TRUE FROM hm
 ),
 p AS (SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
-             regexp_extract(url, '^[a-z]+://[^/]*(/.*)$', 1) AS path
+             CASE WHEN regexp_extract(url, '^[a-z]+://[^/]*(/.*)$', 1) = ''
+                  THEN '/' ELSE regexp_extract(url, '^[a-z]+://[^/]*(/.*)$', 1)
+             END AS path
       FROM pages),
 m AS (SELECT p.url, rl.rule_path, rl.allow,
              ROW_NUMBER() OVER (PARTITION BY p.url
@@ -1511,6 +1513,62 @@ agg AS (
 )
 SELECT media_id,
        {f32("8.0")} AS f0, {f32("8.0")} AS f1,
+       {f32(mean)} AS f2, {f32(var)} AS f3,
+       {f32("CAST(mn AS DOUBLE)")} AS f4, {f32("CAST(mx AS DOUBLE)")} AS f5,
+       {f32(f"CAST({npx} AS DOUBLE)")} AS f6, {f32("0.0")} AS f7
+FROM agg"""
+
+
+def sql_multimodal_jpeg_features(n: int = 300) -> str:
+    """Oracle for the REAL baseline-JPEG decode path (r6): make_jpeg's
+    source image is blockwise-constant (one md5-chain byte per 8x8 block),
+    so each decoded block's value is a CLOSED-FORM integer:
+
+        s   = c - 128                         (level shift)
+        dcq = floor(8*s/17 + 1/2)             (DC quantize, q00 = 17 —
+              = ((16*s + 17 + 3400) // 34) - 100, odd q00 => never on a
+              boundary, so the encoder's float DCT ulp cannot flip it)
+        d   = dcq * 17                        (dequantize)
+        v   = clamp(floor((1448^2*d + 2^23) / 2^24) + 128, 0, 255)
+              (the decoder's fixed-point integer IDCT, DC-only form)
+
+    All integer arithmetic (floor divisions via non-negative offsets, so
+    DuckDB's truncating // equals floor). The Spark side must parse real
+    JFIF markers, Huffman-decode the entropy stream (with 0xFF00
+    unstuffing and DC prediction), dequantize and run the integer IDCT to
+    land on the identical statistics."""
+    blocks = (16 // 8) * (16 // 8)
+    npx = 16 * 16
+    c_byte = _md5_byte_sql(
+        "concat(CAST(media_id AS VARCHAR), '-px-', CAST(j // 16 AS VARCHAR))", "j % 16"
+    )
+
+    def f32(expr: str) -> str:
+        return f"CAST(CAST({expr} AS FLOAT) AS DOUBLE)"
+
+    mean = f"(s / CAST({float(npx)!r} AS DOUBLE))"
+    var = f"((ss / CAST({float(npx)!r} AS DOUBLE)) - {mean} * {mean})"
+    return f"""
+WITH m AS (SELECT UNNEST(generate_series(0, {n - 1})) AS media_id),
+blk AS (
+  SELECT media_id, CAST({c_byte} AS BIGINT) - 128 AS s
+  FROM m, (SELECT UNNEST(generate_series(0, {blocks - 1})) AS j) t
+),
+dec AS (
+  SELECT media_id,
+         LEAST(255, GREATEST(0,
+           ((2096704 * (((16 * s + 17 + 3400) // 34) - 100) * 17
+             + 8388608 + 1099511627776) // 16777216) - 65536 + 128)) AS v
+  FROM blk
+),
+agg AS (
+  SELECT media_id,
+         CAST(SUM(v) * 64 AS BIGINT) AS s, CAST(SUM(v * v) * 64 AS BIGINT) AS ss,
+         MIN(v) AS mn, MAX(v) AS mx
+  FROM dec GROUP BY media_id
+)
+SELECT media_id,
+       {f32("16.0")} AS f0, {f32("16.0")} AS f1,
        {f32(mean)} AS f2, {f32(var)} AS f3,
        {f32("CAST(mn AS DOUBLE)")} AS f4, {f32("CAST(mx AS DOUBLE)")} AS f5,
        {f32(f"CAST({npx} AS DOUBLE)")} AS f6, {f32("0.0")} AS f7

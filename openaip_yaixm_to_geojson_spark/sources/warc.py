@@ -95,11 +95,16 @@ def write_warc_dir(path: str, n_files: int, records_per_file: int) -> None:
 
 
 def _split_members(blob: bytes) -> Iterator[bytes]:
-    """Inflate concatenated gzip members one at a time."""
+    """Inflate concatenated gzip members one at a time. A truncated or
+    corrupt final member must fail loudly (d.eof check) rather than
+    silently yield partial record bytes (r5 advice)."""
     rest = blob
     while rest:
         d = zlib.decompressobj(wbits=31)
-        yield d.decompress(rest)
+        data = d.decompress(rest)
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC blob")
+        yield data
         rest = d.unused_data
 
 

@@ -1048,10 +1048,13 @@ def test_real_format_decoders():
     with pytest.raises(ValueError):
         decode_wav_pcm16(buf2.getvalue())
 
-    # unsupported magic stays env-blocked, loudly (JPEG — PNG left this
-    # set in r5: it decodes for real via the stdlib-zlib codec, so a
-    # TRUNCATED png now fails as a corrupt stream, not as unsupported)
+    # unsupported magic stays env-blocked, loudly (MP3/MP4 — JPEG left
+    # this set in r6: it decodes for real via the baseline codec, so a
+    # TRUNCATED jpeg now fails as a corrupt stream, not as unsupported;
+    # PNG left in r5 the same way)
     with pytest.raises(NotImplementedError):
+        real_media_features(b"\x00\x00\x00\x18ftypmp42....", "video")
+    with pytest.raises(Exception):
         real_media_features(b"\xff\xd8\xff\xe0JFIF....", "image")
     with pytest.raises(Exception):
         real_media_features(b"\x89PNG\r\n\x1a\n....", "image")
@@ -2271,3 +2274,146 @@ def test_robots_filter_longest_match_semantics(spark):
     assert got["https://h.example/123"] == (True, "/12")
     assert got["https://h.example/19"] == (False, "/1")
     assert got["https://h.example/3"] == (True, "/")
+
+
+def test_robots_filter_pathless_url_gets_verdict(spark):
+    """r5 advice: 'https://host' (no path) must not be silently dropped —
+    the extracted path defaults to '/' so the Allow-all rule matches."""
+    from openaip_yaixm_to_geojson_spark.operators.web import robots_filter
+
+    pages = spark.createDataFrame(
+        [("https://h.example",), ("https://h.example/19",)], "url string"
+    )
+    rules = spark.createDataFrame(
+        [("h.example", "/1", False), ("h.example", "/", True)],
+        "host string, rule_path string, allow boolean",
+    )
+    got = {r["url"]: (r["allowed"], r["matched_rule"]) for r in robots_filter(pages, rules).collect()}
+    assert got["https://h.example"] == (True, "/")
+    assert got["https://h.example/19"] == (False, "/1")
+
+
+def test_gif_color_palette_raises():
+    """r5 advice: decode_gif's gray output is only valid for a grayscale
+    palette — a color palette must raise, not return the red channel."""
+    import numpy as np
+    import pytest as _pytest
+
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import decode_gif, encode_gif
+
+    img = (np.arange(64, dtype=np.uint8) * 3).reshape(8, 8)
+    blob = bytearray(encode_gif(img))
+    # global palette starts right after the 13-byte header; make it color
+    # by perturbing one green byte
+    blob[13 + 3 * 5 + 1] ^= 0x40
+    with _pytest.raises(ValueError, match="non-grayscale"):
+        decode_gif(bytes(blob))
+    # unperturbed stays decodable
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_warc_truncated_member_raises():
+    """r5 advice: a truncated final gzip member fails loudly instead of
+    yielding partial record bytes."""
+    import gzip
+
+    import pytest as _pytest
+
+    from openaip_yaixm_to_geojson_spark.sources.warc import _split_members
+
+    a = gzip.compress(b"WARC/1.0\r\nrecord-one")
+    b = gzip.compress(b"WARC/1.0\r\nrecord-two")
+    assert list(_split_members(a + b)) == [b"WARC/1.0\r\nrecord-one", b"WARC/1.0\r\nrecord-two"]
+    with _pytest.raises(ValueError, match="truncated"):
+        list(_split_members(a + b[:-4]))
+
+
+def test_jpeg_entropy_roundtrip_exact():
+    """decode(encode(img)) equals integer-IDCT(quantized blocks) EXACTLY
+    for md5-noise images — proves the whole entropy layer (canonical
+    Huffman, DC prediction, zigzag, 0xFF stuffing) is lossless."""
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        JPEG_QUANT,
+        _md5_bytes,
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_idct_int,
+        jpeg_quantized_blocks,
+    )
+
+    stuffed = 0
+    for seed in range(20):
+        px = np.frombuffer(_md5_bytes(f"jt-{seed}", 16 * 16), dtype=np.uint8).reshape(16, 16)
+        blob = encode_jpeg(px)
+        stuffed += blob[2:-2].count(b"\xff\x00")
+        dec = decode_jpeg(blob)
+        blocks = jpeg_quantized_blocks(px)
+        for by in range(2):
+            for bx in range(2):
+                nat = blocks[by, bx].reshape(8, 8) * JPEG_QUANT
+                ref = jpeg_idct_int(nat)
+                assert (dec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == ref).all()
+    # high-frequency noise must have produced stuffed 0xFF bytes — the
+    # unstuffing path was genuinely exercised, not vacuously skipped
+    assert stuffed > 0
+
+
+def test_jpeg_dc_only_closed_form():
+    """make_jpeg's blockwise-constant images decode to the oracle's
+    closed-form integers (the hash-gate contract, mirrored in NumPy)."""
+    import numpy as np
+
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        _md5_bytes,
+        decode_jpeg,
+        make_jpeg,
+    )
+
+    for mid in (0, 7, 123):
+        dec = decode_jpeg(make_jpeg(mid))
+        vals = _md5_bytes(f"{mid}-px", 4)
+        for i, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            s = vals[i] - 128
+            dcq = (16 * s + 17 + 3400) // 34 - 100
+            d = dcq * 17
+            pix = min(255, max(0, ((2096704 * d + (1 << 23)) >> 24) + 128))
+            assert (dec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == pix).all()
+
+
+def test_jpeg_subset_raises_honestly():
+    """Unsupported baseline-JPEG variants fail loudly per the documented
+    subset: progressive SOF2, restart intervals, multi-component SOF0,
+    and non-JPEG bytes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from openaip_yaixm_to_geojson_spark.operators.multimodal import (
+        _md5_bytes,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px = np.frombuffer(_md5_bytes("js-1", 16 * 16), dtype=np.uint8).reshape(16, 16)
+    blob = bytearray(encode_jpeg(px))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(blob).find(b"\xff\xc0")
+    prog = blob[:i] + b"\xff\xc2" + blob[i + 2 :]
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    # multi-component: patch SOF0 Nf byte
+    nf_off = i + 2 + 2 + 5  # marker(2) + len(2) + precision(1) + h(2) + w(2)
+    multi = bytearray(blob)
+    multi[nf_off] = 3
+    with _pytest.raises(ValueError, match="single-component"):
+        decode_jpeg(bytes(multi))
+    # DRI restart-interval marker injected before SOS
+    j = bytes(blob).find(b"\xff\xda")
+    dri = blob[:j] + b"\xff\xdd\x00\x04\x00\x08" + blob[j:]
+    with _pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(dri))
+    with _pytest.raises(ValueError, match="multiples of 8"):
+        encode_jpeg(px[:12, :])

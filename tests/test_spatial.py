@@ -1005,3 +1005,39 @@ def test_morton_key_quadrant_recursion_and_locality():
     # hand case: x=0b101, y=0b011 -> interleave y2x2 y1x1 y0x0 = 0b011011... :
     # bits: x=5 (101), y=3 (011) -> z = 1*1 + 1*2 + 0*4 + 1*8 + 1*16 + 0*32 = 27
     assert morton_np(np.array([5]), np.array([3]), 3)[0] == 27
+
+
+def test_knn_k_arrow_disabled_default_dtypes(spark, polygons):
+    """Round-5 driver red regression: with spark.sql.execution.arrow.pyspark
+    .enabled=false (Spark's DEFAULT, hence the driver's vanilla harness) the
+    non-arrow createDataFrame fallback used to widen the pandas int32
+    poly_id to bigint, mismatching _BEST_T's hard-coded fold zero
+    (array<struct<d2:double,poly_id:int>>) and raising
+    DATATYPE_MISMATCH.ARRAY_FUNCTION_DIFF_TYPES. Explicit schemas at the
+    index createDataFrame sites fix it; this pins both k>1 variants to a
+    full .collect() with arrow OFF, and value-checks knn_k's rnk=1 row
+    against the k=1 path."""
+    from openaip_yaixm_to_geojson_spark.operators.knn import (
+        knn_bruteforce,
+        knn_edge_k,
+        knn_k,
+    )
+    from openaip_yaixm_to_geojson_spark.sources.pages import pages_from_documents
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        pages = pages_from_documents(spark, SF_DIR)
+        rows = knn_k(pages, polygons, k=3).collect()
+        assert rows and {r["rnk"] for r in rows} == {1, 2, 3}
+        top1 = {r["url"]: (r["poly_id"], r["dist_sq"]) for r in rows if r["rnk"] == 1}
+        brute = {
+            r["url"]: (r["poly_id"], r["dist_sq"])
+            for r in knn_bruteforce(pages, polygons).collect()
+        }
+        assert top1 == brute
+        edge_rows = knn_edge_k(pages, polygons, k=2).collect()
+        assert edge_rows and {r["rnk"] for r in edge_rows} == {1, 2}
+    finally:
+        spark.conf.set(key, prev)

@@ -3,7 +3,14 @@ entry on Spark at sf0.01 and the matching oracle_sql() on DuckDB over the
 same parquet tables; compare row count, schema arity and an
 order-insensitive value fingerprint (columns sorted by name, rows sorted).
 
-Usage: python tools/check_correctness.py [sf_dir] [only_query ...]
+Usage: python tools/check_correctness.py [--default-session] [sf_dir] [only_query ...]
+
+--default-session runs the sweep under a VANILLA SparkSession (no AQE /
+Arrow / UTC / shuffle-partition tuning — the driver harness's environment,
+round-5 lesson: conf-dependent bugs are invisible when the gate shares
+build_session with the code under test). local[8] is kept so the sweep
+finishes; everything else is Spark defaults (200 shuffle partitions,
+arrow OFF).
 """
 
 from __future__ import annotations
@@ -56,13 +63,32 @@ def fingerprint(columns, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    default_session = "--default-session" in argv
+    if default_session:
+        argv.remove("--default-session")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
-    from openaip_yaixm_to_geojson_spark.plans.session import build_session
 
-    spark = build_session(app_name="check-correctness", master="local[8]", shuffle_partitions=8)
+    if default_session:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check-correctness-default")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            # display-only: keep the sweep log readable (not a semantic conf)
+            .config("spark.ui.showConsoleProgress", "false")
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+            .getOrCreate()
+        )
+        print("session mode: DEFAULT (vanilla confs, arrow off, 200 shuffle partitions)")
+    else:
+        from openaip_yaixm_to_geojson_spark.plans.session import build_session
+
+        spark = build_session(app_name="check-correctness", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
