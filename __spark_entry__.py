@@ -916,6 +916,46 @@ def q_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(minhash_lsh_pairs(docs, jaccard_threshold=0.5), documents=docs)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Cluster -> keep-best selection (r6): the canonical dedup OUTPUT —
+    one surviving doc per near-dup cluster by (quality DESC, length DESC,
+    md5 ASC, id ASC); label propagation vs the oracle's recursive closure,
+    ranking arithmetic shared with the quality gate."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import dedup_keep_best
+
+    return dedup_keep_best(_docs(spark, sf_dir))
+
+
+def q_readability(spark, sf_dir):
+    """Flesch-style readability scoring (r6): exact integer sentence/
+    syllable proxies, fixed-order single-rounded double combination —
+    pure codegen, zero shuffles."""
+    from openaip_yaixm_to_geojson_spark.operators.text import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+def q_charlm_surprisal(spark, sf_dir):
+    """Log-free char-bigram LM scoring (r6): whole-bit surprisal via
+    integer bit lengths (length(bin(n)) in both engines) — the perplexity-
+    proxy quality filter, hash-gated on exact BIGINTs."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import charlm_surprisal
+
+    return charlm_surprisal(_docs(spark, sf_dir))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Registered-domain rollup (r6): last-2-label/public-suffix domain
+    extraction over synthetic multi-label hosts (www./a.b. subdomains x
+    .co.uk/.com.au/.example/.org suffix cycle, dialect-shared URL rule)."""
+    from openaip_yaixm_to_geojson_spark.operators.web import domain_stats
+
+    pages = _docs(spark, sf_dir).select(
+        F.expr(oracle.domain_url_sql("spark")).alias("url"), "text"
+    )
+    return domain_stats(pages)
+
+
 def q_dedup_report(spark, sf_dir):
     """Per-source dedup summary over the near-dup clusters (drop ratio =
     non-representatives / docs); labels join + one source aggregation."""
@@ -2227,6 +2267,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_k": q_knn_k,
         "knn_edge_k": q_knn_edge_k,
+        "dedup_keep_best": q_dedup_keep_best,
+        "readability": q_readability,
+        "charlm_surprisal": q_charlm_surprisal,
+        "domain_stats": q_domain_stats,
         "normalized_dedup": q_normalized_dedup,
         "edit_distance_pairs": q_edit_distance_pairs,
         "containment_pairs": q_containment_pairs,
@@ -2493,6 +2537,10 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": oracle.sql_edit_distance_pairs(),
         "containment_pairs": oracle.sql_containment_pairs(),
         "dedup_clusters": oracle.sql_dedup_clusters(),
+        "dedup_keep_best": oracle.sql_dedup_keep_best(),
+        "readability": oracle.sql_readability(),
+        "charlm_surprisal": oracle.sql_charlm_surprisal(),
+        "domain_stats": oracle.sql_domain_stats(),
         "dedup_report": oracle.sql_dedup_report(),
         "simhash": oracle.sql_simhash(),
         "lsh_recall_monitor": oracle.sql_lsh_recall_monitor(),

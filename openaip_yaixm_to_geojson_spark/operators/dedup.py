@@ -921,3 +921,60 @@ def doc_novelty(documents: DataFrame, text_col: str = "text", key_col: str = "do
             (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")).alias("novelty"),
         )
     )
+
+
+def dedup_keep_best(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical near-dup dedup OUTPUT: connected components over the
+    MinHash pair graph, then keep exactly ONE document per cluster — the
+    best by (quality_score DESC, n_chars DESC, md5(text) ASC, key ASC), a
+    total order both engines share (the float score is computed from
+    identical literals in identical op order; ties fall through to exact
+    integers/strings). This is the selection step every training-data
+    pipeline runs after clustering: dedup_clusters says WHO is a dup,
+    this says WHICH copy survives.
+
+    Returns (cluster_id, doc_id, n_members, quality_score) — one row per
+    cluster. Scale shape: label propagation is digest/key-granularity
+    (duplicate_clusters), the argmax is ONE window over clusters whose
+    per-cluster cardinality is near-dup-cluster-sized (tiny), and text
+    never moves — md5(text) is projected before the shuffle."""
+    from pyspark.sql.window import Window
+
+    from .text import quality_struct
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(documents, jaccard_threshold=0.5)
+    clusters = duplicate_clusters(pairs, documents=documents, key_col=key_col)
+    scored = documents.select(
+        F.col(key_col).alias("key"),
+        quality_struct(F.col(text_col))["quality_score"].alias("quality_score"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.md5(text_col).alias("tie_md5"),
+    )
+    ranked = clusters.join(scored, "key").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("quality_score").desc(),
+                F.col("n_chars").desc(),
+                F.col("tie_md5").asc(),
+                F.col("key").asc(),
+            )
+        ),
+    )
+    members = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        ranked.where(F.col("rn") == 1)
+        .join(members, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("key").alias(key_col),
+            "n_members",
+            "quality_score",
+        )
+    )

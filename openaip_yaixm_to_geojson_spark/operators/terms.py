@@ -769,3 +769,58 @@ def hll_union(
         reg_sum.alias("reg_sum"),
         (F.lit(HLL_NUMERATOR) / reg_sum.cast("double")).alias("hll_estimate"),
     )
+
+
+def charlm_surprisal(documents: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """LOG-FREE character-bigram language-model scoring — the perplexity
+    proxy quality filters use, made hash-gateable: per-bigram surprisal is
+    measured in WHOLE BITS via integer bit lengths,
+
+        bits(b) = bitlen(C(first_char)) - bitlen(C(bigram))
+
+    (bitlen n = length(bin(n)), exact integers in both engines — the HLL
+    rank trick), where C are corpus occurrence counts. A document's score
+    is the exact BIGINT sum of its bigrams' bits; high surprisal = text
+    unlike the corpus (the filtering signal). No log/exp anywhere, so the
+    gate compares exact integers.
+
+    Scale shape: bigram extraction aggregates at (doc, bigram) BEFORE any
+    shuffle (map-side combine); the corpus bigram and prefix tables are
+    charset^2-sized and broadcast back; one doc-level rollup. Text never
+    moves — bigrams are the only strings shuffled and the vocabulary is
+    bounded by the charset."""
+    # chars split once per ROW; bigram i = chars[i] || chars[i+1] via
+    # arrays_zip of two shifted slices with the lambda touching only its
+    # own struct arg — a substr(text, i, 2)-inside-transform form re-seeks
+    # the string per ELEMENT (O(len^2) per document, the lambda re-inline
+    # trap _word_ngrams_col documents)
+    n = F.length(F.col(text_col))
+    chars = F.split(F.col(text_col), "")
+    zipped = F.arrays_zip(
+        F.slice(chars, 1, n - 1).alias("a"), F.slice(chars, 2, n - 1).alias("b")
+    )
+    bigrams = F.transform(zipped, lambda s: F.concat(s["a"], s["b"]))
+    doc_bg = (
+        documents.where(n >= 2)
+        .select(F.col(key_col).alias("key"), F.explode(bigrams).alias("bg"))
+        .groupBy("key", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # feeds corpus totals AND the score join (fan-out rule)
+    )
+    corpus_bg = doc_bg.groupBy("bg").agg(F.sum("cnt").alias("cbg"))
+    corpus_pre = corpus_bg.groupBy(F.substring("bg", 1, 1).alias("pc")).agg(
+        F.sum("cbg").alias("cpre")
+    )
+    bits = (
+        corpus_bg.join(corpus_pre, F.substring(corpus_bg.bg, 1, 1) == corpus_pre.pc)
+        .select("bg", (F.length(F.bin("cpre")) - F.length(F.bin("cbg"))).cast("bigint").alias("bits"))
+    )
+    return (
+        doc_bg.join(F.broadcast(bits), "bg")
+        .groupBy("key")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("bits")).alias("surprisal_bits"),
+        )
+        .select(F.col("key").alias(key_col), "n_bigrams", "surprisal_bits")
+    )

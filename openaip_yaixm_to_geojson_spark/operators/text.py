@@ -1077,3 +1077,37 @@ def source_diversity(documents: DataFrame, group_col: str = "lang", key_col: str
         "n_sources",
         simpson.alias("simpson"),
     )
+
+
+def readability(documents: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Flesch-style readability score as a quality-filter signal:
+
+        score = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    with deterministic integer proxies — sentences = max(1, count of
+    [.!?]+ runs), syllables = max(n_words, count of [aeiouy]+ runs in the
+    lowercased text) (every word contributes at least one syllable).
+    Counts are exact BIGINTs; the two ratios round once each to DOUBLE and
+    the combination is fixed-order single-rounded IEEE arithmetic from
+    shared literals, so the score hash-gates (the length_correlation
+    recipe). Pure codegen, zero shuffles."""
+    text = F.col(text_col)
+    n_words = F.size(F.split(F.trim(text), r"\s+")).cast("bigint")
+    n_sent = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))).cast("bigint"),
+    )
+    n_syl = F.greatest(
+        n_words,
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[aeiouy]+"), F.lit(0))).cast("bigint"),
+    )
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syl.cast("double") / n_words.cast("double")
+    score = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    return documents.select(
+        F.col(key_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        score.cast("float").cast("double").alias("flesch"),
+    )

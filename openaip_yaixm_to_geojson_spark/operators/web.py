@@ -610,3 +610,52 @@ def robots_filter(pages: DataFrame, rules: DataFrame | None = None) -> DataFrame
     return best.select(
         "url", F.col("_b.allow").alias("allowed"), F.col("_b.rule_path").alias("matched_rule")
     )
+
+
+# Two-level public suffixes for registered-domain extraction: a SMALL,
+# explicit subset of the Public Suffix List (the full PSL is a versioned
+# external artifact; host caps and crawl quotas only need the common
+# country-code second-levels to avoid treating 'co.uk' as a domain).
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.nz", "com.sg",
+)
+
+
+def registered_domain_col(host: Column) -> Column:
+    """Registered domain of a hostname: last two labels, or last THREE
+    when the last two form a listed public suffix (so 'a.b.co.uk' ->
+    'b.co.uk', 'a.b.example.com' -> 'example.com'). Pure codegen — split,
+    slice, array_join, one IN list — zero shuffles; single-label hosts
+    pass through unchanged."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # greatest(, 1) guards: ANSI slice raises on start 0 and CASE branch
+    # laziness is an implementation detail, not a contract
+    last2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
+    last3 = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
+    is_two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
+    return F.when(n <= 1, host).when(
+        is_two_level & (n >= 3), last3
+    ).otherwise(F.when(n >= 2, last2).otherwise(host))
+
+
+def domain_stats(pages: DataFrame) -> DataFrame:
+    """Per-REGISTERED-DOMAIN rollup (the quota/cap granularity crawl
+    pipelines actually enforce — host caps over-split: every subdomain of
+    a link farm would get its own budget): (domain, n_urls, n_hosts,
+    n_chars). One shuffle keyed on the domain; map-side partials; the
+    domain key is computed in codegen before the exchange."""
+    host = url_host_col(F.col("url"))
+    base = pages.select(
+        registered_domain_col(host).alias("domain"),
+        host.alias("host"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return base.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum("n_chars").alias("n_chars"),
+    )

@@ -4167,3 +4167,125 @@ SELECT ds.doc AS doc_id, COUNT(*) AS n_shingles,
          / CAST(COUNT(*) AS DOUBLE) AS novelty
 FROM ds JOIN fo ON fo.sh = ds.sh
 GROUP BY ds.doc"""
+
+
+def sql_dedup_keep_best(
+    num_hashes: int = 16, bands: int = 8, jaccard_threshold: float = 0.5
+) -> str:
+    """dedup.dedup_keep_best twin: recursive-CTE transitive closure for the
+    clusters (independent of the engine's label propagation), then the
+    SAME total order — quality_score DESC (identical literal arithmetic,
+    see sql_quality), n_chars DESC, md5(text) ASC, doc_id ASC."""
+    pairs = sql_minhash_lsh_pairs(num_hashes, bands, jaccard_threshold)
+    score = _quality_parts()["score"]
+    return f"""
+WITH RECURSIVE p AS ({pairs}),
+e AS (SELECT key_a AS src, key_b AS dst FROM p UNION ALL SELECT key_b, key_a FROM p),
+walk(k, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.k
+),
+cl AS (SELECT k AS key, MIN(label) AS cluster_id FROM walk GROUP BY k),
+sc AS (SELECT doc_id AS key, {score} AS quality_score,
+              CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS tie_md5
+       FROM documents),
+r AS (SELECT cl.cluster_id, sc.key, sc.quality_score,
+             ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+               ORDER BY sc.quality_score DESC, sc.n_chars DESC, sc.tie_md5, sc.key) AS rn
+      FROM cl JOIN sc ON sc.key = cl.key),
+m AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM cl GROUP BY cluster_id)
+SELECT r.cluster_id, r.key AS doc_id, m.n_members, r.quality_score
+FROM r JOIN m ON m.cluster_id = r.cluster_id WHERE r.rn = 1"""
+
+
+def sql_readability() -> str:
+    """text.readability twin: identical integer proxies (sentence runs
+    [.!?]+, vowel runs [aeiouy]+ over lower(text), both floored by the
+    word count) and the identical fixed-order single-rounded double
+    combination from strtod literals, one FLOAT rounding at the boundary."""
+    n_words = f"CAST(len({_WORDS}) AS BIGINT)"
+    n_sent = f"GREATEST(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))"
+    n_syl = f"GREATEST({n_words}, CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT))"
+    wps = f"(CAST({n_words} AS DOUBLE) / CAST({n_sent} AS DOUBLE))"
+    spw = f"(CAST({n_syl} AS DOUBLE) / CAST({n_words} AS DOUBLE))"
+    score = f"(({_dbl(206.835)} - {_dbl(1.015)} * {wps}) - {_dbl(84.6)} * {spw})"
+    return f"""SELECT doc_id,
+       {n_words} AS n_words, {n_sent} AS n_sentences, {n_syl} AS n_syllables,
+       CAST(CAST({score} AS FLOAT) AS DOUBLE) AS flesch
+FROM documents"""
+
+
+def sql_charlm_surprisal() -> str:
+    """terms.charlm_surprisal twin: identical bigram extraction (substring
+    pairs over 1..len-1), corpus counts, and the bit-length surprisal
+    bitlen(C(prefix)) - bitlen(C(bigram)) via length(bin(n)) — exact
+    integers end to end (DuckDB bin() and Spark bin() agree: unpadded
+    binary of positive BIGINTs)."""
+    return """
+WITH db AS (
+  SELECT doc_id AS key, substring(text, CAST(i AS INTEGER), 2) AS bg, COUNT(*) AS cnt
+  FROM documents, LATERAL (SELECT UNNEST(generate_series(1, length(text) - 1)) AS i) t
+  WHERE length(text) >= 2
+  GROUP BY doc_id, bg
+),
+cb AS (SELECT bg, CAST(SUM(cnt) AS BIGINT) AS cbg FROM db GROUP BY bg),
+cp AS (SELECT substring(bg, 1, 1) AS pc, CAST(SUM(cbg) AS BIGINT) AS cpre FROM cb GROUP BY 1),
+bits AS (
+  SELECT cb.bg,
+         CAST(length(bin(cp.cpre)) - length(bin(cb.cbg)) AS BIGINT) AS bits
+  FROM cb JOIN cp ON cp.pc = substring(cb.bg, 1, 1)
+)
+SELECT db.key AS doc_id,
+       CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams,
+       CAST(SUM(db.cnt * b.bits) AS BIGINT) AS surprisal_bits
+FROM db JOIN bits b ON b.bg = db.bg
+GROUP BY db.key"""
+
+
+# registered-domain synthetic URL rule (dialect-shared except the id cast):
+# subdomain prefix from doc_id % 3, public-suffix cycle from doc_id % 4 —
+# exercises the www/multi-label/2-level-suffix branches non-trivially.
+def domain_url_sql(dialect: str) -> str:
+    cast = "CAST(doc_id AS STRING)" if dialect == "spark" else "CAST(doc_id AS VARCHAR)"
+    return (
+        "concat('https://', "
+        "CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'a.b.' ELSE '' END, "
+        "source, "
+        "CASE WHEN doc_id % 4 = 0 THEN '.co.uk' WHEN doc_id % 4 = 1 THEN '.com.au' "
+        "WHEN doc_id % 4 = 2 THEN '.example' ELSE '.org' END, "
+        f"'/', {cast})"
+    )
+
+
+def sql_domain_stats() -> str:
+    """web.domain_stats twin: same registered-domain rule — last two
+    labels, or last three when the trailing two are a listed public
+    suffix (TWO_LEVEL_SUFFIXES is shared data, inlined as an IN list)."""
+    from .operators.web import TWO_LEVEL_SUFFIXES
+
+    in_list = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    u = domain_url_sql("duckdb")
+    return f"""
+WITH p AS (
+  SELECT regexp_extract({u}, '^[a-z]+://([^/]+)', 1) AS host,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+lab AS (
+  SELECT host, n_chars, string_split(host, '.') AS labels, len(string_split(host, '.')) AS n
+  FROM p
+),
+d AS (
+  SELECT host, n_chars,
+         CASE WHEN n <= 1 THEN host
+              WHEN array_to_string(labels[n-1:n], '.') IN ({in_list}) AND n >= 3
+                THEN array_to_string(labels[n-2:n], '.')
+              WHEN n >= 2 THEN array_to_string(labels[n-1:n], '.')
+              ELSE host END AS domain
+  FROM lab
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM d GROUP BY domain"""

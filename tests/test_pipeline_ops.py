@@ -2417,3 +2417,58 @@ def test_jpeg_subset_raises_honestly():
         decode_jpeg(bytes(dri))
     with _pytest.raises(ValueError, match="multiples of 8"):
         encode_jpeg(px[:12, :])
+
+
+def test_registered_domain_edges(spark):
+    """Single-label hosts pass through, 2-level public suffixes keep three
+    labels, deep subdomains collapse to the registered domain."""
+    from openaip_yaixm_to_geojson_spark.operators.web import registered_domain_col
+
+    df = spark.createDataFrame(
+        [("localhost",), ("example.com",), ("www.example.com",),
+         ("a.b.example.com",), ("b.co.uk",), ("a.b.co.uk",), ("deep.a.b.co.uk",),
+         ("shop.example.com.au",), ("co.uk",)],
+        "host string",
+    )
+    got = {r["host"]: r["d"] for r in df.select("host", registered_domain_col(F.col("host")).alias("d")).collect()}
+    assert got["localhost"] == "localhost"
+    assert got["example.com"] == "example.com"
+    assert got["www.example.com"] == "example.com"
+    assert got["a.b.example.com"] == "example.com"
+    assert got["b.co.uk"] == "b.co.uk"
+    assert got["a.b.co.uk"] == "b.co.uk"
+    assert got["deep.a.b.co.uk"] == "b.co.uk"
+    assert got["shop.example.com.au"] == "example.com.au"
+    # a bare public suffix has nothing to register: last-2 fallback
+    assert got["co.uk"] == "co.uk"
+
+
+def test_charlm_surprisal_semantics(spark):
+    """Hand corpus: repeated bigrams cost fewer bits than rare ones; docs
+    shorter than 2 chars drop (no bigrams); totals recompute by hand."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import charlm_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab"), (3, "x")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: (r["n_bigrams"], r["surprisal_bits"]) for r in charlm_surprisal(docs).collect()}
+    assert 3 not in rows  # single char: no bigrams
+    # corpus: 'aa' x5, 'ab' x1 -> prefix 'a' total 6
+    # bits(aa) = bitlen(6)-bitlen(5) = 3-3 = 0; bits(ab) = 3-1 = 2
+    assert rows[1] == (3, 0)      # three 'aa'
+    assert rows[2] == (3, 2)      # two 'aa' + one 'ab'
+
+
+def test_dedup_keep_best_picks_highest_quality(spark):
+    """Two near-identical docs cluster together; the longer/higher-quality
+    copy survives; singleton clusters report themselves."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import dedup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running today"
+    docs = spark.createDataFrame(
+        [(10, base), (11, base + " extra tail words here"), (20, "completely different text about spark engines")],
+        "doc_id bigint, text string",
+    )
+    out = {r["cluster_id"]: (r["doc_id"], r["n_members"]) for r in dedup_keep_best(docs).collect()}
+    assert out[10] == (11, 2)  # longer dup wins on n_chars tie-break
+    assert out[20] == (20, 1)
