@@ -956,6 +956,16 @@ def q_domain_stats(spark, sf_dir):
     return domain_stats(pages)
 
 
+def q_kmeans_iterate(spark, sf_dir):
+    """Two unrolled Lloyd rounds with reassignment (r6): iterative
+    clustering gated end to end — pinned fold distances, exact fixed-point
+    centroid updates, bit-identical round-2 centroids in both engines."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import kmeans_iterate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_iterate(emb)
+
+
 def q_dedup_report(spark, sf_dir):
     """Per-source dedup summary over the near-dup clusters (drop ratio =
     non-representatives / docs); labels join + one source aggregation."""
@@ -2271,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "charlm_surprisal": q_charlm_surprisal,
         "domain_stats": q_domain_stats,
+        "kmeans_iterate": q_kmeans_iterate,
         "normalized_dedup": q_normalized_dedup,
         "edit_distance_pairs": q_edit_distance_pairs,
         "containment_pairs": q_containment_pairs,
@@ -2541,6 +2552,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": oracle.sql_readability(),
         "charlm_surprisal": oracle.sql_charlm_surprisal(),
         "domain_stats": oracle.sql_domain_stats(),
+        "kmeans_iterate": oracle.sql_kmeans_iterate(),
         "dedup_report": oracle.sql_dedup_report(),
         "simhash": oracle.sql_simhash(),
         "lsh_recall_monitor": oracle.sql_lsh_recall_monitor(),

@@ -724,3 +724,104 @@ def ann_two_stage(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.col("dot").cast("double").alias("dot"), "rank")
     )
+
+
+def kmeans_iterate(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """TWO full Lloyd rounds with reassignment — the iterative-clustering
+    step beyond kmeans_assign's single update: round-1 assignment to the
+    data-derived seeds (vec_id < k), exact fixed-point centroid update,
+    then round-2 assignment to the UPDATED centroids. Output one row per
+    vector: (vec_id, cluster_r1, cluster_r2, moved).
+
+    Determinism (the integer-PageRank playbook, unrolled): round-1
+    distances are the pinned left-fold double sum of (x-c)^2; centroid
+    components are sum_fp / (n * 2^20) — an exact-BIGINT numerator over an
+    exact-double denominator (n * 2^20 < 2^53), ONE rounding each, so both
+    engines hold bit-identical round-2 centroids and the round-2 fold is
+    again pinned. Ties break on cluster id. A cluster left empty in
+    round 1 keeps its seed centroid (coalesce, shared contract).
+
+    Scale shape: seeds and the k-row centroid table broadcast; each round
+    is one pass over the vectors; the update is a map-side-partial
+    (cluster, dim) aggregation with k*dim result rows. The round-1 frame
+    feeds three consumers -> localCheckpoint (fan-out rule)."""
+    fs = float(KMEANS_FP_SCALE)
+    seeds = F.broadcast(
+        embeddings.where(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
+        )
+    )
+    d2_1 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "semb",
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    a1 = (
+        embeddings.crossJoin(seeds)
+        .select("vec_id", d2_1.alias("d2"), "seed_id", "embedding")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d2"), F.col("seed_id"), F.col("embedding"))).alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b.seed_id").alias("cluster_r1"),
+            F.col("_b.embedding").alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    q = F.floor(F.col("x").cast("double") * F.lit(fs) + F.lit(0.5))
+    upd = (
+        a1.select("cluster_r1", F.posexplode("embedding").alias("dim_idx", "x"))
+        .select("cluster_r1", "dim_idx", q.alias("q"))
+        .groupBy("cluster_r1", "dim_idx")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sum_fp"))
+        .select(
+            "cluster_r1",
+            "dim_idx",
+            (
+                F.col("sum_fp").cast("double")
+                / (F.col("n") * F.lit(KMEANS_FP_SCALE)).cast("double")
+            ).alias("c"),
+        )
+    )
+    cent = upd.groupBy(F.col("cluster_r1").alias("cid")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim_idx", "c"))), lambda s: s["c"]
+        ).alias("cemb")
+    )
+    seeds_dbl = seeds.select(
+        F.col("seed_id").alias("cid"),
+        F.transform("semb", lambda x: x.cast("double")).alias("semb_dbl"),
+    )
+    cent_full = F.broadcast(
+        seeds_dbl.join(cent, "cid", "left").select(
+            "cid", F.coalesce("cemb", "semb_dbl").alias("cemb")
+        )
+    )
+    d2_2 = F.aggregate(
+        F.zip_with(
+            "embedding", "cemb", lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    a2 = (
+        a1.crossJoin(cent_full)
+        .select("vec_id", "cluster_r1", d2_2.alias("d2"), "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.min("cluster_r1").alias("cluster_r1"),
+            F.min(F.struct(F.col("d2"), F.col("cid"))).alias("_b"),
+        )
+        .select(
+            "vec_id",
+            "cluster_r1",
+            F.col("_b.cid").alias("cluster_r2"),
+            (F.col("cluster_r1") != F.col("_b.cid")).alias("moved"),
+        )
+    )
+    return a2

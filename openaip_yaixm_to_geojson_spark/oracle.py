@@ -4289,3 +4289,49 @@ SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
        CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
        CAST(SUM(n_chars) AS BIGINT) AS n_chars
 FROM d GROUP BY domain"""
+
+
+def sql_kmeans_iterate(k: int = 8, dim: int = 64) -> str:
+    """similarity.kmeans_iterate twin: two unrolled Lloyd rounds — the
+    integer-PageRank playbook. Round-1 fold distance + ROW_NUMBER tie on
+    seed_id, fixed-point centroid components sum_q/(n*2^20) (one double
+    rounding each, bit-identical), list(c ORDER BY dim) centroids with
+    seed fallback for empty clusters, round-2 fold vs those doubles."""
+    from .operators.similarity import KMEANS_FP_SCALE
+
+    fs = float(KMEANS_FP_SCALE)
+    d2_1 = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.semb[i] AS DOUBLE))"
+        " * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.semb[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    d2_2 = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (CAST(e2.embedding[i] AS DOUBLE) - cf.cemb[i])"
+        " * (CAST(e2.embedding[i] AS DOUBLE) - cf.cemb[i])), (x, y) -> x + y)"
+    )
+    return f"""WITH s AS (SELECT vec_id AS seed_id, embedding AS semb FROM embeddings WHERE vec_id < {k}),
+d1 AS (SELECT e.vec_id, s.seed_id, {d2_1} AS d2 FROM embeddings e CROSS JOIN s),
+a1 AS (SELECT vec_id, seed_id AS c1 FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn FROM d1)
+       WHERE rn = 1),
+dims AS (SELECT unnest(generate_series(1, {dim})) AS i),
+m AS (SELECT a1.c1, dims.i,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(CAST(e.embedding[dims.i] AS DOUBLE) * {_dbl(fs)} + {_dbl(0.5)}) AS BIGINT)) AS BIGINT) AS sum_q
+      FROM a1 JOIN embeddings e USING (vec_id) CROSS JOIN dims
+      GROUP BY a1.c1, dims.i),
+cent AS (SELECT c1 AS cid,
+                list(CAST(sum_q AS DOUBLE) / CAST(n * {KMEANS_FP_SCALE} AS DOUBLE) ORDER BY i) AS cemb
+         FROM m GROUP BY c1),
+cf AS (SELECT s.seed_id AS cid,
+              COALESCE(cent.cemb, list_transform(s.semb, x -> CAST(x AS DOUBLE))) AS cemb
+       FROM s LEFT JOIN cent ON cent.cid = s.seed_id),
+d2r AS (SELECT a1.vec_id, a1.c1, cf.cid, {d2_2} AS d2
+        FROM a1 JOIN embeddings e2 USING (vec_id) CROSS JOIN cf),
+a2 AS (SELECT vec_id, c1, cid FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2r)
+       WHERE rn = 1)
+SELECT vec_id, CAST(c1 AS BIGINT) AS cluster_r1, CAST(cid AS BIGINT) AS cluster_r2,
+       (c1 != cid) AS moved
+FROM a2"""

@@ -2472,3 +2472,27 @@ def test_dedup_keep_best_picks_highest_quality(spark):
     out = {r["cluster_id"]: (r["doc_id"], r["n_members"]) for r in dedup_keep_best(docs).collect()}
     assert out[10] == (11, 2)  # longer dup wins on n_chars tie-break
     assert out[20] == (20, 1)
+
+
+def test_kmeans_iterate_empty_cluster_keeps_seed(spark):
+    """Duplicate seeds leave cluster 1 empty in round 1 (tie -> seed 0);
+    the round-2 centroid for the empty cluster must fall back to its seed,
+    pulling the exact-duplicate vectors back to it (moved=true), while the
+    distant vector stays with the round-1 mean."""
+    from openaip_yaixm_to_geojson_spark.operators.similarity import kmeans_iterate
+
+    rows = [
+        (0, [1.0, 2.0]),
+        (1, [1.0, 2.0]),     # duplicate seed -> cluster 1 empty in round 1
+        (2, [1.2, 2.0]),
+        (3, [1.3, 2.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r["vec_id"]: (r["cluster_r1"], r["cluster_r2"], r["moved"]) for r in kmeans_iterate(emb, k=2).collect()}
+    # round 1: every vector ties/loses to seed 0
+    assert all(v[0] == 0 for v in got.values())
+    # round 2: c0 = mean of all four, c1 = seed [1,2]; the two exact-seed
+    # vectors are distance 0 from c1 -> move; the far ones stay
+    assert got[0][1] == 1 and got[0][2] is True
+    assert got[1][1] == 1 and got[1][2] is True
+    assert got[3][1] == 0 and got[3][2] is False
