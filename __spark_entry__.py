@@ -966,6 +966,55 @@ def q_kmeans_iterate(spark, sf_dir):
     return kmeans_iterate(emb)
 
 
+def q_link_hits(spark, sf_dir):
+    """Integer-exact HITS over the real extracted host graph (r6): the
+    alternating hub/authority recurrence beside PageRank's — unrolled
+    2-round oracle, exact BIGINT scores."""
+    from openaip_yaixm_to_geojson_spark.operators.web import link_hits, synth_linked_pages
+
+    return link_hits(synth_linked_pages(spark, sf_dir))
+
+
+def q_link_internal_stats(spark, sf_dir):
+    """Per-registered-domain outlink profile (r6): internal vs external
+    link counts + ratio — link-farm signal; shares the public-suffix rule
+    with domain_stats."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        link_internal_stats,
+        synth_linked_pages,
+    )
+
+    return link_internal_stats(synth_linked_pages(spark, sf_dir))
+
+
+def q_anchor_target_stats(spark, sf_dir):
+    """Per-link-target anchor rollup (r6): modal anchor text with a shared
+    total order; (link, text)-level aggregation first."""
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        anchor_target_stats,
+        synth_linked_pages,
+    )
+
+    return anchor_target_stats(synth_linked_pages(spark, sf_dir))
+
+
+def q_sketch_quantiles(spark, sf_dir):
+    """Histogram-sketch quantile estimates (r6): the MERGEABLE quantile
+    path — corpus reduced to an equi-width histogram, integer ceil-rank
+    targets, single-rounded interpolation."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import sketch_quantiles
+
+    return sketch_quantiles(_docs(spark, sf_dir))
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled (T=2, exact sqrt) mixture quotas (r6): tempered
+    integer weights into the Hamilton largest-remainder allocation."""
+    from openaip_yaixm_to_geojson_spark.operators.text import temperature_mixture
+
+    return temperature_mixture(_docs(spark, sf_dir), budget=1_000_000)
+
+
 def q_dedup_report(spark, sf_dir):
     """Per-source dedup summary over the near-dup clusters (drop ratio =
     non-representatives / docs); labels join + one source aggregation."""
@@ -2282,6 +2331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm_surprisal": q_charlm_surprisal,
         "domain_stats": q_domain_stats,
         "kmeans_iterate": q_kmeans_iterate,
+        "link_hits": q_link_hits,
+        "link_internal_stats": q_link_internal_stats,
+        "anchor_target_stats": q_anchor_target_stats,
+        "sketch_quantiles": q_sketch_quantiles,
+        "temperature_mixture": q_temperature_mixture,
         "normalized_dedup": q_normalized_dedup,
         "edit_distance_pairs": q_edit_distance_pairs,
         "containment_pairs": q_containment_pairs,
@@ -2553,6 +2607,11 @@ def oracle_sql() -> dict[str, str]:
         "charlm_surprisal": oracle.sql_charlm_surprisal(),
         "domain_stats": oracle.sql_domain_stats(),
         "kmeans_iterate": oracle.sql_kmeans_iterate(),
+        "link_hits": oracle.sql_link_hits(),
+        "link_internal_stats": oracle.sql_link_internal_stats(),
+        "anchor_target_stats": oracle.sql_anchor_target_stats(),
+        "sketch_quantiles": oracle.sql_sketch_quantiles(),
+        "temperature_mixture": oracle.sql_temperature_mixture(),
         "dedup_report": oracle.sql_dedup_report(),
         "simhash": oracle.sql_simhash(),
         "lsh_recall_monitor": oracle.sql_lsh_recall_monitor(),

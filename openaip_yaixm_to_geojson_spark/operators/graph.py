@@ -194,3 +194,51 @@ def bfs_depth(
         f"bfs_depth did not exhaust the reachable set within max_rounds={max_rounds}; "
         "partial depths would be silently wrong — raise max_rounds"
     )
+
+
+def hits_int(nodes: DataFrame, edges: DataFrame, iters: int = 2, key_col: str = "host") -> DataFrame:
+    """Integer-exact HITS (hubs & authorities) after `iters` synchronous
+    rounds — the second classic link-analysis recurrence next to
+    pagerank_int, and a different update SHAPE (bipartite alternation:
+    hubs aggregate over OUT-edges, authorities over IN-edges).
+
+    a_0 = 1 for every node; each round h(u) = sum over u->v of a(v), then
+    a(v) = sum over u->v of h(u). The textbook L2 normalization is a
+    per-round monotone scalar — it never changes the ranking — so skipping
+    it keeps every score an exact BIGINT and the whole recurrence
+    hash-gateable (the integer-PageRank argument). Parallel edges keep
+    their multiplicity. Magnitude: scores grow like (max degree)^(2*iters);
+    2 rounds on a host graph stays far inside BIGINT — callers at web
+    scale should cap iters or rescale per round.
+
+    Scale shape: per round two edge joins + two map-side-partial
+    aggregations, all keyed on node ids; edges localCheckpoint()ed once
+    for the 2*iters reuses."""
+    ids = nodes.select(F.col(key_col).alias("id"))
+    e = edges.select("src", "dst").localCheckpoint()
+    auth = ids.select("id", F.lit(1).cast("bigint").alias("a"))
+    hub = None
+    for _ in range(iters):
+        hub = (
+            e.join(auth, e["dst"] == auth["id"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = (
+            ids.join(hub, ids["id"] == hub["src"], "left")
+            .select("id", F.coalesce("h", F.lit(0).cast("bigint")).alias("h"))
+            .localCheckpoint()
+        )
+        auth = (
+            e.join(hub, e["src"] == hub["id"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = (
+            ids.join(auth, ids["id"] == auth["dst"], "left")
+            .select("id", F.coalesce("a", F.lit(0).cast("bigint")).alias("a"))
+            .localCheckpoint()
+        )
+    return auth.join(hub, "id").select(
+        F.col("id").alias(key_col), F.col("h").alias("hub"), F.col("a").alias("authority")
+    )

@@ -517,3 +517,70 @@ def range_partition_plan(
         F.max("v").alias("hi_value"),
         F.sum("c").alias("n_docs"),
     )
+
+
+def sketch_quantiles(
+    documents: DataFrame,
+    quantiles: tuple[tuple[int, int], ...] = ((1, 2), (9, 10), (99, 100)),
+    width: int = 32,
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Histogram-sketch quantile ESTIMATES — the mergeable path beside the
+    exact order statistics (lang_median_chars/length_quartiles sort or
+    rank; this reduces the corpus to an equi-width histogram first, the
+    state a 1000-executor job would actually merge, then interpolates).
+
+    Each quantile is (num, den) with target rank ceil(num*n/den) computed
+    in exact integers; the estimate is bin_lo + (target - cum_before) /
+    bin_count * width — exact BIGINTs into three single-rounded double ops,
+    so the result hash-gates. Output one row per quantile: (q_num, q_den,
+    target_rank, bin_lo, bin_count, estimate).
+
+    Scale shape: ONE map-side-partial aggregation to #bins rows; the
+    cumsum window and the per-quantile argmin run over #bins, never the
+    corpus."""
+    from pyspark.sql import Window
+
+    hist = (
+        documents.groupBy(F.expr(f"{value_col} div {width}").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy().orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    ).localCheckpoint()  # #bins rows; feeds every quantile branch
+    out = None
+    for num, den in quantiles:
+        target = F.expr(f"({num} * n + {den - 1}) div {den}")
+        qualifying = cum.where(F.col("cum") >= target).select(
+            F.lit(num).alias("q_num"),
+            F.lit(den).alias("q_den"),
+            target.alias("target_rank"),
+            (F.col("bin") * width).alias("bin_lo"),
+            "cnt",
+            (F.col("cum") - F.col("cnt")).alias("cum_before"),
+            F.col("bin").alias("_bin"),
+        )
+        first = qualifying.groupBy("q_num", "q_den").agg(
+            F.min(
+                F.struct("_bin", "target_rank", "bin_lo", F.col("cnt").alias("bin_count"), "cum_before")
+            ).alias("_b")
+        )
+        row = first.select(
+            "q_num",
+            "q_den",
+            F.col("_b.target_rank").alias("target_rank"),
+            F.col("_b.bin_lo").alias("bin_lo"),
+            F.col("_b.bin_count").alias("bin_count"),
+            (
+                F.col("_b.bin_lo").cast("double")
+                + (F.col("_b.target_rank") - F.col("_b.cum_before")).cast("double")
+                / F.col("_b.bin_count").cast("double")
+                * F.lit(float(width))
+            ).alias("estimate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1111,3 +1111,40 @@ def readability(documents: DataFrame, key_col: str = "doc_id", text_col: str = "
         n_syl.alias("n_syllables"),
         score.cast("float").cast("double").alias("flesch"),
     )
+
+
+def temperature_mixture(
+    documents: DataFrame,
+    budget: int,
+    t_num: int = 2,
+    t_den: int = 1,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Temperature-scaled mixture allocation: Hamilton quotas over TEMPERED
+    weights w^(1/T) — the up/down-weighting every multi-source training mix
+    applies before sampling. Supported temperatures are the ones with an
+    EXACTLY-reproducible power: T=2 (sqrt — IEEE-correctly-rounded in both
+    engines; tempered weight = floor(sqrt(w)*2^10 + 0.5), a single-rounded
+    chain onto an exact integer) and T=1/2 (square — exact BIGINT, w
+    bounded by 3e9). A general pow() is libm and cannot hash-gate; these
+    two cover the common flatten/sharpen presets.
+
+    The quota math reuses mixture_allocate verbatim on a one-row-per-group
+    tempered-weight frame (the group-by inside is then a pass-through)."""
+    w = documents.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(weight_col).alias("wt")
+    )
+    if (t_num, t_den) == (2, 1):
+        tempered = F.floor(
+            F.sqrt(F.col("wt").cast("double")) * F.lit(1024.0) + F.lit(0.5)
+        ).cast("bigint")
+    elif (t_num, t_den) == (1, 2):
+        tempered = (F.col("wt") * F.col("wt")).cast("bigint")
+    else:
+        raise ValueError(
+            f"temperature {t_num}/{t_den} unsupported: only T=2 (sqrt) and "
+            "T=1/2 (square) have exactly-reproducible powers (general pow is libm)"
+        )
+    tw = w.select(F.col("grp").alias(group_col), tempered.alias("wt_t"))
+    return mixture_allocate(tw, budget, group_col=group_col, weight_col="wt_t")

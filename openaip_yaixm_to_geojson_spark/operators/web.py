@@ -659,3 +659,81 @@ def domain_stats(pages: DataFrame) -> DataFrame:
         F.countDistinct("host").alias("n_hosts"),
         F.sum("n_chars").alias("n_chars"),
     )
+
+
+def link_hits(pages: DataFrame, html_col: str = "html", iters: int = 2) -> DataFrame:
+    """Integer-exact HITS over the REAL extracted host graph (href regex
+    -> host edges -> graph.hits_int) — domain hub/authority scoring, the
+    link_pagerank composition with the alternating recurrence."""
+    from .graph import hits_int
+
+    links = extract_links(pages, html_col=html_col, key_col="url")
+    edges = links.select(
+        url_host_col(F.col("key")).alias("src"),
+        url_host_col(F.col("link")).alias("dst"),
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    return hits_int(nodes, edges, iters=iters, key_col="host")
+
+
+def link_internal_stats(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Per-source-REGISTERED-DOMAIN outlink profile: total links, internal
+    (same registered domain) vs external, and the internal ratio — the
+    link-farm / SEO-pattern signal crawl schedulers threshold on. Pure
+    codegen link + domain extraction, one domain-keyed shuffle; the ratio
+    is one double division of exact BIGINTs."""
+    links = extract_links(pages, html_col=html_col, key_col="url")
+    lab = links.select(
+        registered_domain_col(url_host_col(F.col("key"))).alias("src_domain"),
+        registered_domain_col(url_host_col(F.col("link"))).alias("dst_domain"),
+    )
+    return (
+        lab.groupBy("src_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.sum((F.col("src_domain") == F.col("dst_domain")).cast("bigint")).alias("n_internal"),
+        )
+        .select(
+            "src_domain",
+            "n_links",
+            "n_internal",
+            (F.col("n_links") - F.col("n_internal")).alias("n_external"),
+            (F.col("n_internal").cast("double") / F.col("n_links").cast("double")).alias(
+                "internal_ratio"
+            ),
+        )
+    )
+
+
+def anchor_target_stats(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Per-link-TARGET anchor-text rollup — the anchor corpus view used
+    for title augmentation / link-prediction data: (link, n_anchors,
+    n_unique_texts, top_anchor, top_count), top = modal anchor text with
+    ties broken by text ASC (a total order both engines share).
+
+    Scale shape: (link, text)-level aggregation FIRST (map-side partials,
+    the repeated-grams rule), then a per-link window over the handful of
+    distinct texts per target; WindowGroupLimit keeps only the winner."""
+    from pyspark.sql import Window
+
+    per_text = (
+        extract_anchor_texts(pages, html_col=html_col, key_col="url")
+        .groupBy("link", "anchor_text")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("link").orderBy(F.col("cnt").desc(), F.col("anchor_text"))
+    ranked = per_text.withColumn("rn", F.row_number().over(w))
+    totals = per_text.groupBy("link").agg(
+        F.sum("cnt").alias("n_anchors"), F.count(F.lit(1)).alias("n_unique_texts")
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select("link", F.col("anchor_text").alias("top_anchor"), F.col("cnt").alias("top_count"))
+        .join(totals, "link")
+        .select("link", "n_anchors", "n_unique_texts", "top_anchor", "top_count")
+    )

@@ -4335,3 +4335,144 @@ a2 AS (SELECT vec_id, c1, cid FROM
 SELECT vec_id, CAST(c1 AS BIGINT) AS cluster_r1, CAST(cid AS BIGINT) AS cluster_r2,
        (c1 != cid) AS moved
 FROM a2"""
+
+
+def sql_link_hits(iters: int = 2) -> str:
+    """web.link_hits twin: same href/host edge extraction, HITS recurrence
+    unrolled as CTEs — a_0 = 1, h_i = SUM a over out-edges, a_i = SUM h
+    over in-edges; exact BIGINTs (no normalization: a per-round monotone
+    scalar, ranking-irrelevant — the documented contract)."""
+    from .operators.web import PAT_HOST, PAT_HREF
+
+    parts = [
+        f"""{_linked_docs_with()},
+l AS (SELECT url, unnest(regexp_extract_all(html_text, '{PAT_HREF}', 1)) AS link FROM h),
+e AS (SELECT regexp_extract(url, '{PAT_HOST}', 1) AS src,
+             regexp_extract(link, '{PAT_HOST}', 1) AS dst FROM l),
+nodes AS (SELECT DISTINCT host AS id
+          FROM (SELECT src AS host FROM e UNION SELECT dst AS host FROM e)),
+a0 AS (SELECT id, CAST(1 AS BIGINT) AS a FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""hs{i} AS (SELECT e.src, SUM(a{i}.a) AS h FROM e JOIN a{i} ON e.dst = a{i}.id GROUP BY e.src),
+h{i + 1} AS (SELECT nodes.id, CAST(COALESCE(hs{i}.h, 0) AS BIGINT) AS h
+             FROM nodes LEFT JOIN hs{i} ON nodes.id = hs{i}.src),
+as{i} AS (SELECT e.dst, SUM(h{i + 1}.h) AS a FROM e JOIN h{i + 1} ON e.src = h{i + 1}.id GROUP BY e.dst),
+a{i + 1} AS (SELECT nodes.id, CAST(COALESCE(as{i}.a, 0) AS BIGINT) AS a
+             FROM nodes LEFT JOIN as{i} ON nodes.id = as{i}.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT a{iters}.id AS host, h{iters}.h AS hub, a{iters}.a AS authority"
+        + f"\nFROM a{iters} JOIN h{iters} ON h{iters}.id = a{iters}.id"
+    )
+
+
+def sql_link_internal_stats() -> str:
+    """web.link_internal_stats twin: same link extraction, same
+    registered-domain rule on both endpoints, one rollup + one division."""
+    from .operators.web import PAT_HOST, PAT_HREF, TWO_LEVEL_SUFFIXES
+
+    in_list = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+
+    def dom(col: str) -> str:
+        return f"""(
+  SELECT CASE WHEN n <= 1 THEN host
+              WHEN array_to_string(labels[n-1:n], '.') IN ({in_list}) AND n >= 3
+                THEN array_to_string(labels[n-2:n], '.')
+              WHEN n >= 2 THEN array_to_string(labels[n-1:n], '.')
+              ELSE host END
+  FROM (SELECT {col} AS host, string_split({col}, '.') AS labels,
+               len(string_split({col}, '.')) AS n)
+)"""
+
+    return f"""WITH {_linked_docs_with()},
+l AS (SELECT url, unnest(regexp_extract_all(html_text, '{PAT_HREF}', 1)) AS link FROM h),
+d AS (SELECT {dom(f"regexp_extract(url, '{PAT_HOST}', 1)")} AS src_domain,
+             {dom(f"regexp_extract(link, '{PAT_HOST}', 1)")} AS dst_domain
+      FROM l)
+SELECT src_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(SUM(CASE WHEN src_domain = dst_domain THEN 1 ELSE 0 END) AS BIGINT) AS n_internal,
+       CAST(COUNT(*) - SUM(CASE WHEN src_domain = dst_domain THEN 1 ELSE 0 END) AS BIGINT) AS n_external,
+       CAST(SUM(CASE WHEN src_domain = dst_domain THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS internal_ratio
+FROM d GROUP BY src_domain"""
+
+
+def sql_anchor_target_stats() -> str:
+    """web.anchor_target_stats twin: (link, text)-level counts, modal text
+    via ROW_NUMBER (cnt DESC, text ASC), totals joined back."""
+    from .operators.web import PAT_ANCHOR
+
+    return f"""WITH {_linked_docs_with()},
+z AS (SELECT regexp_extract_all(html_text, '{PAT_ANCHOR}', 1) AS links,
+             regexp_extract_all(html_text, '{PAT_ANCHOR}', 2) AS texts
+      FROM h),
+u AS (SELECT unnest(generate_series(1, len(links))) AS i, links, texts FROM z),
+pt AS (SELECT links[i] AS link, texts[i] AS anchor_text, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM u GROUP BY 1, 2),
+r AS (SELECT link, anchor_text, cnt,
+             ROW_NUMBER() OVER (PARTITION BY link ORDER BY cnt DESC, anchor_text) AS rn
+      FROM pt),
+tot AS (SELECT link, CAST(SUM(cnt) AS BIGINT) AS n_anchors,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_texts
+        FROM pt GROUP BY link)
+SELECT tot.link, tot.n_anchors, tot.n_unique_texts,
+       r.anchor_text AS top_anchor, r.cnt AS top_count
+FROM tot JOIN r ON r.link = tot.link AND r.rn = 1"""
+
+
+def sql_sketch_quantiles(
+    quantiles: tuple[tuple[int, int], ...] = ((1, 2), (9, 10), (99, 100)),
+    width: int = 32,
+) -> str:
+    """relational.sketch_quantiles twin: equi-width histogram, integer
+    ceil-rank targets, first qualifying bin via ROW_NUMBER, and the same
+    parenthesized interpolation (bin_lo + ((t - cum_before)/cnt) * width)."""
+    qrows = ", ".join(f"({n}, {d})" for n, d in quantiles)
+    return f"""
+WITH hist AS (SELECT n_chars // {width} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM documents GROUP BY 1),
+c AS (SELECT bin, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM hist),
+q(q_num, q_den) AS (VALUES {qrows}),
+j AS (SELECT q.q_num, q.q_den, (q.q_num * c.n + q.q_den - 1) // q.q_den AS target_rank,
+             c.bin, c.cnt, c.cum - c.cnt AS cum_before,
+             ROW_NUMBER() OVER (PARTITION BY q.q_num, q.q_den ORDER BY c.bin) AS rn
+      FROM q CROSS JOIN c
+      WHERE c.cum >= (q.q_num * c.n + q.q_den - 1) // q.q_den)
+SELECT CAST(q_num AS INT) AS q_num, CAST(q_den AS INT) AS q_den,
+       CAST(target_rank AS BIGINT) AS target_rank,
+       CAST(bin * {width} AS BIGINT) AS bin_lo,
+       cnt AS bin_count,
+       CAST(bin * {width} AS DOUBLE)
+         + (CAST(target_rank - cum_before AS DOUBLE) / CAST(cnt AS DOUBLE)) * CAST({width} AS DOUBLE)
+         AS estimate
+FROM j WHERE rn = 1"""
+
+
+def sql_temperature_mixture(budget: int = 1_000_000) -> str:
+    """text.temperature_mixture twin (T=2): tempered weight =
+    floor(sqrt(w)*1024 + 0.5) — sqrt is IEEE-correctly-rounded in both
+    engines — then the mixture_allocate Hamilton arithmetic verbatim."""
+    return f"""WITH w0 AS (SELECT source AS grp, CAST(SUM(n_chars) AS BIGINT) AS wt0
+           FROM documents GROUP BY 1),
+w AS (SELECT grp, CAST(floor(sqrt(CAST(wt0 AS DOUBLE)) * {_dbl(1024.0)} + {_dbl(0.5)}) AS BIGINT) AS wt
+      FROM w0),
+t AS (SELECT CAST(SUM(wt) AS BIGINT) AS total FROM w),
+s AS (SELECT grp, wt,
+             CAST((CAST({budget} AS HUGEINT) * wt) // total AS BIGINT) AS base,
+             (CAST({budget} AS HUGEINT) * wt) % total AS rem
+      FROM w CROSS JOIN t),
+r AS (SELECT grp, wt, base,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, grp) AS rem_rank,
+             CAST({budget} AS BIGINT) - SUM(base) OVER () AS leftover
+      FROM s)
+SELECT grp AS source, wt AS weight,
+       CAST(base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r"""

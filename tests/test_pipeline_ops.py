@@ -2496,3 +2496,16 @@ def test_kmeans_iterate_empty_cluster_keeps_seed(spark):
     assert got[0][1] == 1 and got[0][2] is True
     assert got[1][1] == 1 and got[1][2] is True
     assert got[3][1] == 0 and got[3][2] is False
+
+
+def test_hits_int_hand_case(spark):
+    """Tiny graph, scores verified by hand (2 rounds, a0=1):
+    edges a->b, a->c, b->c.
+    h1: a=2, b=1, c=0 ; a1: b=h1(a)=2, c=h1(a)+h1(b)=3, a=0
+    h2: a=a1(b)+a1(c)=5, b=a1(c)=3, c=0 ; a2: b=h2(a)=5, c=h2(a)+h2(b)=8."""
+    from openaip_yaixm_to_geojson_spark.operators.graph import hits_int
+
+    edges = spark.createDataFrame([("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string")
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "host string")
+    got = {r["host"]: (r["hub"], r["authority"]) for r in hits_int(nodes, edges, iters=2).collect()}
+    assert got == {"a": (5, 0), "b": (3, 5), "c": (0, 8)}
