@@ -807,7 +807,9 @@ def charlm_surprisal(documents: DataFrame, key_col: str = "doc_id", text_col: st
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint()  # feeds corpus totals AND the score join (fan-out rule)
     )
-    corpus_bg = doc_bg.groupBy("bg").agg(F.sum("cnt").alias("cbg"))
+    # charset^2-sized but aggregated from the corpus-sized doc_bg stream;
+    # it feeds BOTH corpus_pre and the bits join -> materialize once
+    corpus_bg = doc_bg.groupBy("bg").agg(F.sum("cnt").alias("cbg")).localCheckpoint()
     corpus_pre = corpus_bg.groupBy(F.substring("bg", 1, 1).alias("pc")).agg(
         F.sum("cbg").alias("cpre")
     )

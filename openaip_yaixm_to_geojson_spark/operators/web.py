@@ -725,6 +725,7 @@ def anchor_target_stats(pages: DataFrame, html_col: str = "html") -> DataFrame:
         extract_anchor_texts(pages, html_col=html_col, key_col="url")
         .groupBy("link", "anchor_text")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # feeds the window AND the totals (fan-out rule)
     )
     w = Window.partitionBy("link").orderBy(F.col("cnt").desc(), F.col("anchor_text"))
     ranked = per_text.withColumn("rn", F.row_number().over(w))

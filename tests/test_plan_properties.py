@@ -379,3 +379,37 @@ def test_bm25_topk_tf_materialized_single_scan(spark):
     p = plan_of(out)
     assert p.count("FileScan parquet") == 1
     assert p.count("BroadcastExchange") >= 2
+
+
+def test_r6_fanout_frames_materialized(spark):
+    """Round-6 multi-consumer frames are materialized once: charlm's
+    (doc,bigram) stream + corpus vocab, anchor rollup's (link,text)
+    counts, kmeans_iterate's round-1 assignment, sketch_quantiles'
+    cumulative histogram — no parquet scan (and no regex/split work)
+    survives downstream of the checkpoints in the final plan."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import sketch_quantiles
+    from openaip_yaixm_to_geojson_spark.operators.similarity import kmeans_iterate
+    from openaip_yaixm_to_geojson_spark.operators.terms import charlm_surprisal
+    from openaip_yaixm_to_geojson_spark.operators.web import (
+        anchor_target_stats,
+        link_hits,
+        synth_linked_pages,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(charlm_surprisal(docs))
+    assert p.count("FileScan parquet") == 0 and "split" not in p
+    linked = synth_linked_pages(spark, SF_DIR)
+    p = plan_of(anchor_target_stats(linked))
+    assert p.count("FileScan parquet") == 0 and "regexp_extract_all" not in p
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # the fact side is checkpointed (a1); the only surviving scans are the
+    # k-row SEED scans with the vec_id < 8 filter pushed into parquet
+    p = plan_of(kmeans_iterate(emb))
+    scans = [ln for ln in p.splitlines() if "FileScan parquet" in ln]
+    assert scans and all("(vec_id" in ln and "< 8)" in ln for ln in scans)
+    assert plan_of(sketch_quantiles(docs)).count("FileScan parquet") == 0
+    # link_hits: every per-round join reads the checkpointed edge RDD,
+    # never re-runs the href regex
+    p = plan_of(link_hits(linked))
+    assert p.count("FileScan parquet") == 0 and "regexp_extract_all" not in p
