@@ -1015,6 +1015,16 @@ def q_temperature_mixture(spark, sf_dir):
     return temperature_mixture(_docs(spark, sf_dir), budget=1_000_000)
 
 
+def q_web_prefilter(spark, sf_dir):
+    """Composed crawl pre-filter (r6): canonicalize -> canonical dedup ->
+    robots longest-match -> per-host quota, gated END TO END as one query
+    (the corpus-pipeline composition precedent, web side)."""
+    from openaip_yaixm_to_geojson_spark.operators.web import messy_url_sql, web_prefilter
+
+    pages = _docs(spark, sf_dir).select(F.expr(messy_url_sql("spark")).alias("url"))
+    return web_prefilter(pages)
+
+
 def q_dedup_report(spark, sf_dir):
     """Per-source dedup summary over the near-dup clusters (drop ratio =
     non-representatives / docs); labels join + one source aggregation."""
@@ -2336,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_target_stats": q_anchor_target_stats,
         "sketch_quantiles": q_sketch_quantiles,
         "temperature_mixture": q_temperature_mixture,
+        "web_prefilter": q_web_prefilter,
         "normalized_dedup": q_normalized_dedup,
         "edit_distance_pairs": q_edit_distance_pairs,
         "containment_pairs": q_containment_pairs,
@@ -2612,6 +2623,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_target_stats": oracle.sql_anchor_target_stats(),
         "sketch_quantiles": oracle.sql_sketch_quantiles(),
         "temperature_mixture": oracle.sql_temperature_mixture(),
+        "web_prefilter": oracle.sql_web_prefilter(),
         "dedup_report": oracle.sql_dedup_report(),
         "simhash": oracle.sql_simhash(),
         "lsh_recall_monitor": oracle.sql_lsh_recall_monitor(),

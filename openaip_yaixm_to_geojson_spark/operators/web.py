@@ -738,3 +738,26 @@ def anchor_target_stats(pages: DataFrame, html_col: str = "html") -> DataFrame:
         .join(totals, "link")
         .select("link", "n_anchors", "n_unique_texts", "top_anchor", "top_count")
     )
+
+
+def web_prefilter(pages: DataFrame, cap: int = 3) -> DataFrame:
+    """Composed crawl PRE-FILTER stage — the end-to-end URL hygiene pass a
+    web pipeline runs before any content work, gated as ONE query so the
+    operator interfaces are exercised together (the corpus-pipeline
+    precedent): canonicalize -> canonical-URL dedup (md5-stable
+    representative) -> robots longest-match filter (allowed only) ->
+    per-host quota. Output (host, url, host_rank) of the survivors.
+
+    Scale shape: each stage keeps its own documented shape (regex codegen,
+    one digest-keyed dedup exchange, broadcast rules join + per-url argmax,
+    WindowGroupLimit host cap); the representative frame feeds the robots
+    join AND the keep join -> localCheckpoint."""
+    rep = (
+        url_canonicalize(pages, "url")
+        .groupBy("canonical_url")
+        .agg(F.min("url").alias("url"))
+        .localCheckpoint()
+    )
+    verdict = robots_filter(rep)
+    keep = rep.join(verdict.where(F.col("allowed")).select("url"), "url")
+    return host_cap(keep, cap=cap)

@@ -4476,3 +4476,42 @@ r AS (SELECT grp, wt, base,
 SELECT grp AS source, wt AS weight,
        CAST(base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
 FROM r"""
+
+
+def sql_web_prefilter(cap: int = 3) -> str:
+    """web.web_prefilter twin: the canonicalize -> dedup -> robots ->
+    host-cap composition recomputed in one SQL from the shared pattern
+    constants (canonical CTEs, md5-digit robots rules with the '/'
+    pathless default, md5-ordered host quota)."""
+    from .operators.web import PAT_HOST
+
+    def hexd(i: int) -> str:
+        c = f"ascii(substring(mh, {i}, 1))"
+        return f"((CASE WHEN {c} >= 97 THEN {c} - 87 ELSE {c} - 48 END) % 10)"
+
+    return f"""WITH {_canonical_url_ctes()},
+rep AS (SELECT MIN(url) AS url FROM c GROUP BY canonical_url),
+h0 AS (SELECT DISTINCT regexp_extract(url, '{PAT_HOST}', 1) AS host FROM rep),
+hm AS (SELECT host, md5(host) AS mh FROM h0),
+rl AS (
+  SELECT host, '/' || chr(48 + {hexd(1)}) AS rule_path, FALSE AS allow FROM hm
+  UNION ALL
+  SELECT host, '/' || chr(48 + {hexd(1)}) || chr(48 + {hexd(2)}), TRUE FROM hm
+  UNION ALL
+  SELECT host, '/', TRUE FROM hm
+),
+p AS (SELECT url, regexp_extract(url, '{PAT_HOST}', 1) AS host,
+             CASE WHEN regexp_extract(url, '^[a-z]+://[^/]*(/.*)$', 1) = ''
+                  THEN '/' ELSE regexp_extract(url, '^[a-z]+://[^/]*(/.*)$', 1)
+             END AS path
+      FROM rep),
+mch AS (SELECT p.url, p.host, rl.allow,
+               ROW_NUMBER() OVER (PARTITION BY p.url
+                 ORDER BY length(rl.rule_path) DESC, rl.allow DESC, rl.rule_path DESC) AS rn
+        FROM p JOIN rl ON rl.host = p.host
+        WHERE left(p.path, length(rl.rule_path)) = rl.rule_path),
+keep AS (SELECT url, host FROM mch WHERE rn = 1 AND allow),
+r AS (SELECT host, url,
+             CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY md5(url)) AS INTEGER) AS host_rank
+      FROM keep)
+SELECT host, url, host_rank FROM r WHERE host_rank <= {cap}"""
