@@ -1025,6 +1025,16 @@ def q_web_prefilter(spark, sf_dir):
     return web_prefilter(pages)
 
 
+def q_bpe_phrase_merge(spark, sf_dir):
+    """One full BPE merge step, word symbols (r6): corpus-best pair +
+    relational left-to-right non-overlapping application (gaps-and-islands
+    parity); the gate hashes the md5 of each document's post-merge token
+    stream — exact sequence verification."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import bpe_phrase_merge
+
+    return bpe_phrase_merge(_docs(spark, sf_dir))
+
+
 def q_dedup_report(spark, sf_dir):
     """Per-source dedup summary over the near-dup clusters (drop ratio =
     non-representatives / docs); labels join + one source aggregation."""
@@ -2347,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": q_sketch_quantiles,
         "temperature_mixture": q_temperature_mixture,
         "web_prefilter": q_web_prefilter,
+        "bpe_phrase_merge": q_bpe_phrase_merge,
         "normalized_dedup": q_normalized_dedup,
         "edit_distance_pairs": q_edit_distance_pairs,
         "containment_pairs": q_containment_pairs,
@@ -2624,6 +2635,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_quantiles": oracle.sql_sketch_quantiles(),
         "temperature_mixture": oracle.sql_temperature_mixture(),
         "web_prefilter": oracle.sql_web_prefilter(),
+        "bpe_phrase_merge": oracle.sql_bpe_phrase_merge(),
         "dedup_report": oracle.sql_dedup_report(),
         "simhash": oracle.sql_simhash(),
         "lsh_recall_monitor": oracle.sql_lsh_recall_monitor(),

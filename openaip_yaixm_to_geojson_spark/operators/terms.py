@@ -826,3 +826,97 @@ def charlm_surprisal(documents: DataFrame, key_col: str = "doc_id", text_col: st
         )
         .select(F.col("key").alias(key_col), "n_bigrams", "surprisal_bits")
     )
+
+
+def bpe_phrase_merge(documents: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """ONE full BPE merge step at word granularity (phrase mining — the
+    same algorithm as char-BPE with word symbols; bpe_pair_counts covers
+    the char-level statistic): find the corpus-wide most frequent adjacent
+    token pair (ties to the lexicographically smallest), then apply it as
+    a LEFT-TO-RIGHT NON-OVERLAPPING merge in every document — 'a a a'
+    merges positions (0,1) only, the sequential semantics every real BPE
+    trainer implements.
+
+    The overlap rule is resolved RELATIONALLY (no per-doc sequential
+    scan): merge sites are flagged with lead(); consecutive sites form
+    islands via the gaps-and-islands key pos - running_count(site); within
+    an island exactly the odd-ranked sites merge. Windows are per-document
+    — one doc-keyed exchange — and the site/tail joins are co-partitioned
+    on (doc, pos). Output per document: (key, n_tokens_before, n_merges,
+    merged_md5) where merged_md5 = md5 of the space-joined post-merge
+    stream (merged pairs joined with '_'), so the gate verifies the exact
+    token sequence, not just counts."""
+    from pyspark.sql import Window
+
+    toks = (
+        documents.select(
+            F.col(key_col).alias("key"),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+        )
+        .localCheckpoint()  # feeds pair counting AND merge application
+    )
+    wk = Window.partitionBy("key").orderBy("pos")
+    marked0 = toks.withColumn("nxt", F.lead("tok").over(wk))
+    pairs = (
+        marked0.where(F.col("nxt").isNotNull())
+        .groupBy(F.concat_ws(" ", "tok", "nxt").alias("pair"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = (
+        pairs.orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(1)
+        .select(
+            F.split("pair", " ")[0].alias("w1"),
+            F.split("pair", " ")[1].alias("w2"),
+        )
+    )
+    marked = (
+        marked0.crossJoin(F.broadcast(best))
+        .withColumn("s", (F.col("tok") == F.col("w1")) & (F.col("nxt") == F.col("w2")))
+        .withColumn("rn_s", F.sum(F.col("s").cast("int")).over(wk))
+        .localCheckpoint()  # feeds sites, tails and the rebuild
+    )
+    sites = (
+        marked.where("s")
+        .select("key", "pos", (F.col("pos") - F.col("rn_s")).alias("island"))
+        .withColumn(
+            "rn2",
+            F.row_number().over(Window.partitionBy("key", "island").orderBy("pos")),
+        )
+        .where(F.col("rn2") % 2 == 1)
+        .select("key", "pos")
+        .localCheckpoint()  # merge starts; consumed as starts AND shifted tails
+    )
+    tails = sites.select("key", (F.col("pos") + 1).alias("pos"))
+    starts = sites.select("key", "pos", F.lit(True).alias("is_start"))
+    rebuilt = (
+        marked.join(tails, ["key", "pos"], "left_anti")
+        .join(starts, ["key", "pos"], "left")
+        .select(
+            "key",
+            "pos",
+            F.when(F.col("is_start"), F.concat_ws("_", "tok", "nxt")).otherwise(F.col("tok")).alias("t"),
+        )
+    )
+    n_before = toks.groupBy("key").agg(F.count(F.lit(1)).alias("n_tokens_before"))
+    n_merge = sites.groupBy("key").agg(F.count(F.lit(1)).alias("n_merges"))
+    out = (
+        rebuilt.groupBy("key")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(F.sort_array(F.collect_list(F.struct("pos", "t"))), lambda x: x["t"]),
+                    " ",
+                )
+            ).alias("merged_md5")
+        )
+        .join(n_before, "key")
+        .join(n_merge, "key", "left")
+        .select(
+            F.col("key").alias(key_col),
+            "n_tokens_before",
+            F.coalesce("n_merges", F.lit(0).cast("bigint")).alias("n_merges"),
+            "merged_md5",
+        )
+    )
+    return out

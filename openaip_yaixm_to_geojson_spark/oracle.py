@@ -4515,3 +4515,44 @@ r AS (SELECT host, url,
              CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY md5(url)) AS INTEGER) AS host_rank
       FROM keep)
 SELECT host, url, host_rank FROM r WHERE host_rank <= {cap}"""
+
+
+def sql_bpe_phrase_merge() -> str:
+    """terms.bpe_phrase_merge twin: identical relational formulation —
+    lead() site flags, gaps-and-islands key pos - running_count(site),
+    odd-ranked sites merge, tails anti-joined out, stream rebuilt with
+    string_agg ORDER BY pos and md5'd."""
+    return f"""
+WITH w AS (SELECT doc_id AS key, {_WORDS} AS words FROM documents),
+toks AS (SELECT key, CAST(i - 1 AS BIGINT) AS pos, words[i] AS tok
+         FROM w, LATERAL (SELECT UNNEST(generate_series(1, len(words))) AS i) t),
+mk AS (SELECT key, pos, tok,
+              LEAD(tok) OVER (PARTITION BY key ORDER BY pos) AS nxt
+       FROM toks),
+pc AS (SELECT concat_ws(' ', tok, nxt) AS pair, COUNT(*) AS cnt
+       FROM mk WHERE nxt IS NOT NULL GROUP BY 1),
+best AS (SELECT string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[2] AS w2
+         FROM pc ORDER BY cnt DESC, pair LIMIT 1),
+mk2 AS (SELECT mk.key, mk.pos, mk.tok, mk.nxt,
+               (mk.tok = best.w1 AND mk.nxt = best.w2) AS s,
+               SUM(CASE WHEN mk.tok = best.w1 AND mk.nxt = best.w2 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY mk.key ORDER BY mk.pos ROWS UNBOUNDED PRECEDING) AS rn_s
+        FROM mk CROSS JOIN best),
+sites AS (SELECT key, pos FROM (
+            SELECT key, pos,
+                   ROW_NUMBER() OVER (PARTITION BY key, pos - rn_s ORDER BY pos) AS rn2
+            FROM mk2 WHERE s)
+          WHERE rn2 % 2 = 1),
+tails AS (SELECT key, pos + 1 AS pos FROM sites),
+rebuilt AS (SELECT m.key, m.pos,
+                   CASE WHEN st.pos IS NOT NULL THEN concat_ws('_', m.tok, m.nxt)
+                        ELSE m.tok END AS t
+            FROM mk2 m
+            LEFT JOIN sites st ON st.key = m.key AND st.pos = m.pos
+            WHERE NOT EXISTS (SELECT 1 FROM tails tl WHERE tl.key = m.key AND tl.pos = m.pos)),
+agg AS (SELECT key, md5(string_agg(t, ' ' ORDER BY pos)) AS merged_md5 FROM rebuilt GROUP BY key),
+nb AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_tokens_before FROM toks GROUP BY key),
+nm AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_merges FROM sites GROUP BY key)
+SELECT nb.key AS doc_id, nb.n_tokens_before,
+       CAST(COALESCE(nm.n_merges, 0) AS BIGINT) AS n_merges, agg.merged_md5
+FROM nb JOIN agg ON agg.key = nb.key LEFT JOIN nm ON nm.key = nb.key"""

@@ -830,3 +830,22 @@ def test_lang_vocab_overlap_hand_case(spark):
     r = got[("en", "fr")]
     assert (r["vocab_a"], r["vocab_b"], r["n_common"]) == (3, 3, 1)
     assert abs(r["jaccard"] - 1 / 5) < 1e-15
+
+
+def test_bpe_phrase_merge_overlap_semantics(spark):
+    """'a a a a a' with best pair 'a a': left-to-right non-overlap merges
+    positions (0,1) and (2,3) only -> 'a_a a_a a'; runs of length 2 merge
+    once; non-site docs pass through byte-identical."""
+    import hashlib
+
+    from openaip_yaixm_to_geojson_spark.operators.terms import bpe_phrase_merge
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a"), (2, "b a a c"), (3, "x y z")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens_before"], r["n_merges"], r["merged_md5"]) for r in bpe_phrase_merge(docs).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1] == (5, 2, md5("a_a a_a a"))
+    assert got[2] == (4, 1, md5("b a_a c"))
+    assert got[3] == (3, 0, md5("x y z"))
