@@ -1035,6 +1035,22 @@ def q_bpe_phrase_merge(spark, sf_dir):
     return bpe_phrase_merge(_docs(spark, sf_dir))
 
 
+def q_span_scrub(spark, sf_dir):
+    """Duplicated-span REMOVAL (r6): tokens covered by any >=2-doc word
+    8-gram scrubbed; surviving stream md5-hash-gated (exact sequence)."""
+    from openaip_yaixm_to_geojson_spark.operators.text import span_scrub
+
+    return span_scrub(_docs(spark, sf_dir))
+
+
+def q_quality_lr_score(spark, sf_dir):
+    """Linear quality-classifier apply (r6): fixed-weight fasttext-style
+    filter, fixed-order single-rounded score, keep = score > 0."""
+    from openaip_yaixm_to_geojson_spark.operators.text import quality_lr_score
+
+    return quality_lr_score(_docs(spark, sf_dir))
+
+
 def q_dedup_report(spark, sf_dir):
     """Per-source dedup summary over the near-dup clusters (drop ratio =
     non-representatives / docs); labels join + one source aggregation."""
@@ -2358,6 +2374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "web_prefilter": q_web_prefilter,
         "bpe_phrase_merge": q_bpe_phrase_merge,
+        "span_scrub": q_span_scrub,
+        "quality_lr_score": q_quality_lr_score,
         "normalized_dedup": q_normalized_dedup,
         "edit_distance_pairs": q_edit_distance_pairs,
         "containment_pairs": q_containment_pairs,
@@ -2636,6 +2654,8 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture": oracle.sql_temperature_mixture(),
         "web_prefilter": oracle.sql_web_prefilter(),
         "bpe_phrase_merge": oracle.sql_bpe_phrase_merge(),
+        "span_scrub": oracle.sql_span_scrub(),
+        "quality_lr_score": oracle.sql_quality_lr_score(),
         "dedup_report": oracle.sql_dedup_report(),
         "simhash": oracle.sql_simhash(),
         "lsh_recall_monitor": oracle.sql_lsh_recall_monitor(),

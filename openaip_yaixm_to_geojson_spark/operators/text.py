@@ -1148,3 +1148,99 @@ def temperature_mixture(
         )
     tw = w.select(F.col("grp").alias(group_col), tempered.alias("wt_t"))
     return mixture_allocate(tw, budget, group_col=group_col, weight_col="wt_t")
+
+
+def span_scrub(
+    documents: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-SPAN removal (the RefinedWeb/exact-substring scrub step —
+    duplicated_span_stats says how much is duplicated, this actually
+    REMOVES it): any token covered by an occurrence of a word n-gram that
+    appears in >= min_docs distinct documents is scrubbed; the surviving
+    stream is rebuilt in order and md5-hash-gated (exact sequence).
+
+    Scale shape: gram text never shuffles — (doc, md5(gram)) pairs
+    aggregate to the (doc, digest) level FIRST (the repeated-grams rule),
+    so hot-gram doc counts are COUNT(*); cover positions expand via a
+    bounded sequence() explode (n per occurrence); the scrub is one
+    co-partitioned anti-join on (doc, pos)."""
+    toks = documents.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    ).localCheckpoint()  # feeds the rebuild AND the token counts
+    doc_grams = documents.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(_word_ngrams_col(F.col(text_col), n)).alias("gpos", "g"),
+    ).select("key", "gpos", F.md5("g").alias("dg")).localCheckpoint()
+    hot = (
+        doc_grams.select("key", "dg")
+        .distinct()
+        .groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("dg")
+    )
+    cover = (
+        doc_grams.join(hot, "dg")
+        .select("key", F.explode(F.sequence(F.col("gpos"), F.col("gpos") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+    n_tok = toks.groupBy("key").agg(F.count(F.lit(1)).alias("n_tokens"))
+    n_scrub = cover.groupBy("key").agg(F.count(F.lit(1)).alias("n_scrubbed"))
+    rebuilt = (
+        toks.join(cover, ["key", "pos"], "left_anti")
+        .groupBy("key")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(F.sort_array(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]),
+                    " ",
+                )
+            ).alias("scrubbed_md5")
+        )
+    )
+    return (
+        n_tok.join(n_scrub, "key", "left")
+        .join(rebuilt, "key", "left")
+        .select(
+            F.col("key").alias(key_col),
+            "n_tokens",
+            F.coalesce("n_scrubbed", F.lit(0).cast("bigint")).alias("n_scrubbed"),
+            # a fully-scrubbed document has an EMPTY stream: md5('')
+            F.coalesce("scrubbed_md5", F.md5(F.lit(""))).alias("scrubbed_md5"),
+        )
+    )
+
+
+# Fixed linear quality model (fasttext-style classifier stand-in): weights
+# are part of the operator contract (a trained model would ship the same
+# way — a broadcast constant vector); the score is a fixed-order
+# single-rounded combination of the quality_struct features, so it
+# hash-gates like readability.
+QUALITY_LR_WEIGHTS = (-1.5, 0.35, -4.0, -2.5, 0.0008)  # bias, mean_wl, punct_r, digit_r, n_chars
+
+
+def quality_lr_score(documents: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Linear quality-classifier APPLY (the classifier-based filtering
+    stage; weights fixed, see QUALITY_LR_WEIGHTS): score = w0 + w1*mwl +
+    w2*punct + w3*digit + w4*n_chars, keep = score > 0. Pure codegen,
+    zero shuffles; float ops fixed-order single-rounded from shared
+    strtod literals."""
+    q = quality_struct(F.col(text_col))
+    w0, w1, w2, w3, w4 = QUALITY_LR_WEIGHTS
+    score = (
+        F.lit(w0)
+        + F.lit(w1) * q["mean_word_len"]
+        + F.lit(w2) * q["punct_ratio"]
+        + F.lit(w3) * q["digit_ratio"]
+        + F.lit(w4) * q["n_chars"].cast("double")
+    )
+    return documents.select(
+        F.col(key_col),
+        score.cast("float").cast("double").alias("lr_score"),
+        (score > 0).alias("keep"),
+    )

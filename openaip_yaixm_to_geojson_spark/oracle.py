@@ -4556,3 +4556,47 @@ nm AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_merges FROM sites GROUP BY key)
 SELECT nb.key AS doc_id, nb.n_tokens_before,
        CAST(COALESCE(nm.n_merges, 0) AS BIGINT) AS n_merges, agg.merged_md5
 FROM nb JOIN agg ON agg.key = nb.key LEFT JOIN nm ON nm.key = nb.key"""
+
+
+def sql_span_scrub(n: int = 8, min_docs: int = 2) -> str:
+    """text.span_scrub twin: identical (doc, digest)-level hot-gram
+    derivation, sequence cover expansion, anti-join scrub and ordered
+    rebuild; empty stream -> md5('')."""
+    return f"""
+WITH w AS (SELECT doc_id AS key, {_WORDS} AS words FROM documents),
+toks AS (SELECT key, CAST(i - 1 AS BIGINT) AS pos, words[i] AS tok
+         FROM w, LATERAL (SELECT UNNEST(generate_series(1, len(words))) AS i) t),
+g AS (SELECT key, CAST(i - 1 AS BIGINT) AS gpos, md5(grams[i]) AS dg
+      FROM (SELECT key, {_ngrams_list_sql(n)} AS grams FROM w),
+           LATERAL (SELECT UNNEST(generate_series(1, len(grams))) AS i) t),
+hot AS (SELECT dg FROM (SELECT DISTINCT key, dg FROM g) GROUP BY dg HAVING COUNT(*) >= {min_docs}),
+cover AS (SELECT DISTINCT g.key, g.gpos + o.j AS pos
+          FROM g JOIN hot ON hot.dg = g.dg,
+               LATERAL (SELECT UNNEST(generate_series(0, {n - 1})) AS j) o),
+nt AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY key),
+ns AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_scrubbed FROM cover GROUP BY key),
+reb AS (SELECT t.key, md5(string_agg(t.tok, ' ' ORDER BY t.pos)) AS scrubbed_md5
+        FROM toks t
+        WHERE NOT EXISTS (SELECT 1 FROM cover c WHERE c.key = t.key AND c.pos = t.pos)
+        GROUP BY t.key)
+SELECT nt.key AS doc_id, nt.n_tokens,
+       CAST(COALESCE(ns.n_scrubbed, 0) AS BIGINT) AS n_scrubbed,
+       COALESCE(reb.scrubbed_md5, md5('')) AS scrubbed_md5
+FROM nt LEFT JOIN ns ON ns.key = nt.key LEFT JOIN reb ON reb.key = nt.key"""
+
+
+def sql_quality_lr_score() -> str:
+    """text.quality_lr_score twin: same weights as strtod literals, same
+    left-associated combination, one FLOAT rounding at the boundary."""
+    from .operators.text import QUALITY_LR_WEIGHTS
+
+    p = _quality_parts()
+    w0, w1, w2, w3, w4 = QUALITY_LR_WEIGHTS
+    score = (
+        f"(((({_dbl(w0)} + {_dbl(w1)} * {p['mean_wl']}) + {_dbl(w2)} * {p['punct_r']})"
+        f" + {_dbl(w3)} * {p['digit_r']}) + {_dbl(w4)} * {p['n_chars']})"
+    )
+    return f"""SELECT doc_id,
+       CAST(CAST({score} AS FLOAT) AS DOUBLE) AS lr_score,
+       ({score} > CAST(0 AS DOUBLE)) AS keep
+FROM documents"""

@@ -2509,3 +2509,26 @@ def test_hits_int_hand_case(spark):
     nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "host string")
     got = {r["host"]: (r["hub"], r["authority"]) for r in hits_int(nodes, edges, iters=2).collect()}
     assert got == {"a": (5, 0), "b": (3, 5), "c": (0, 8)}
+
+
+def test_span_scrub_semantics(spark):
+    """Two docs sharing an 8-gram: covered tokens scrubbed in both, the
+    unique tails survive; a doc with no hot grams passes byte-identical."""
+    import hashlib
+
+    from openaip_yaixm_to_geojson_spark.operators.text import span_scrub
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "head0 " + shared),
+            (3, "totally unique words only here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_scrubbed"], r["scrubbed_md5"]) for r in span_scrub(docs).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1] == (10, 8, md5("tail1 tail2"))
+    assert got[2] == (9, 8, md5("head0"))
+    assert got[3] == (6, 0, md5("totally unique words only here now"))
