@@ -229,6 +229,14 @@ def main() -> None:
     timed("bm25_topk", lambda: bm25_topk(docs, k=20).count())
     timed("tile_nearest_airspace", lambda: tile_nearest_airspace(pages, polys).count())
 
+    from openaip_yaixm_to_geojson_spark.operators.terms import (
+        bpe_phrase_merge,
+        charlm_surprisal,
+    )
+
+    timed("charlm_surprisal", lambda: charlm_surprisal(docs).count())
+    timed("bpe_phrase_merge", lambda: bpe_phrase_merge(docs).count())
+
     run_meta = steal_meta(run_ticks0, cpu_ticks())
     result = {
         "metric": "spatial_join_tile_rollup_wall",
