@@ -1051,6 +1051,22 @@ def q_quality_lr_score(spark, sf_dir):
     return quality_lr_score(_docs(spark, sf_dir))
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Top-V vocabulary coverage per document (r6): in-vocab/OOV token
+    counts + coverage ratio against a deterministic corpus vocabulary."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir))
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test split audit (r6): per
+    (split, lang) counts in the deterministic_sample bucket space."""
+    from openaip_yaixm_to_geojson_spark.operators.text import dataset_split
+
+    return dataset_split(_docs(spark, sf_dir))
+
+
 def q_dedup_report(spark, sf_dir):
     """Per-source dedup summary over the near-dup clusters (drop ratio =
     non-representatives / docs); labels join + one source aggregation."""
@@ -2376,6 +2392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_phrase_merge": q_bpe_phrase_merge,
         "span_scrub": q_span_scrub,
         "quality_lr_score": q_quality_lr_score,
+        "vocab_coverage": q_vocab_coverage,
+        "dataset_split": q_dataset_split,
         "normalized_dedup": q_normalized_dedup,
         "edit_distance_pairs": q_edit_distance_pairs,
         "containment_pairs": q_containment_pairs,
@@ -2656,6 +2674,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_phrase_merge": oracle.sql_bpe_phrase_merge(),
         "span_scrub": oracle.sql_span_scrub(),
         "quality_lr_score": oracle.sql_quality_lr_score(),
+        "vocab_coverage": oracle.sql_vocab_coverage(),
+        "dataset_split": oracle.sql_dataset_split(),
         "dedup_report": oracle.sql_dedup_report(),
         "simhash": oracle.sql_simhash(),
         "lsh_recall_monitor": oracle.sql_lsh_recall_monitor(),

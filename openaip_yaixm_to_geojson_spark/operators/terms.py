@@ -920,3 +920,45 @@ def bpe_phrase_merge(documents: DataFrame, key_col: str = "doc_id", text_col: st
         )
     )
     return out
+
+
+def vocab_coverage(
+    documents: DataFrame, vocab_size: int = 256, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-`vocab_size` corpus
+    vocabulary (count DESC, term ASC — deterministic), then per document
+    report total tokens, in-vocab tokens, OOV count and the coverage
+    ratio (one division of exact BIGINTs). The stat every tokenizer
+    migration checks before retraining.
+
+    Scale shape: vocab = one term-keyed map-side-partial aggregation +
+    TakeOrdered(vocab_size); the coverage pass is a broadcast LEFT join
+    of the (doc, term, count) stream against the tiny vocab."""
+    occ = (
+        doc_term_pairs(documents, key_col, text_col)
+        .groupBy("key", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # feeds the vocab build AND the coverage join
+    )
+    vocab = (
+        occ.groupBy("term")
+        .agg(F.sum("cnt").alias("tot"))
+        .orderBy(F.col("tot").desc(), F.col("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        occ.join(F.broadcast(vocab), "term", "left")
+        .groupBy("key")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab"), F.col("cnt")).otherwise(F.lit(0))).alias("n_in_vocab"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "n_tokens",
+            "n_in_vocab",
+            (F.col("n_tokens") - F.col("n_in_vocab")).alias("n_oov"),
+            (F.col("n_in_vocab").cast("double") / F.col("n_tokens").cast("double")).alias("coverage"),
+        )
+    )

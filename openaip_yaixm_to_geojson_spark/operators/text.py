@@ -1244,3 +1244,30 @@ def quality_lr_score(documents: DataFrame, key_col: str = "doc_id", text_col: st
         score.cast("float").cast("double").alias("lr_score"),
         (score > 0).alias("keep"),
     )
+
+
+def dataset_split(
+    documents: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 bucket (the
+    deterministic_sample convention: same split at any parallelism, on
+    re-runs, and in the oracle) + per-(split, lang) counts — the audit
+    view every corpus release ships. Bucket = md5 prefix % 100:
+    [0, val_pct) -> val, [val_pct, val_pct+test_pct) -> test, rest train.
+    Zero-shuffle assignment; one (split, lang) rollup."""
+    # 100 divides SAMPLE_BUCKETS, so this nests exactly inside the
+    # deterministic_sample bucket space
+    bucket = sample_hash_col(F.col(key_col)) % 100
+    split = (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        documents.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -4600,3 +4600,40 @@ def sql_quality_lr_score() -> str:
        CAST(CAST({score} AS FLOAT) AS DOUBLE) AS lr_score,
        ({score} > CAST(0 AS DOUBLE)) AS keep
 FROM documents"""
+
+
+def sql_vocab_coverage(vocab_size: int = 256) -> str:
+    """terms.vocab_coverage twin: top-V vocabulary (count DESC, term ASC),
+    broadcast-shaped left join recomputed relationally."""
+    return f"""
+WITH occ AS (
+  SELECT doc_id AS key, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest({_WORDS}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+vocab AS (SELECT term FROM (
+            SELECT term, SUM(cnt) AS tot FROM occ GROUP BY term
+            ORDER BY tot DESC, term LIMIT {vocab_size})),
+j AS (SELECT occ.key, occ.cnt, (vocab.term IS NOT NULL) AS iv
+      FROM occ LEFT JOIN vocab ON vocab.term = occ.term)
+SELECT key AS doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN iv THEN cnt ELSE 0 END) AS BIGINT) AS n_in_vocab,
+       CAST(SUM(cnt) - SUM(CASE WHEN iv THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN iv THEN cnt ELSE 0 END) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS coverage
+FROM j GROUP BY key"""
+
+
+def sql_dataset_split(val_pct: int = 10, test_pct: int = 10) -> str:
+    """text.dataset_split twin: same md5-bucket rule ((hex8 % 1e6) % 100
+    == hex8 % 100 since 100 | 1e6 — the deterministic_sample space)."""
+    bucket = f"({_hex8_sql('CAST(doc_id AS VARCHAR)')} % 100)"
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN {bucket} < {val_pct} THEN 'val'
+              WHEN {bucket} < {val_pct + test_pct} THEN 'test'
+              ELSE 'train' END AS split,
+         lang
+  FROM documents
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM s GROUP BY split, lang"""
