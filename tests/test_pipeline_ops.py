@@ -2532,3 +2532,24 @@ def test_span_scrub_semantics(spark):
     assert got[1] == (10, 8, md5("tail1 tail2"))
     assert got[2] == (9, 8, md5("head0"))
     assert got[3] == (6, 0, md5("totally unique words only here now"))
+
+
+def test_vocab_coverage_and_dataset_split(spark):
+    """vocab_coverage: with vocab_size 1 only the modal term is in-vocab;
+    dataset_split: counts sum to the corpus and every split label is
+    from the contract set."""
+    from openaip_yaixm_to_geojson_spark.operators.terms import vocab_coverage
+    from openaip_yaixm_to_geojson_spark.operators.text import dataset_split
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "a c", "de"), (3, "b b b c", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_in_vocab"], r["n_oov"]) for r in vocab_coverage(docs, vocab_size=1).collect()}
+    # corpus counts: b=4, a=3, c=2 -> vocab = {b}
+    assert got[1] == (3, 1, 2)
+    assert got[2] == (2, 0, 2)
+    assert got[3] == (4, 3, 1)
+    rows = dataset_split(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == 3
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
