@@ -1067,6 +1067,19 @@ def q_dataset_split(spark, sf_dir):
     return dataset_split(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Connected components via alternating large-star/small-star (r6):
+    the O(log^2 n)-round industrial CC algorithm beside min-label
+    propagation — gated against the SAME recursive-closure oracle, so the
+    two distributed algorithms are certified equal."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import duplicate_clusters_star
+
+    docs = _docs(spark, sf_dir)
+    return duplicate_clusters_star(
+        minhash_lsh_pairs(docs, jaccard_threshold=0.5), documents=docs
+    )
+
+
 def q_dedup_report(spark, sf_dir):
     """Per-source dedup summary over the near-dup clusters (drop ratio =
     non-representatives / docs); labels join + one source aggregation."""
@@ -2394,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_score": q_quality_lr_score,
         "vocab_coverage": q_vocab_coverage,
         "dataset_split": q_dataset_split,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "normalized_dedup": q_normalized_dedup,
         "edit_distance_pairs": q_edit_distance_pairs,
         "containment_pairs": q_containment_pairs,
@@ -2676,6 +2690,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_lr_score": oracle.sql_quality_lr_score(),
         "vocab_coverage": oracle.sql_vocab_coverage(),
         "dataset_split": oracle.sql_dataset_split(),
+        "dedup_clusters_star": oracle.sql_dedup_clusters(),
         "dedup_report": oracle.sql_dedup_report(),
         "simhash": oracle.sql_simhash(),
         "lsh_recall_monitor": oracle.sql_lsh_recall_monitor(),

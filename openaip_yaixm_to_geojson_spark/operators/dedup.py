@@ -978,3 +978,103 @@ def dedup_keep_best(
             "quality_score",
         )
     )
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    documents: DataFrame | None = None,
+    key_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al.) — the industrial-scale CC algorithm beside
+    duplicate_clusters' min-label propagation: converges in O(log^2 n)
+    rounds on ANY topology (min-label needs diameter rounds — a chain
+    graph kills it), and every round's state is just the edge list.
+
+    large-star: for each node u, every strictly-larger neighbor points to
+    u's current minimum (min of u and its neighborhood); small-star: every
+    smaller-or-equal neighbor (except the min itself) points to the
+    minimum. Both are one groupBy + one re-expansion per round; edges
+    stay (node, parent) pairs, text never appears. Convergence = the
+    small-star pass changes nothing. Same output contract as
+    duplicate_clusters: (key, cluster_id = component minimum), singletons
+    included — gated against the SAME recursive-closure oracle.
+
+    Keys are compared by their natural ordering (doc ids / md5 digests
+    both order consistently in Spark and DuckDB)."""
+    edges = pairs.select(F.col("key_a").alias("u"), F.col("key_b").alias("v"))
+    # undirected symmetric closure, self-loops dropped
+    e = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        # the operation is defined on the UNDIRECTED neighborhood — losing
+        # symmetry deadlocks chain graphs (both passes then see only
+        # down-edges and make no progress)
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        # per-node minimum via join-back, NOT collect_set: a component
+        # minimum's neighborhood is the whole component at convergence —
+        # an array would concentrate it in one task; the join keeps it an
+        # (edge x 1) co-partitioned stream
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # orient every edge high -> low, then attach each node's
+        # smaller-or-equal neighborhood (plus itself) to the minimum
+        o = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            o.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    cur = e
+    for _ in range(max_iters):
+        after_large = large_star(cur).localCheckpoint()
+        after_small = small_star(after_large).localCheckpoint()
+        # fixpoint: the round produced the same (u, v) edge set
+        if (
+            after_small.exceptAll(cur).isEmpty()
+            and cur.exceptAll(after_small).isEmpty()
+        ):
+            cur = after_small
+            break
+        cur = after_small
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge within {max_iters} rounds"
+        )
+    labels = cur.select(F.col("u").alias("key"), F.col("v").alias("cluster_id"))
+    # at the fixpoint every edge points directly at its component minimum
+    labels = labels.groupBy("key").agg(F.min("cluster_id").alias("cluster_id"))
+    roots = labels.select(F.col("cluster_id").alias("key")).distinct().select(
+        "key", F.col("key").alias("cluster_id")
+    )
+    out = labels.union(roots)
+    if documents is not None:
+        nodes = documents.select(F.col(key_col).alias("key"))
+        singles = (
+            nodes.join(out.select("key"), "key", "left_anti")
+            .select("key", F.col("key").alias("cluster_id"))
+        )
+        out = out.union(singles)
+    return out.groupBy("key").agg(F.min("cluster_id").alias("cluster_id"))

@@ -2553,3 +2553,29 @@ def test_vocab_coverage_and_dataset_split(spark):
     rows = dataset_split(docs).collect()
     assert sum(r["n_docs"] for r in rows) == 3
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+
+def test_duplicate_clusters_star_chain_and_equality(spark):
+    """Chain graph 1-2-3-4-5 (the min-label worst case: diameter rounds)
+    converges under star passes with everything labeled 1; random-ish pair
+    graph matches duplicate_clusters exactly (two independent distributed
+    algorithms, same answer)."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "key_a bigint, key_b bigint"
+    )
+    got = {r["key"]: r["cluster_id"] for r in duplicate_clusters_star(chain).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (30, 31), (31, 32), (32, 30), (40, 41)],
+        "key_a bigint, key_b bigint",
+    )
+    docs = spark.createDataFrame([(i,) for i in [10, 11, 12, 20, 21, 30, 31, 32, 40, 41, 99]], "doc_id bigint")
+    a = {r["key"]: r["cluster_id"] for r in duplicate_clusters(pairs, documents=docs).collect()}
+    b = {r["key"]: r["cluster_id"] for r in duplicate_clusters_star(pairs, documents=docs).collect()}
+    assert a == b and b[99] == 99
