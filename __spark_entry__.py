@@ -1080,6 +1080,22 @@ def q_dedup_clusters_star(spark, sf_dir):
     )
 
 
+def q_dedup_method_agreement(spark, sf_dir):
+    """MinHash-vs-SimHash pair-set agreement monitor (r6): both banded
+    pair streams full-outer joined on the ordered pair key; one rollup."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import dedup_method_agreement
+
+    return dedup_method_agreement(_docs(spark, sf_dir))
+
+
+def q_tpch_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (r6): filtered scan + one global DECIMAL-exact
+    aggregate — the canonical pushdown benchmark."""
+    from openaip_yaixm_to_geojson_spark.operators.relational import forecast_revenue, table
+
+    return forecast_revenue(table(spark, sf_dir, "lineitem"))
+
+
 def q_dedup_report(spark, sf_dir):
     """Per-source dedup summary over the near-dup clusters (drop ratio =
     non-representatives / docs); labels join + one source aggregation."""
@@ -2408,6 +2424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "dataset_split": q_dataset_split,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_method_agreement": q_dedup_method_agreement,
+        "tpch_forecast_revenue": q_tpch_forecast_revenue,
         "normalized_dedup": q_normalized_dedup,
         "edit_distance_pairs": q_edit_distance_pairs,
         "containment_pairs": q_containment_pairs,
@@ -2691,6 +2709,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": oracle.sql_vocab_coverage(),
         "dataset_split": oracle.sql_dataset_split(),
         "dedup_clusters_star": oracle.sql_dedup_clusters(),
+        "dedup_method_agreement": oracle.sql_dedup_method_agreement(),
+        "tpch_forecast_revenue": oracle.sql_forecast_revenue(),
         "dedup_report": oracle.sql_dedup_report(),
         "simhash": oracle.sql_simhash(),
         "lsh_recall_monitor": oracle.sql_lsh_recall_monitor(),

@@ -1078,3 +1078,46 @@ def duplicate_clusters_star(
         )
         out = out.union(singles)
     return out.groupBy("key").agg(F.min("cluster_id").alias("cluster_id"))
+
+
+def dedup_method_agreement(documents: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Dedup-method QA monitor: compare the PAIR SETS produced by MinHash
+    LSH (Jaccard-verified) and banded 64-bit SimHash — the check a
+    pipeline runs before switching near-dup detectors. One row:
+    (n_minhash, n_simhash, n_both, n_minhash_only, n_simhash_only,
+    jaccard_agreement) with the agreement ratio a single division of
+    exact BIGINTs.
+
+    Scale shape: both pair streams are the banded keys-only joins their
+    operators already use; the comparison is a full-outer join on the
+    ordered (key_a, key_b) pair key — pair-set-sized, far below corpus
+    size — then one global rollup."""
+    mh = minhash_lsh_pairs(documents, jaccard_threshold=0.5).select("key_a", "key_b")
+    sh = simhash_neardup_pairs(documents, key_col=key_col, max_hamming=3, n_bits=64).select(
+        "key_a", "key_b"
+    )
+    j = (
+        mh.select("key_a", "key_b", F.lit(1).alias("in_mh"))
+        .join(
+            sh.select("key_a", "key_b", F.lit(1).alias("in_sh")),
+            ["key_a", "key_b"],
+            "full_outer",
+        )
+    )
+    return j.agg(
+        F.sum(F.coalesce("in_mh", F.lit(0))).alias("n_minhash"),
+        F.sum(F.coalesce("in_sh", F.lit(0))).alias("n_simhash"),
+        F.sum((F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull()).cast("bigint")).alias("n_both"),
+        F.sum((F.col("in_mh").isNotNull() & F.col("in_sh").isNull()).cast("bigint")).alias("n_minhash_only"),
+        F.sum((F.col("in_mh").isNull() & F.col("in_sh").isNotNull()).cast("bigint")).alias("n_simhash_only"),
+    ).select(
+        "n_minhash",
+        "n_simhash",
+        "n_both",
+        "n_minhash_only",
+        "n_simhash_only",
+        (
+            F.col("n_both").cast("double")
+            / (F.col("n_minhash") + F.col("n_simhash") - F.col("n_both")).cast("double")
+        ).alias("jaccard_agreement"),
+    )

@@ -584,3 +584,33 @@ def sketch_quantiles(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    discount_lo: float = 0.05,
+    discount_hi: float = 0.07,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): one filtered scan, one
+    global aggregate — the canonical predicate-pushdown benchmark query.
+    Revenue per row is a single-rounded double product cast to
+    DECIMAL(18,6) so the cross-row SUM is exact (a double SUM's value
+    depends on reduction order — the pricing_summary invariant); one
+    DOUBLE cast at the output boundary."""
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp"))
+            & (F.col("l_discount") >= F.lit(discount_lo))
+            & (F.col("l_discount") <= F.lit(discount_hi))
+            & (F.col("l_quantity") < F.lit(float(max_qty)))
+        )
+        .agg(
+            F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -4637,3 +4637,52 @@ WITH s AS (
   FROM documents
 )
 SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM s GROUP BY split, lang"""
+
+
+def sql_dedup_method_agreement(
+    num_hashes: int = 16, bands: int = 8, jaccard_threshold: float = 0.5, max_hamming: int = 3
+) -> str:
+    """dedup.dedup_method_agreement twin: the MinHash pair set (banded +
+    verified) vs the EXHAUSTIVE SimHash pair scan, full-outer joined on
+    the ordered pair key, one rollup."""
+    mh = sql_minhash_lsh_pairs(num_hashes, bands, jaccard_threshold)
+    sh = sql_simhash64_pairs(max_hamming)
+    return f"""
+WITH mh AS ({mh}),
+sh AS ({sh}),
+j AS (
+  SELECT (mh.key_a IS NOT NULL) AS in_mh, (sh.key_a IS NOT NULL) AS in_sh
+  FROM mh FULL JOIN sh ON mh.key_a = sh.key_a AND mh.key_b = sh.key_b
+),
+a AS (
+  SELECT CAST(SUM(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+         CAST(SUM(CASE WHEN in_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+         CAST(SUM(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(SUM(CASE WHEN in_mh AND NOT in_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_only,
+         CAST(SUM(CASE WHEN in_sh AND NOT in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only
+  FROM j
+)
+SELECT n_minhash, n_simhash, n_both, n_minhash_only, n_simhash_only,
+       CAST(n_both AS DOUBLE) / CAST(n_minhash + n_simhash - n_both AS DOUBLE) AS jaccard_agreement
+FROM a"""
+
+
+def sql_forecast_revenue(
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    discount_lo: float = 0.05,
+    discount_hi: float = 0.07,
+    max_qty: int = 24,
+) -> str:
+    """relational.forecast_revenue twin (TPC-H Q6 shape), the
+    pricing_summary DECIMAL-exact sum recipe; discount bounds as strtod
+    double literals."""
+    return f"""SELECT
+  CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{year_start}'
+  AND l_shipdate < TIMESTAMP '{year_end}'
+  AND l_discount >= {_dbl(discount_lo)}
+  AND l_discount <= {_dbl(discount_hi)}
+  AND l_quantity < {_dbl(float(max_qty))}"""
