@@ -2402,8 +2402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver-certification rotation: the driver gates the
     # FIRST 50 entries (established empirically, r5 VERDICT). Window layout
     # this round: the two r5 reds (knn_k, knn_edge_k) for re-certification,
-    # then 48 queries with no prior driver row; previously-certified
-    # queries follow (local 190-query gate still covers everything).
+    # the 21 round-6 additions, the r5-verdict-named never-certified
+    # priorities (bm25/warc/png/gif/jpeg/hll_union/pipeline stages), then
+    # rotation fill; previously-certified queries follow (the local
+    # 210-query gate still covers everything).
     return {
         "knn_k": q_knn_k,
         "knn_edge_k": q_knn_edge_k,
@@ -2426,6 +2428,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_method_agreement": q_dedup_method_agreement,
         "tpch_forecast_revenue": q_tpch_forecast_revenue,
+        "bm25_topk": q_bm25_topk,
+        "warc_read": q_warc_read,
+        "multimodal_png_features": q_multimodal_png_features,
+        "multimodal_gif_features": q_multimodal_gif_features,
+        "multimodal_jpeg_features": q_multimodal_jpeg_features,
+        "hll_union": q_hll_union,
+        "pipeline_corpus_stats": q_pipeline_corpus_stats,
+        "pipeline_chunks": q_pipeline_chunks,
+        "pipeline_packed": q_pipeline_packed,
         "normalized_dedup": q_normalized_dedup,
         "edit_distance_pairs": q_edit_distance_pairs,
         "containment_pairs": q_containment_pairs,
@@ -2446,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "url_canonical_dedup": q_url_canonical_dedup,
         "host_cap": q_host_cap,
+        # --- below: outside the driver 50-query window ---
         "ngram_repetition": q_ngram_repetition,
         "ngram_repetition_local": q_ngram_repetition_local,
         "contamination": q_contamination,
@@ -2465,17 +2477,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_features": q_multimodal_real_features,
-        "multimodal_png_features": q_multimodal_png_features,
-        "multimodal_gif_features": q_multimodal_gif_features,
-        "multimodal_jpeg_features": q_multimodal_jpeg_features,
-        "warc_read": q_warc_read,
         "robots_filter": q_robots_filter,
         "image_patches": q_image_patches,
         "audio_frames": q_audio_frames,
         "multimodal_frames": q_multimodal_frames,
         "pagerank": q_pagerank,
         "lang_median_chars": q_lang_median_chars,
-        # --- below: outside the driver 50-query window ---
         "page_cells": q_page_cells,
         "spatial_join": q_spatial_join,
         "spatial_join_partitioned": q_spatial_join_partitioned,
@@ -2563,7 +2570,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_span_stats": q_duplicated_span_stats,
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
-        "hll_union": q_hll_union,
         "bigram_pmi": q_bigram_pmi,
         "token_rarity": q_token_rarity,
         "inverted_index_capped": q_inverted_index_capped,
@@ -2571,12 +2577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cube": q_corpus_cube,
         "chunk_documents": q_chunk_documents,
         "pack_documents": q_pack_documents,
-        "bm25_topk": q_bm25_topk,
         "length_winsorize": q_length_winsorize,
         "source_diversity": q_source_diversity,
-        "pipeline_corpus_stats": q_pipeline_corpus_stats,
-        "pipeline_chunks": q_pipeline_chunks,
-        "pipeline_packed": q_pipeline_packed,
         "triangle_count": q_triangle_count,
         "profile_documents": q_profile_documents,
         "merge_upsert": q_merge_upsert,
