@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..plans.fanout import fan_out
+
 
 def word_shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
     """Word n-grams (shingles), all JVM-side — distinct by default, or the
@@ -47,7 +49,7 @@ def exact_dedup(documents: DataFrame, text_col: str = "text", key_col: str = "do
     """Exact duplicate groups by content digest: one row per distinct text,
     keeping the smallest key as representative plus the duplicate count."""
     return (
-        documents.select(F.md5(F.col(text_col)).alias("digest"), F.col(key_col))
+        fan_out(documents).select(F.md5(F.col(text_col)).alias("digest"), F.col(key_col))
         .groupBy("digest")
         .agg(
             F.min(key_col).alias("representative"),
@@ -127,6 +129,7 @@ def shingled_documents(
     recomputing num_hashes x is strictly worse."""
     from pyspark.storagelevel import StorageLevel
 
+    documents = fan_out(documents)  # shingling + md5s dominate on narrow scans
     shingled = (
         documents.select(
             F.col(key_col).alias("key"),
@@ -661,6 +664,7 @@ def edit_distance_pairs(
     bound |n_a - n_b| <= max_distance (levenshtein >= length diff) prunes
     before the DP runs, and Spark's threshold-ed levenshtein bails out of
     the DP past max_distance (returns -1)."""
+    documents = fan_out(documents)
     n = F.length(F.col(text_col))
     long_keys = F.array(
         F.concat(F.lit("P"), F.md5(F.substring(F.col(text_col), 1, block_chars))),
@@ -797,6 +801,7 @@ def containment_pairs(
     table itself (semi-joined to candidates), never array materialization
     of whole documents. The deduped (doc, shingle) frame feeds four
     consumers (df, probe, index, verify) -> localCheckpoint once."""
+    documents = fan_out(documents)
     ds = (
         documents.select(
             F.col(key_col).alias("doc"),

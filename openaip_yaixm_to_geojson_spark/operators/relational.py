@@ -389,9 +389,11 @@ def pareto_frontier(documents: DataFrame, n_buckets: int = 32) -> DataFrame:
     max(y) within the same x."""
     from pyspark.sql import Window
 
+    from ..plans.fanout import fan_out
+
     x = F.col("n_chars")
     y = F.size(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")))
-    pts = documents.select("doc_id", x.alias("x"), y.cast("bigint").alias("y"))
+    pts = fan_out(documents).select("doc_id", x.alias("x"), y.cast("bigint").alias("y"))
 
     def survivors(df: DataFrame, *part) -> DataFrame:
         gt = (

@@ -72,6 +72,9 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    from ..plans.fanout import fan_out
+
+    embeddings = fan_out(embeddings)  # per-row dot products dominate on narrow scans
     scored = (
         embeddings.alias("e")
         .crossJoin(F.broadcast(queries.alias("q")))
@@ -445,6 +448,9 @@ def _quantized_vectors(
     error monitor so the floor(bits_max*x/scale + 0.5) math exists in
     exactly one place. keep_embedding carries the source vector along
     for reconstruction-style consumers."""
+    from ..plans.fanout import fan_out
+
+    embeddings = fan_out(embeddings)  # per-row array math dominates on narrow scans
     scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     staged = embeddings.select("vec_id", "embedding", scale.alias("scale"))
     q = F.transform(

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.fanout import fan_out
+
 # 32-bit md5-prefix hash space; KMV estimates distincts as (k-1) * M / h_k
 KMV_M = float(2**32)
 
@@ -41,6 +43,7 @@ def doc_term_pairs(
     """(key, term) token occurrences; with distinct=True, per-document
     distinct terms (deduped BEFORE the explode, so the shuffle that
     follows never carries within-document duplicates)."""
+    documents = fan_out(documents)  # tokenize/explode in parallel on narrow scans
     words = _words(text_col)
     if distinct:
         words = F.array_distinct(words)
@@ -392,6 +395,8 @@ def _doc_gram_counts(
     digest-key precedent). Only for callers that never output gram text."""
     from .dedup import word_shingles
 
+    documents = fan_out(documents)  # gram explode is the CPU wall on narrow scans
+
     grams = word_shingles(F.col(text_col), width, distinct=False)
     gram = F.md5(F.col("_g")) if hash_grams else F.col("_g")
     return (
@@ -659,6 +664,7 @@ def bm25_topk(
     if not qs:
         raise ValueError("query_terms must be non-empty")
 
+    documents = fan_out(documents)  # tokenizer (both passes) parallel on narrow scans
     w = documents.select(F.col(key_col).alias("key"), _words(text_col).alias("words"))
     toks = w.select(
         "key",
@@ -794,6 +800,7 @@ def charlm_surprisal(documents: DataFrame, key_col: str = "doc_id", text_col: st
     # own struct arg — a substr(text, i, 2)-inside-transform form re-seeks
     # the string per ELEMENT (O(len^2) per document, the lambda re-inline
     # trap _word_ngrams_col documents)
+    documents = fan_out(documents)
     n = F.length(F.col(text_col))
     chars = F.split(F.col(text_col), "")
     zipped = F.arrays_zip(
@@ -848,6 +855,7 @@ def bpe_phrase_merge(documents: DataFrame, key_col: str = "doc_id", text_col: st
     token sequence, not just counts."""
     from pyspark.sql import Window
 
+    documents = fan_out(documents)
     toks = (
         documents.select(
             F.col(key_col).alias("key"),

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.fanout import fan_out
+
 # tiny stopword inventories; enough signal for a deterministic heuristic
 LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
@@ -337,6 +339,7 @@ def bloom_contamination(
     answer by construction — a pytest pins the containment)."""
 
     def gram_hashes(df: DataFrame) -> DataFrame:
+        df = fan_out(df)  # n-gram explode + md5 dominate on narrow scans
         return df.select(
             F.col(key_col).alias("key"),
             F.explode(F.array_distinct(_word_ngrams_col(F.col(text_col), n))).alias("gram"),
@@ -394,6 +397,7 @@ def bloom_contamination(
 def analyze_documents(documents: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     ws_tokens, bpe_tokens = token_count_cols(text)
+    documents = fan_out(documents)  # per-row lang/quality/token exprs are the cost
     return documents.select(
         "*",
         langid_col(text).alias("lang_pred"),
@@ -445,6 +449,7 @@ def stratified_sample(
     from pyspark.sql import Window
 
     M = float(2**32)
+    documents = fan_out(documents)
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
     keyed = documents.select(
         F.col(key_col).alias("key"), F.col(group_col).alias("grp"), h.alias("h")
@@ -576,7 +581,7 @@ def pack_documents(
 
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
     n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
-    keyed = documents.select(
+    keyed = fan_out(documents).select(
         F.col(key_col).alias("key"),
         h.alias("h"),
         F.pmod(h, F.lit(n_streams)).cast("bigint").alias("stream"),

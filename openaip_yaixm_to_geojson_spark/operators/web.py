@@ -271,9 +271,14 @@ def linked_html_sql(dialect: str) -> str:
 
 def synth_linked_pages(spark, sf_dir: str) -> DataFrame:
     """documents -> (url, doc_id, html binary) with deterministic anchors."""
+    from ..plans.fanout import fan_out
     from ..sources.pages import url_sql
 
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    # html synthesis + every downstream regex pass inherit the scan's
+    # partitioning — fan out narrow scans before the per-row work
+    fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")).createOrReplaceTempView(
+        "documents"
+    )
     return spark.sql(
         f"SELECT {url_sql('spark')} AS url, doc_id, "
         f"encode({linked_html_sql('spark')}, 'utf-8') AS html FROM documents"

