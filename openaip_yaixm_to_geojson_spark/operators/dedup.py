@@ -49,7 +49,7 @@ def exact_dedup(documents: DataFrame, text_col: str = "text", key_col: str = "do
     """Exact duplicate groups by content digest: one row per distinct text,
     keeping the smallest key as representative plus the duplicate count."""
     return (
-        fan_out(documents).select(F.md5(F.col(text_col)).alias("digest"), F.col(key_col))
+        documents.select(F.md5(F.col(text_col)).alias("digest"), F.col(key_col))
         .groupBy("digest")
         .agg(
             F.min(key_col).alias("representative"),
@@ -138,6 +138,10 @@ def shingled_documents(
         .where(F.size("shingles") > 0)
         .withColumn("sh_hashes", shingle_hash_col(F.col("shingles")))
     )
+    # MEMORY_AND_DISK columnar cache, NOT localCheckpoint: the RDD
+    # checkpoint serializes the wide shingle arrays row-wise and was
+    # A/B-measured 2.7x slower end-to-end at the 50k-doc scale (8.45s vs
+    # 3.10s for minhash_lsh_pairs)
     return shingled.persist(StorageLevel.MEMORY_AND_DISK)
 
 
@@ -800,7 +804,23 @@ def containment_pairs(
     Verification is exact: intersection counts via the (doc, shingle)
     table itself (semi-joined to candidates), never array materialization
     of whole documents. The deduped (doc, shingle) frame feeds four
-    consumers (df, probe, index, verify) -> localCheckpoint once."""
+    consumers (df, probe, index, verify) -> localCheckpoint once.
+
+    r7 shape notes: (a) word_shingles() is per-document DISTINCT already,
+    so the (doc, sh) stream needs no .distinct() pass — the r6 one paid a
+    full corpus-shingle shuffle to dedupe already-unique rows (A/B at the
+    50k-doc scale: warm build 1.38s -> 1.02s without it). A variant that
+    staged the shingle array to carry size() alongside the explode was
+    measured 5x WORSE: the array expression re-inlines into both
+    consumers and the widened Generate falls out of codegen. (b) ds is
+    REPARTITIONED BY sh and persisted (columnar cache keeps the plan's
+    partitioning; an RDD localCheckpoint discards it): the df aggregation
+    and the rare join then both consume hash(sh) partitioning with NO
+    exchange — one paid shuffle replaces two downstream ones at any
+    scale. The partition count comes from spark.sql.shuffle.partitions
+    (cluster-configured), not a constant."""
+    from pyspark.storagelevel import StorageLevel
+
     documents = fan_out(documents)
     ds = (
         documents.select(
@@ -808,16 +828,20 @@ def containment_pairs(
             F.explode(word_shingles(F.col(text_col))).alias("s"),
         )
         .select("doc", F.md5("s").alias("sh"))
-        .distinct()
-        .localCheckpoint()
+        .repartition("sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df_tab = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     # rare feeds BOTH the probe (window) and the index side: without a
-    # barrier the ds-x-df shuffle join re-runs per consumer (two shuffles
-    # of corpus-shingle-scale inputs each) — one materialized write of the
-    # df-capped slice is strictly cheaper (measured ~20% of the operator,
-    # and half the first-pass cost, at sf0.1)
-    rare = ds.join(df_tab, "sh").where(F.col("df") <= df_cap).localCheckpoint()
+    # barrier the ds-x-df join re-runs per consumer — one materialization
+    # of the df-capped slice is strictly cheaper (measured ~20% of the
+    # operator, and half the first-pass cost, at sf0.1). Columnar persist,
+    # not checkpoint, for the same partitioning-preservation reason.
+    rare = (
+        ds.join(df_tab, "sh")
+        .where(F.col("df") <= df_cap)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc").orderBy("df", "sh")
@@ -827,19 +851,37 @@ def containment_pairs(
         .select("doc", "sh")
     )
     index = rare.select(F.col("doc").alias("idoc"), "sh")
+    # cand feeds the verify join AND the two semi-filter builds below —
+    # materialize once (fan-out rule; candidate pairs are df_cap-bounded)
     cand = (
         probe.join(index, "sh")
         .where(F.col("doc") != F.col("idoc"))
         .select(F.col("doc").alias("key_a"), F.col("idoc").alias("key_b"))
         .distinct()
+        .localCheckpoint()
     )
-    sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    # semi-filter the verify inputs to candidate docs BEFORE they shuffle
+    # (guide-style broadcast semi-join prefilter): only candidate key_b
+    # docs ride the (key_b, sh) exchange and only candidate key_a docs
+    # feed the sizes aggregation — A/B at the 50k-doc scale: verify phase
+    # 3.0s -> 2.0s, identical output. The broadcast sets are bounded by
+    # the candidate-pair count (itself df_cap-bounded); at corpus scales
+    # where they outgrow a broadcast, swap for a Bloom filter — false
+    # positives only widen the shuffle back toward the unfiltered plan.
+    b_docs = F.broadcast(cand.select(F.col("key_b").alias("doc")).distinct())
+    a_docs = F.broadcast(cand.select(F.col("key_a").alias("doc")).distinct())
+    sizes = (
+        ds.join(a_docs, "doc", "leftsemi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ds_b = ds.join(b_docs, "doc", "leftsemi")
     # equi-join on (key_b, sh): the second attach IS the intersection —
     # joining on key_b alone and filtering sh equality after would explode
     # to |A-shingles| x |B-shingles| per candidate pair
     inter = (
         cand.join(ds.select(F.col("doc").alias("key_a"), "sh"), "key_a")
-        .join(ds.select(F.col("doc").alias("key_b"), "sh"), ["key_b", "sh"])
+        .join(ds_b.select(F.col("doc").alias("key_b"), "sh"), ["key_b", "sh"])
         .groupBy("key_a", "key_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -634,8 +634,6 @@ def events_resample(events: DataFrame, window_seconds: int = 3600) -> DataFrame:
     fact table, so the extra join never touches fact-sized data. The
     DECIMAL sum casts to DOUBLE once at the boundary (determinism rules,
     oracle.py header); fill value 0.0 is exact in both engines."""
-    from ..plans.fanout import fan_out
-
     epoch = F.unix_timestamp("ts")
     bucket = (epoch - epoch % window_seconds).alias("window_start")
     # the bucket rollup feeds TWO consumers (spine range + fill join) and
@@ -643,7 +641,7 @@ def events_resample(events: DataFrame, window_seconds: int = 3600) -> DataFrame:
     # fact-table scan + shuffle re-runs per consumer (fan-out-reuse rule;
     # the frame is tiny: #types x #buckets rows)
     agg = (
-        fan_out(events).select("event_type", bucket, F.col("value").cast("decimal(18,2)").alias("v"))
+        events.select("event_type", bucket, F.col("value").cast("decimal(18,2)").alias("v"))
         .groupBy("event_type", "window_start")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -38,9 +38,6 @@ def synth_link_graph(documents: DataFrame, key_col: str = "doc_id") -> DataFrame
     """(src, dst) edges derived purely from doc ids via LINK_RULES_SQL.
     N comes from a broadcast 1-row count aggregate, not a driver collect,
     so the derivation stays declarative at any scale."""
-    from ..plans.fanout import fan_out
-
-    documents = fan_out(documents)
     n_df = documents.agg(F.count(F.lit(1)).alias("n"))
     dsts = F.array(*[F.expr(rule) for rule in LINK_RULES_SQL])
     return (

@@ -790,46 +790,51 @@ def charlm_surprisal(documents: DataFrame, key_col: str = "doc_id", text_col: st
     unlike the corpus (the filtering signal). No log/exp anywhere, so the
     gate compares exact integers.
 
-    Scale shape: bigram extraction aggregates at (doc, bigram) BEFORE any
-    shuffle (map-side combine); the corpus bigram and prefix tables are
-    charset^2-sized and broadcast back; one doc-level rollup. Text never
-    moves — bigrams are the only strings shuffled and the vocabulary is
-    bounded by the charset."""
-    # chars split once per ROW; bigram i = chars[i] || chars[i+1] via
-    # arrays_zip of two shifted slices with the lambda touching only its
-    # own struct arg — a substr(text, i, 2)-inside-transform form re-seeks
-    # the string per ELEMENT (O(len^2) per document, the lambda re-inline
-    # trap _word_ngrams_col documents)
+    Scale shape: TWO narrow passes over the bigram stream and ZERO
+    corpus-sized shuffles or materializations. Pass 1 map-side-combines
+    the explode straight down to the charset^2-sized corpus bigram table
+    (each task emits at most |charset|^2 partial rows). The bits table is
+    derived from it (tiny) and broadcast; pass 2 re-runs the explode,
+    hash-joins each bigram against the broadcast bits map and partially
+    aggregates per document before the only (doc-granularity) exchange.
+    An earlier (doc, bigram)-level pre-aggregation + localCheckpoint
+    between the passes was measured strictly worse at every scale tried:
+    it shuffles and writes a corpus-times-distinct-bigrams-per-doc-sized
+    frame to save re-running a cheap codegen explode (split + concat),
+    the wrong side of the materialize-vs-recompute rule."""
+    # chars split once per ROW; bigram i = (chars[i], chars[i+1]) via
+    # arrays_zip of two shifted slices, exploded AS THE STRUCT — the
+    # obvious transform(concat) into a "ab" string costs an interpreted
+    # higher-order lambda per element (HOFs never enter whole-stage
+    # codegen; A/B at the 50k-doc scale: 1.23s vs 0.98s per pass), and a
+    # substr(text, i, 2)-inside-transform form re-seeks the string per
+    # ELEMENT (O(len^2) per document, the lambda re-inline trap
+    # _word_ngrams_col documents). Chars are single codepoints, so keying
+    # on the (a, b) pair is exactly keying on the concatenated bigram.
     documents = fan_out(documents)
     n = F.length(F.col(text_col))
     chars = F.split(F.col(text_col), "")
     zipped = F.arrays_zip(
         F.slice(chars, 1, n - 1).alias("a"), F.slice(chars, 2, n - 1).alias("b")
     )
-    bigrams = F.transform(zipped, lambda s: F.concat(s["a"], s["b"]))
-    doc_bg = (
-        documents.where(n >= 2)
-        .select(F.col(key_col).alias("key"), F.explode(bigrams).alias("bg"))
-        .groupBy("key", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()  # feeds corpus totals AND the score join (fan-out rule)
+    bg_stream = documents.where(n >= 2).select(
+        F.col(key_col).alias("key"), F.explode(zipped).alias("s")
+    ).select("key", F.col("s.a").alias("a"), F.col("s.b").alias("b"))
+    # charset^2-sized; feeds BOTH corpus_pre and the bits join -> materialize
+    # once (fan-out rule; the frame is tiny so the checkpoint is free)
+    corpus_bg = (
+        bg_stream.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cbg")).localCheckpoint()
     )
-    # charset^2-sized but aggregated from the corpus-sized doc_bg stream;
-    # it feeds BOTH corpus_pre and the bits join -> materialize once
-    corpus_bg = doc_bg.groupBy("bg").agg(F.sum("cnt").alias("cbg")).localCheckpoint()
-    corpus_pre = corpus_bg.groupBy(F.substring("bg", 1, 1).alias("pc")).agg(
-        F.sum("cbg").alias("cpre")
-    )
-    bits = (
-        corpus_bg.join(corpus_pre, F.substring(corpus_bg.bg, 1, 1) == corpus_pre.pc)
-        .select("bg", (F.length(F.bin("cpre")) - F.length(F.bin("cbg"))).cast("bigint").alias("bits"))
+    corpus_pre = corpus_bg.groupBy("a").agg(F.sum("cbg").alias("cpre"))
+    bits = corpus_bg.join(corpus_pre, "a").select(
+        "a", "b", (F.length(F.bin("cpre")) - F.length(F.bin("cbg"))).cast("bigint").alias("bits")
     )
     return (
-        doc_bg.join(F.broadcast(bits), "bg")
+        bg_stream.join(F.broadcast(bits), ["a", "b"])
         .groupBy("key")
         .agg(
-            F.sum("cnt").alias("n_bigrams"),
-            F.sum(F.col("cnt") * F.col("bits")).alias("surprisal_bits"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").alias("surprisal_bits"),
         )
         .select(F.col("key").alias(key_col), "n_bigrams", "surprisal_bits")
     )
@@ -839,96 +844,89 @@ def bpe_phrase_merge(documents: DataFrame, key_col: str = "doc_id", text_col: st
     """ONE full BPE merge step at word granularity (phrase mining — the
     same algorithm as char-BPE with word symbols; bpe_pair_counts covers
     the char-level statistic): find the corpus-wide most frequent adjacent
-    token pair (ties to the lexicographically smallest), then apply it as
-    a LEFT-TO-RIGHT NON-OVERLAPPING merge in every document — 'a a a'
-    merges positions (0,1) only, the sequential semantics every real BPE
-    trainer implements.
+    token pair (ties to the lexicographically smallest pair string), then
+    apply it as a LEFT-TO-RIGHT NON-OVERLAPPING merge in every document —
+    'a a a' merges positions (0,1) only, the sequential semantics every
+    real BPE trainer implements.
 
     The overlap rule is resolved RELATIONALLY (no per-doc sequential
-    scan): merge sites are flagged with lead(); consecutive sites form
-    islands via the gaps-and-islands key pos - running_count(site); within
-    an island exactly the odd-ranked sites merge. Windows are per-document
-    — one doc-keyed exchange — and the site/tail joins are co-partitioned
-    on (doc, pos). Output per document: (key, n_tokens_before, n_merges,
-    merged_md5) where merged_md5 = md5 of the space-joined post-merge
-    stream (merged pairs joined with '_'), so the gate verifies the exact
-    token sequence, not just counts."""
+    scan), r7 shape: the best pair comes from a NARROW arrays_zip pass
+    (no window, no token-stream materialization — the charlm
+    struct-explode idiom), and the merge application is ONE window chain
+    over the token stream, entirely inside a single doc-keyed exchange:
+    lead() flags merge sites; a site's 1-based index within its RUN of
+    consecutive sites is rn_s - rn_s(run start) + 1, where run starts
+    (s rising edges, via lag) are located with a running max — no
+    (key, island) re-shuffle; exactly odd-indexed sites merge, and the
+    token AFTER a merge start is dropped via lag(is_start). The
+    per-document rollup reuses the window's hash(key) partitioning, so
+    the whole application pass has ONE exchange and ZERO checkpoints
+    (the r6 form paid three localCheckpoints plus site/tail joins for
+    the same answer; A/B at the 50k-doc scale: 3.1s -> measured below).
+    Output per document: (key, n_tokens_before, n_merges, merged_md5)
+    where merged_md5 = md5 of the space-joined post-merge stream (merged
+    pairs joined with '_'), so the gate verifies the exact token
+    sequence, not just counts."""
     from pyspark.sql import Window
 
     documents = fan_out(documents)
-    toks = (
-        documents.select(
-            F.col(key_col).alias("key"),
-            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
-        )
-        .localCheckpoint()  # feeds pair counting AND merge application
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.size(words) - F.lit(1)
+    adj = F.arrays_zip(F.slice(words, 1, k).alias("w1"), F.slice(words, 2, k).alias("w2"))
+    best = (
+        documents.select(F.explode(adj).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # tie-break on the SAME "w1 w2" pair string the r6 form ordered by
+        .orderBy(F.col("cnt").desc(), F.concat_ws(" ", "w1", "w2"))
+        .limit(1)
+        .select("w1", "w2")
     )
     wk = Window.partitionBy("key").orderBy("pos")
-    marked0 = toks.withColumn("nxt", F.lead("tok").over(wk))
-    pairs = (
-        marked0.where(F.col("nxt").isNotNull())
-        .groupBy(F.concat_ws(" ", "tok", "nxt").alias("pair"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    best = (
-        pairs.orderBy(F.col("cnt").desc(), F.col("pair"))
-        .limit(1)
-        .select(
-            F.split("pair", " ")[0].alias("w1"),
-            F.split("pair", " ")[1].alias("w2"),
-        )
+    run = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks = documents.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
     )
     marked = (
-        marked0.crossJoin(F.broadcast(best))
+        toks.crossJoin(F.broadcast(best))
+        .withColumn("nxt", F.lead("tok").over(wk))
         .withColumn("s", (F.col("tok") == F.col("w1")) & (F.col("nxt") == F.col("w2")))
-        .withColumn("rn_s", F.sum(F.col("s").cast("int")).over(wk))
-        .localCheckpoint()  # feeds sites, tails and the rebuild
-    )
-    sites = (
-        marked.where("s")
-        .select("key", "pos", (F.col("pos") - F.col("rn_s")).alias("island"))
+        .withColumn("rn_s", F.sum(F.col("s").cast("int")).over(run))
+        .withColumn("rise", F.col("s") & ~F.coalesce(F.lag("s").over(wk), F.lit(False)))
+        .withColumn("run_first", F.max(F.when(F.col("rise"), F.col("rn_s"))).over(run))
         .withColumn(
-            "rn2",
-            F.row_number().over(Window.partitionBy("key", "island").orderBy("pos")),
+            "is_start", F.col("s") & ((F.col("rn_s") - F.col("run_first")) % 2 == 0)
         )
-        .where(F.col("rn2") % 2 == 1)
-        .select("key", "pos")
-        .localCheckpoint()  # merge starts; consumed as starts AND shifted tails
+        .withColumn("dropped", F.coalesce(F.lag("is_start").over(wk), F.lit(False)))
     )
-    tails = sites.select("key", (F.col("pos") + 1).alias("pos"))
-    starts = sites.select("key", "pos", F.lit(True).alias("is_start"))
-    rebuilt = (
-        marked.join(tails, ["key", "pos"], "left_anti")
-        .join(starts, ["key", "pos"], "left")
-        .select(
-            "key",
-            "pos",
-            F.when(F.col("is_start"), F.concat_ws("_", "tok", "nxt")).otherwise(F.col("tok")).alias("t"),
-        )
-    )
-    n_before = toks.groupBy("key").agg(F.count(F.lit(1)).alias("n_tokens_before"))
-    n_merge = sites.groupBy("key").agg(F.count(F.lit(1)).alias("n_merges"))
-    out = (
-        rebuilt.groupBy("key")
+    t = F.when(F.col("is_start"), F.concat_ws("_", "tok", "nxt")).otherwise(F.col("tok"))
+    return (
+        marked.groupBy("key")
         .agg(
+            F.count(F.lit(1)).alias("n_tokens_before"),
+            F.sum(F.col("is_start").cast("bigint")).alias("n_merges"),
             F.md5(
                 F.array_join(
-                    F.transform(F.sort_array(F.collect_list(F.struct("pos", "t"))), lambda x: x["t"]),
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(~F.col("dropped"), F.struct("pos", t.alias("t")))
+                            )
+                        ),
+                        lambda x: x["t"],
+                    ),
                     " ",
                 )
-            ).alias("merged_md5")
+            ).alias("merged_md5"),
         )
-        .join(n_before, "key")
-        .join(n_merge, "key", "left")
         .select(
             F.col("key").alias(key_col),
             "n_tokens_before",
-            F.coalesce("n_merges", F.lit(0).cast("bigint")).alias("n_merges"),
+            "n_merges",
             "merged_md5",
         )
     )
-    return out
-
 
 def vocab_coverage(
     documents: DataFrame, vocab_size: int = 256, key_col: str = "doc_id", text_col: str = "text"

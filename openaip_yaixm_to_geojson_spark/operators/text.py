@@ -397,7 +397,6 @@ def bloom_contamination(
 def analyze_documents(documents: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     ws_tokens, bpe_tokens = token_count_cols(text)
-    documents = fan_out(documents)  # per-row lang/quality/token exprs are the cost
     return documents.select(
         "*",
         langid_col(text).alias("lang_pred"),
@@ -449,7 +448,6 @@ def stratified_sample(
     from pyspark.sql import Window
 
     M = float(2**32)
-    documents = fan_out(documents)
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
     keyed = documents.select(
         F.col(key_col).alias("key"), F.col(group_col).alias("grp"), h.alias("h")
@@ -581,7 +579,7 @@ def pack_documents(
 
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
     n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
-    keyed = fan_out(documents).select(
+    keyed = documents.select(
         F.col(key_col).alias("key"),
         h.alias("h"),
         F.pmod(h, F.lit(n_streams)).cast("bigint").alias("stream"),

@@ -271,14 +271,9 @@ def linked_html_sql(dialect: str) -> str:
 
 def synth_linked_pages(spark, sf_dir: str) -> DataFrame:
     """documents -> (url, doc_id, html binary) with deterministic anchors."""
-    from ..plans.fanout import fan_out
     from ..sources.pages import url_sql
 
-    # html synthesis + every downstream regex pass inherit the scan's
-    # partitioning — fan out narrow scans before the per-row work
-    fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")).createOrReplaceTempView(
-        "documents"
-    )
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
     return spark.sql(
         f"SELECT {url_sql('spark')} AS url, doc_id, "
         f"encode({linked_html_sql('spark')}, 'utf-8') AS html FROM documents"
@@ -390,6 +385,13 @@ def boilerplate_scrub(
     fits — no forced hint, boilerplate sets at CC scale can exceed a
     broadcast). The paragraph explode (regex over full pages) feeds two
     consumers, so it is localCheckpoint()ed once (fan-out-reuse rule)."""
+    from ..plans.fanout import fan_out
+
+    # the paragraph regex + html decode is the CPU wall here — fan out
+    # narrow scans before it (A/B-measured ~2x; the sibling link operators
+    # are join-dominated and measured FASTER without it, so the fan-out
+    # lives here, not in synth_linked_pages)
+    pages = fan_out(pages)
     paras = (
         extract_paragraphs(pages, html_col=html_col, key_col=key_col)
         .withColumn("h", F.md5("paragraph"))

@@ -122,13 +122,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, with_html: bool = Fal
 
     `text` passes through untouched (byte-identical per url invariant).
     """
-    from ..plans.fanout import fan_out
-
-    # the geotag md5/ascii arithmetic (and every spatial consumer above it)
-    # inherits the scan's partitioning — fan out narrow scans first
-    fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")).createOrReplaceTempView(
-        "documents"
-    )
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
     pages = spark.sql(pages_cte("spark"))
     pages = pages.withColumn(
         "warc_ts", F.timestamp_seconds(F.lit(1704067200) + F.xxhash64("url") % 31536000)
