@@ -821,13 +821,12 @@ def containment_pairs(
     (cluster-configured), not a constant."""
     from pyspark.storagelevel import StorageLevel
 
+    from .text import exploded_word_ngrams
+
     documents = fan_out(documents)
     ds = (
-        documents.select(
-            F.col(key_col).alias("doc"),
-            F.explode(word_shingles(F.col(text_col))).alias("s"),
-        )
-        .select("doc", F.md5("s").alias("sh"))
+        exploded_word_ngrams(documents, 3, key_col, text_col, distinct=True, out_col="s")
+        .select(F.col("key").alias("doc"), F.md5("s").alias("sh"))
         .repartition("sh")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

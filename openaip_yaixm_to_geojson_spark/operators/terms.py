@@ -393,15 +393,16 @@ def _doc_gram_counts(
     first shuffle — a width-8 gram is ~50+ bytes vs the fixed 32-char
     digest, so every downstream shuffle/join key shrinks (the exact_dedup
     digest-key precedent). Only for callers that never output gram text."""
-    from .dedup import word_shingles
+    from .text import exploded_word_ngrams
 
     documents = fan_out(documents)  # gram explode is the CPU wall on narrow scans
 
-    grams = word_shingles(F.col(text_col), width, distinct=False)
+    # struct-explode + codegen concat (see exploded_word_ngrams): the gram
+    # string is assembled after the explode, not in an interpreted lambda
+    pairs = exploded_word_ngrams(documents, width, key_col, text_col, out_col="_g")
     gram = F.md5(F.col("_g")) if hash_grams else F.col("_g")
     return (
-        documents.select(F.col(key_col).alias("key"), F.explode(grams).alias("_g"))
-        .select("key", gram.alias("gram"))
+        pairs.select("key", gram.alias("gram"))
         .groupBy("key", "gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pos"))
     )
