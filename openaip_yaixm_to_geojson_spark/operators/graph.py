@@ -79,6 +79,12 @@ def pagerank_int(
             .groupBy("dst")
             .agg(F.sum("c").alias("incoming"))
         )
+        # NO per-round checkpoint: each round's ranks frame has exactly ONE
+        # consumer (the next round), so nothing is ever re-derived — the
+        # eager checkpoint only inserted a job barrier per round (A/B at
+        # the 117-host scale: 1.98s -> 1.18s; the bounded iters=3 lineage
+        # stays small). edges_deg above IS materialized: it feeds every
+        # round.
         ranks = (
             ids.join(contrib, ids["id"] == contrib["dst"], "left")
             .select(
@@ -86,7 +92,6 @@ def pagerank_int(
                 F.coalesce(F.col("incoming"), F.lit(0).cast("bigint")).alias("inc"),
             )
             .select("id", (base + F.expr("(85 * inc) div 100")).cast("bigint").alias("rank"))
-            .localCheckpoint()
         )
     return ranks.select(F.col("id").alias(key_col), F.col("rank").alias("rank_int"))
 

@@ -667,11 +667,17 @@ def bm25_topk(
 
     documents = fan_out(documents)  # tokenizer (both passes) parallel on narrow scans
     w = documents.select(F.col(key_col).alias("key"), _words(text_col).alias("words"))
+    # filter to query terms INSIDE the array, before the explode: the
+    # generator then emits only matches instead of materializing every
+    # token as a row and filtering after (A/B at the 50k-doc scale:
+    # 1.45s -> 0.84s for the tf subchain). dl is the full token count,
+    # taken before the filter.
+    qarr = F.array(*[F.lit(q) for q in qs])
     toks = w.select(
         "key",
         F.size("words").cast("double").alias("dl"),
-        F.explode("words").alias("term"),
-    ).where(F.col("term").isin(qs))
+        F.explode(F.filter("words", lambda x: F.array_contains(qarr, x))).alias("term"),
+    )
     # tf feeds TWO consumers (the df derivation and the score join) — the
     # fan-out-reuse audit: without materialization the corpus explode +
     # filter + aggregate run once per consumer (plan-audited: 3 FileScans
