@@ -198,12 +198,19 @@ def minhash_lsh_pairs(
         cands.join(shingled.select(F.col("key").alias("key_a"), F.col("shingles").alias("sh_a")), "key_a")
         .join(shingled.select(F.col("key").alias("key_b"), F.col("shingles").alias("sh_b")), "key_b")
     )
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        verified.withColumn("jaccard", jaccard.cast("double"))
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("key_a", "key_b", "jaccard")
-    )
+    # shingle arrays are distinct (word_shingles default), so
+    # |A ∪ B| == |A| + |B| - |A ∩ B| exactly: one set-op per pair instead of
+    # two, and the double division is bit-identical to the size/size form.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jaccard = inter.cast("double") / union.cast("double")
+    # Score into a NARROW (key_a, key_b, jaccard) frame and barrier it before
+    # the threshold filter: without the barrier Catalyst pushes the filter
+    # into the key_b join condition and the array_intersect is evaluated
+    # TWICE per pair (join predicate + output projection — no cross-node
+    # CSE). The checkpoint is tiny (3 scalar columns, candidate-pair rows).
+    scored = verified.select("key_a", "key_b", jaccard.alias("jaccard")).localCheckpoint()
+    return scored.where(F.col("jaccard") >= jaccard_threshold)
 
 
 def minhash_signatures_pandas(

@@ -378,6 +378,21 @@ def test_r4_continuation_fanout_frames_materialized(spark, pages):
     assert "Join" not in p
 
 
+def test_minhash_verify_filter_above_checkpoint(spark):
+    """minhash_lsh_pairs (r7): the jaccard threshold filter must run on the
+    materialized (key_a, key_b, jaccard) frame, never inside the verify
+    join — Catalyst pushes a post-join filter INTO the key_b join
+    condition, where the array_intersect is evaluated twice per pair (join
+    predicate + output projection, no cross-node CSE). The final plan is a
+    Filter directly over the checkpoint scan: no joins, no array ops."""
+    from openaip_yaixm_to_geojson_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(minhash_lsh_pairs(docs))
+    assert "Join" not in p and "array_intersect" not in p
+    assert "jaccard" in p  # filter on the materialized score column
+
+
 def test_bm25_topk_tf_materialized_single_scan(spark):
     """bm25_topk: the filtered (doc, query-term) tf frame feeds TWO
     consumers (df derivation + score join) and is checkpointed, so the
