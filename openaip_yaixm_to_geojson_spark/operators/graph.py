@@ -178,9 +178,9 @@ def bfs_depth(
         e = e.union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
     e = e.localCheckpoint()
     spark = edges.sparkSession
-    seed_df = spark.createDataFrame([(seed,)], ["node"]).select(
-        F.col("node").cast(dict(e.dtypes)["s"]).alias("node")
-    )
+    from ..plans.localtable import literal_table
+
+    seed_df = literal_table(spark, [(seed,)], f"node {dict(e.dtypes)['s']}")
     visited = seed_df.select("node", F.lit(0).alias("depth")).localCheckpoint()
     frontier = visited.select("node")
     for depth in range(1, max_rounds + 1):

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import cellgrid
+from ..plans.localtable import literal_table
 
 KNN_RES = 9  # ~0.7 deg cells for the vertex index
 OUT_COLS = ("url", "lat", "lon", "poly_id", "dist_sq")
@@ -310,8 +311,8 @@ def _expansion_loop(
             for dy in range(-hi, hi + 1)
             if lo <= max(abs(dx), abs(dy)) <= hi
         ]
-        off_df = spark.createDataFrame(
-            [(dy * cellgrid._SHIFT + dx,) for dx, dy in offsets], "off bigint"
+        off_df = literal_table(
+            spark, [(dy * cellgrid._SHIFT + dx,) for dx, dy in offsets], "off bigint"
         )
         vwin = vindex.crossJoin(off_df).select(
             (F.col("vcell") + F.col("off")).alias("cell"), "poly_id", *payload_cols
@@ -741,8 +742,8 @@ def knn_points(
             for dy in range(-hi, hi + 1)
             if lo <= max(abs(dx), abs(dy)) <= hi
         ]
-        off_df = spark.createDataFrame(
-            [(dy * cellgrid._SHIFT + dx,) for dx, dy in offsets], "off bigint"
+        off_df = literal_table(
+            spark, [(dy * cellgrid._SHIFT + dx,) for dx, dy in offsets], "off bigint"
         )
         qx = (
             pending.select("url", "lat", "lon", "qcell")
@@ -915,8 +916,8 @@ def _expansion_loop_k(
             for dy in range(-hi, hi + 1)
             if lo <= max(abs(dx), abs(dy)) <= hi
         ]
-        off_df = spark.createDataFrame(
-            [(dy * cellgrid._SHIFT + dx,) for dx, dy in offsets], "off bigint"
+        off_df = literal_table(
+            spark, [(dy * cellgrid._SHIFT + dx,) for dx, dy in offsets], "off bigint"
         )
         vwin = vindex.crossJoin(off_df).select(
             (F.col("vcell") + F.col("off")).alias("cell"), "poly_id", *payload_cols

@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 
 from ..functions import cellgrid
 from ..functions.geodesy import points_in_ring_winding
+from ..plans.localtable import literal_table
 
 DEFAULT_JOIN_RES = 13  # ~0.044 deg cells: tight polygon covers, ~2x fewer false candidates than res 11 (bench-chosen)
 
@@ -63,7 +64,10 @@ def polygon_cover_df(
             T.StructField("airspace_class", T.StringType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema=schema)
+    # literal relation, not createDataFrame: the cover is re-evaluated at
+    # EVERY broadcast build and each evaluation of a parallelized pickle
+    # RDD costs defaultParallelism Python tasks (~0.3-0.4 s on local[32])
+    return literal_table(spark, rows, schema)
 
 
 POLYGONS_SCHEMA = T.StructType(
@@ -306,7 +310,7 @@ def compact_cover_df(
             T.StructField("airspace_class", T.StringType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema=schema)
+    return literal_table(spark, rows, schema)
 
 
 def spatial_join_compact(
@@ -684,7 +688,8 @@ def geo_cluster_cells(
         (F.col("cell") % shift).alias("x"),
         F.expr(f"(cell div {shift}) % {shift}").alias("y"),
     )
-    offs = pages.sparkSession.createDataFrame(
+    offs = literal_table(
+        pages.sparkSession,
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)],
         "dx int, dy int",
     )

@@ -527,7 +527,10 @@ def stratified_sample(
     from pyspark.sql import types as T
 
     spark = documents.sparkSession
-    n_below = spark.createDataFrame(
+    from ..plans.localtable import literal_table
+
+    n_below = literal_table(
+        spark,
         [(r["grp"], r["n_below"]) for r in stats_rows],
         T.StructType(
             [

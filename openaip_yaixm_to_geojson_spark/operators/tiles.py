@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import cellgrid
+from ..plans.localtable import literal_table
 
 DEFAULT_TILE_RES = 8  # ~1.4 degree tiles
 
@@ -215,7 +216,7 @@ def polygon_raster(spark: SparkSession, polygons: list[dict[str, Any]], res: int
                     "airspace_class": poly["class"],
                 }
             )
-    return spark.createDataFrame(rows, "tile_id bigint, poly_id int, airspace_class string")
+    return literal_table(spark, rows, "tile_id bigint, poly_id int, airspace_class string")
 
 
 def polygon_raster_table(polygons_df: DataFrame, res: int = DEFAULT_TILE_RES) -> DataFrame:
@@ -335,8 +336,6 @@ def tile_nearest_airspace(
     use the shared seg_d2_expr clamped-projection formulation."""
     from ..operators.knn import _segment_arrays, seg_d2_expr
 
-    import pandas as pd
-
     tiles = with_tile(pages, res).groupBy("tile_id").agg(F.count(F.lit(1)).alias("n_docs"))
     size = cellgrid.cell_size_deg(res)
     x = F.pmod(F.col("tile_id"), F.lit(cellgrid._SHIFT))
@@ -348,12 +347,17 @@ def tile_nearest_airspace(
         (F.lit(-90.0) + (y.cast("double") + F.lit(0.5)) * F.lit(size)).alias("lat"),
     )
     pids, ax, ay, bx, by = _segment_arrays(polygons)
-    segs = pages.sparkSession.createDataFrame(
-        pd.DataFrame(
-            {"poly_id": pids.astype("int32"), "ax": ax, "ay": ay, "bx": bx, "by": by}
-        ),
-        # explicit schema: inferred poly_id dtype is arrow-conf-dependent
-        "poly_id int, ax double, ay double, bx double, by double",
+    from ..plans.fanout import fan_out
+
+    # literal relation (explicit schema keeps poly_id int as before);
+    # fan_out restores the multi-partition layout the d2 scan parallelizes
+    # over — segs is the STREAMED side of the crossJoin below
+    segs = fan_out(
+        literal_table(
+            pages.sparkSession,
+            list(zip(map(int, pids), map(float, ax), map(float, ay), map(float, bx), map(float, by))),
+            "poly_id int, ax double, ay double, bx double, by double",
+        )
     )
     return (
         segs.crossJoin(F.broadcast(centers))

@@ -119,7 +119,10 @@ def test_range_clustered_write_prunes_files(spark, pages, tmp_path):
     lo, hi = ranges[0]
     scan = clustered_cell_scan(spark, out, lo, hi)
     plan = plan_of(scan)
-    assert "PushedFilters: [IsNotNull(cell), GreaterThanOrEqual(cell" in plan
+    # r7: InferFiltersFromConstraints is excluded (plans/session.py), so the
+    # redundant IsNotNull no longer precedes the range in PushedFilters; the
+    # load-bearing property is the RANGE reaching the parquet scan.
+    assert "PushedFilters: [GreaterThanOrEqual(cell" in plan
     # correctness: the pruned scan returns exactly the rows in range
     full = spark.read.parquet(out).where((F.col("cell") >= lo) & (F.col("cell") <= hi))
     assert scan.count() == full.count() > 0
@@ -294,8 +297,10 @@ def test_local_supplier_revenue_broadcasts_dims_two_fact_shuffle_joins(spark):
     # (orders-customer by custkey, lineitem by orderkey) shuffle
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
-    # date filter reaches the orders parquet scan
-    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+    # date filter reaches the orders parquet scan (r7: without the excluded
+    # InferFiltersFromConstraints rule there is no leading IsNotNull; the
+    # explicit date range predicates still push)
+    assert "GreaterThanOrEqual(o_orderdate" in plan and "LessThan(o_orderdate" in plan
 
 
 def test_bloom_contamination_broadcasts_filter_words(spark):

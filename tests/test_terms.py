@@ -523,7 +523,10 @@ def test_lang_partitioned_scan_prunes_partitions(spark, tmp_path):
     write_lang_partitioned(docs, out)
     scan = spark.read.parquet(out).where(F.col("lang") == "en")
     plan = scan._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(lang" in plan and "(lang" in plan
+    # r7: InferFiltersFromConstraints is excluded (plans/session.py), so no
+    # leading isnotnull; the load-bearing property is the lang EQUALITY
+    # reaching PartitionFilters (partition pruning, not a data filter)
+    assert "PartitionFilters: [" in plan and "= en)]" in plan.split("PartitionFilters: [")[1].split("]")[0] + "]"
     ref = docs.where(F.col("lang") == "en")
     assert scan.count() == ref.count() > 0
 
