@@ -459,10 +459,15 @@ def duplicated_span_stats(
     its two consumers optimize to different subtrees (distinct-style vs
     counting aggregate), so exchange reuse can never kick in — without a
     materialization the corpus-sized explode + aggregate runs TWICE (the
-    known fan-out-reuse trap). localCheckpoint pins it to one pass; the
-    checkpointed rows are (digest, digest, count) — far narrower than the
-    text they derive from."""
-    dg = _doc_gram_counts(documents, width, key_col, text_col, hash_grams=True).localCheckpoint()
+    known fan-out-reuse trap). Materialized rows are (digest, digest,
+    count) — far narrower than the text they derive from; columnar persist
+    rather than localCheckpoint (r7) so a session executes the corpus
+    explode once, not once per invocation."""
+    from pyspark.storagelevel import StorageLevel
+
+    dg = _doc_gram_counts(documents, width, key_col, text_col, hash_grams=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     gd = dg.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     dup = F.col("n_docs") >= F.lit(2)
     return (
@@ -681,12 +686,20 @@ def bm25_topk(
     # tf feeds TWO consumers (the df derivation and the score join) — the
     # fan-out-reuse audit: without materialization the corpus explode +
     # filter + aggregate run once per consumer (plan-audited: 3 FileScans
-    # -> 2). The frame is tiny (<= |docs| x |query| rows), so checkpointing
-    # is the cheap side of the rule.
-    tf = toks.groupBy("key", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
-    ).localCheckpoint()
+    # -> 2). The frame is tiny (<= |docs| x |query| rows); columnar persist
+    # rather than localCheckpoint (r7): same single-materialization
+    # guarantee, and the cached plan is shared instead of re-executing the
+    # corpus tokenize pass on every invocation in a session.
+    from pyspark.storagelevel import StorageLevel
+
+    tf = (
+        toks.groupBy("key", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # stats is ONE row but its execution is a SECOND full corpus tokenize
+    # (sum of token counts) — persist so a session pays it once
     stats = (
         documents.agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -698,6 +711,7 @@ def bm25_topk(
                 "avgdl"
             ),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     scored = (
         tf.join(F.broadcast(df_t), "term")
@@ -828,9 +842,15 @@ def charlm_surprisal(documents: DataFrame, key_col: str = "doc_id", text_col: st
         F.col(key_col).alias("key"), F.explode(zipped).alias("s")
     ).select("key", F.col("s.a").alias("a"), F.col("s.b").alias("b"))
     # charset^2-sized; feeds BOTH corpus_pre and the bits join -> materialize
-    # once (fan-out rule; the frame is tiny so the checkpoint is free)
+    # once (fan-out rule; the frame is tiny). Columnar persist rather than
+    # localCheckpoint (r7): executing this frame IS the whole pass-1 corpus
+    # bigram explode, so a session pays it once instead of per invocation.
+    from pyspark.storagelevel import StorageLevel
+
     corpus_bg = (
-        bg_stream.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cbg")).localCheckpoint()
+        bg_stream.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cbg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     corpus_pre = corpus_bg.groupBy("a").agg(F.sum("cbg").alias("cpre"))
     bits = corpus_bg.join(corpus_pre, "a").select(
