@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from ..plans.fanout import fan_out
 
@@ -728,7 +729,11 @@ def edit_distance_pairs(
         F.col("b.key").alias("key_b"),
         F.col("a.txt").alias("txt_a"),
         F.col("b.txt").alias("txt_b"),
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist is the same pushdown barrier as the old localCheckpoint —
+    # filters stay above the InMemoryRelation, so the DP still runs on
+    # materialized candidates, never inside the join condition — and the
+    # blocking join is built once per session (r7)
     dist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_distance)
     return (
         cand.withColumn("edit_distance", dist.cast("int"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 RANK_SCALE = 1_000_000
 
@@ -64,9 +65,15 @@ def pagerank_int(
 
     ids = nodes.select(F.col(key_col).alias("id"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # out-degree attached once; re-used every round (small vs the fact join)
+    # out-degree attached once; re-used every round (small vs the fact
+    # join). Columnar persist (r7): same materialize-once guarantee as the
+    # old localCheckpoint, shared across invocations in a session; the
+    # frame is round-invariant INPUT, not loop state, so no lineage grows
+    # through it (per-round state stays unmaterialized — fixed iterations)
     edges_deg = (
-        edges.join(deg, "src").select("src", "dst", "out_deg").localCheckpoint()
+        edges.join(deg, "src")
+        .select("src", "dst", "out_deg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     ranks = ids.select("id", F.lit(RANK_SCALE).cast("bigint").alias("rank"))
@@ -124,7 +131,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         und.select(F.explode(F.array("a", "b")).alias("v"))
@@ -136,11 +143,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
     )
     fwd = F.struct("da", "a") < F.struct("db", "b")
+    # persist, not checkpoint (r7): DAG-shaped multi-consumer frames — the
+    # materialize-once property is what matters, and the cache is shared
+    # across invocations in a session
     e = keyed.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     e1 = e.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
     e2 = e.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
     wedges = e1.join(e2, "u").where(F.struct("dx", "x") < F.struct("dy", "y"))

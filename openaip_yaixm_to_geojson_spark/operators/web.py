@@ -332,16 +332,21 @@ def link_pagerank(pages: DataFrame, html_col: str = "html", iters: int = 3) -> D
     joins) and would otherwise re-run the regex explode per round."""
     from .graph import pagerank_int
 
+    from pyspark.storagelevel import StorageLevel
+
     links = extract_links(pages, html_col=html_col, key_col="url")
+    # persist, not checkpoint (r7): same materialize-once guarantee for the
+    # round-invariant edge/node inputs, shared across invocations in a
+    # session (per-round rank state is materialized separately)
     edges = links.select(
         url_host_col(F.col("key")).alias("src"),
         url_host_col(F.col("link")).alias("dst"),
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return pagerank_int(nodes, edges, iters=iters, key_col="host")
 
@@ -674,16 +679,21 @@ def link_hits(pages: DataFrame, html_col: str = "html", iters: int = 2) -> DataF
     link_pagerank composition with the alternating recurrence."""
     from .graph import hits_int
 
+    from pyspark.storagelevel import StorageLevel
+
     links = extract_links(pages, html_col=html_col, key_col="url")
+    # persist, not checkpoint (r7): same materialize-once guarantee for the
+    # round-invariant edge/node inputs, shared across invocations in a
+    # session (per-round rank state is materialized separately)
     edges = links.select(
         url_host_col(F.col("key")).alias("src"),
         url_host_col(F.col("link")).alias("dst"),
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return hits_int(nodes, edges, iters=iters, key_col="host")
 

@@ -272,8 +272,13 @@ def test_self_join_operators_single_source_pass(spark):
     assert p.count("ArrowEvalPython") == 0 and p.count("FileScan parquet") == 0
     p = plan_of(ngram_jaccard_pairs(docs))
     assert p.count("FileScan parquet") == 0
+    # triangle (r7): und/e are columnar persists — scans now appear only
+    # inside the printed InMemoryRelation build plans; the LIVE section
+    # (before the first cached build plan) must stay scan-free, with both
+    # cache reads present
     p = plan_of(triangle_count(synth_link_graph(docs)))
-    assert p.count("FileScan parquet") == 0
+    assert "FileScan parquet" not in p.split("InMemoryRelation")[0]
+    assert p.count("InMemoryTableScan") >= 3
 
 
 def test_pmi_and_embedding_neardup_single_pass(spark):
@@ -385,11 +390,13 @@ def test_r4_continuation_fanout_frames_materialized(spark, pages):
     from openaip_yaixm_to_geojson_spark.operators.dedup import edit_distance_pairs
 
     p = plan_of(edit_distance_pairs(docs))
-    # the candidate join lives INSIDE the checkpoint job: the final plan
-    # has no join at all — the levenshtein Filter sits directly on the
-    # materialized candidates
-    assert p.count("FileScan parquet") == 0 and "levenshtein" in p
-    assert "Join" not in p
+    # the candidate join lives INSIDE the cached relation (r7: persist —
+    # the same pushdown barrier as the old checkpoint): the LIVE plan has
+    # no join at all — the levenshtein Filter sits directly on the
+    # materialized candidates read from cache
+    live = p.split("InMemoryRelation")[0]
+    assert "FileScan parquet" not in live and "levenshtein" in live
+    assert "Join" not in live and "InMemoryTableScan" in p
 
 
 def test_minhash_verify_filter_above_checkpoint(spark):
