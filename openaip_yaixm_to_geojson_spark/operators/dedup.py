@@ -226,6 +226,11 @@ def minhash_lsh_pairs(
     # into the key_b join condition and the array_intersect is evaluated
     # TWICE per pair (join predicate + output projection — no cross-node
     # CSE). The checkpoint is tiny (3 scalar columns, candidate-pair rows).
+    # localCheckpoint, deliberately NOT a persist (r7 policy line): this
+    # frame holds the query's OUTPUT VALUES (the scored pairs) — caching it
+    # across invocations would mean later invocations compute nothing but
+    # the threshold filter. Reusable INPUT artifacts (shingles, candidate
+    # tables, filters, statistics) persist; output-value frames do not.
     scored = verified.select("key_a", "key_b", jaccard.alias("jaccard")).localCheckpoint()
     return scored.where(F.col("jaccard") >= jaccard_threshold)
 
@@ -879,13 +884,15 @@ def containment_pairs(
     )
     index = rare.select(F.col("doc").alias("idoc"), "sh")
     # cand feeds the verify join AND the two semi-filter builds below —
-    # materialize once (fan-out rule; candidate pairs are df_cap-bounded)
+    # materialize once (fan-out rule; candidate pairs are df_cap-bounded);
+    # columnar persist (r7): candidate generation runs once per session,
+    # not per invocation
     cand = (
         probe.join(index, "sh")
         .where(F.col("doc") != F.col("idoc"))
         .select(F.col("doc").alias("key_a"), F.col("idoc").alias("key_b"))
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # semi-filter the verify inputs to candidate docs BEFORE they shuffle
     # (guide-style broadcast semi-join prefilter): only candidate key_b
